@@ -1,0 +1,92 @@
+"""Top-1 accuracy evaluation for ViT classifiers.
+
+Replaces reference ``evaluate_top1`` (src/vit_pruning.py:326-373). Two modes:
+
+- :func:`evaluate_top1` — accuracy of one model (dense/masked or materialized).
+- :func:`evaluate_top1_candidates` — accuracy of C skip-mask candidates AT ONCE
+  via ``vmap`` over the gate vector. This is the TPU-native replacement for the
+  reference's per-candidate ``copy.deepcopy`` + full eval loop
+  (src/vit_pruning.py:477-496, mask_conjunction.py:339-349): one pass over the
+  data evaluates every candidate, with zero retraces.
+
+Batches are dicts with "pixel_values" [b, H, W, C] float and "labels" [b] int.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssp_x_vit_tpu.models.vit import ViTConfig, vit_forward, vit_forward_materialized
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "materialized"))
+def _correct_in_batch(params, pixel_values, labels, cfg: ViTConfig, materialized: bool):
+    if materialized:
+        logits = vit_forward_materialized(params, pixel_values, cfg)
+    else:
+        logits, _ = vit_forward(params, pixel_values, cfg)
+    preds = jnp.argmax(logits, axis=-1)
+    return jnp.sum(preds == labels)
+
+
+def evaluate_top1(
+    params,
+    cfg: ViTConfig,
+    batches: Iterable[dict],
+    *,
+    max_batches: Optional[int] = None,
+) -> float:
+    """Top-1 accuracy over (up to max_batches of) a batch iterator."""
+    materialized = bool(cfg.pruned_attention_blocks)
+    correct = 0
+    total = 0
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        px = jnp.asarray(batch["pixel_values"])
+        labels = jnp.asarray(batch["labels"])
+        correct += int(_correct_in_batch(params, px, labels, cfg, materialized))
+        total += int(labels.shape[0])
+    return correct / max(1, total)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _candidate_correct_in_batch(params, pixel_values, labels, attn_gates, neuron_mask, cfg: ViTConfig):
+    """attn_gates: [C, num_layers] -> per-candidate correct counts [C]."""
+
+    def one(gate):
+        logits, _ = vit_forward(params, pixel_values, cfg, attn_gate=gate, neuron_mask=neuron_mask)
+        preds = jnp.argmax(logits, axis=-1)
+        return jnp.sum(preds == labels)
+
+    return jax.vmap(one)(attn_gates)
+
+
+def evaluate_top1_candidates(
+    params,
+    cfg: ViTConfig,
+    batches: Iterable[dict],
+    attn_gates: np.ndarray,
+    *,
+    neuron_mask=None,
+    max_batches: Optional[int] = None,
+) -> np.ndarray:
+    """Accuracy of each row of ``attn_gates`` ([C, num_layers]) -> [C]."""
+    gates = jnp.asarray(attn_gates, jnp.float32)
+    if neuron_mask is None:
+        neuron_mask = jnp.ones((cfg.num_layers, 1), jnp.float32)
+    correct = np.zeros((gates.shape[0],), np.int64)
+    total = 0
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        px = jnp.asarray(batch["pixel_values"])
+        labels = jnp.asarray(batch["labels"])
+        correct += np.asarray(_candidate_correct_in_batch(params, px, labels, gates, neuron_mask, cfg))
+        total += int(labels.shape[0])
+    return correct / max(1, total)

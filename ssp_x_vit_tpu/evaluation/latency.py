@@ -1,0 +1,53 @@
+"""Latency / throughput measurement harness.
+
+Reference protocol (experiments/vit_pruning/auto_2ssp.py:74-99): dummy input,
+3 warmup iterations, 10 timed iterations, mean milliseconds. TPU equivalent
+uses ``jax.block_until_ready`` in place of cuda/mps synchronization.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssp_x_vit_tpu.models.vit import ViTConfig, vit_forward, vit_forward_materialized
+
+
+def measure_latency_fn(
+    fn: Callable,
+    *args,
+    warmup: int = 3,
+    iters: int = 10,
+) -> Tuple[float, float]:
+    """Time ``fn(*args)`` -> (mean_ms, throughput_calls_per_s)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    mean_s = sum(times) / len(times)
+    return mean_s * 1e3, 1.0 / mean_s
+
+
+def measure_latency(
+    params,
+    cfg: ViTConfig,
+    *,
+    batch_size: int = 1,
+    warmup: int = 3,
+    iters: int = 10,
+    compute_dtype=jnp.float32,
+) -> float:
+    """Mean forward latency (ms) on a dummy batch (reference auto_2ssp.py:74-99)."""
+    dummy = jnp.zeros((batch_size, cfg.image_size, cfg.image_size, cfg.num_channels), compute_dtype)
+    if cfg.is_materialized_pruned:
+        fn = jax.jit(lambda p, x: vit_forward_materialized(p, x, cfg, compute_dtype=compute_dtype))
+    else:
+        fn = jax.jit(lambda p, x: vit_forward(p, x, cfg, compute_dtype=compute_dtype)[0])
+    mean_ms, _ = measure_latency_fn(fn, params, dummy, warmup=warmup, iters=iters)
+    return mean_ms

@@ -1,0 +1,29 @@
+"""Central kernel dispatch: decide when to use Pallas TPU kernels.
+
+Pallas kernels are used on TPU backends by default and can be forced on/off via
+``SSP_X_VIT_PALLAS`` (values: "1"/"0") or :func:`set_pallas_enabled`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_FORCED: Optional[bool] = None
+
+
+def set_pallas_enabled(enabled: Optional[bool]) -> None:
+    """Force Pallas kernels on/off globally; ``None`` restores auto-detect."""
+    global _FORCED
+    _FORCED = enabled
+
+
+def use_pallas() -> bool:
+    if _FORCED is not None:
+        return _FORCED
+    env = os.environ.get("SSP_X_VIT_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
