@@ -1,0 +1,62 @@
+"""Benchmark: ViT-B/16 dense forward throughput (images/sec/chip) on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline: the reference's dense ViT-B/16 batch-1 forward latency of 43.6 ms on
+Apple-Silicon MPS (reports/report-2perc.md:21, BASELINE.md) = 22.9 images/sec.
+
+Timing: in-graph `lax.scan` loop with a scalar value fetch as the barrier —
+host-side `block_until_ready` timing is unreliable on the tunneled TPU (see
+docs/tpu_notes.md).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from ssp_x_vit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+from ssp_x_vit_tpu.evaluation.latency import measure_latency_scan
+
+REFERENCE_DENSE_IMG_PER_S = 1000.0 / 43.6  # b=1 MPS latency, reports/report-2perc.md:21
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    cfg = ViTConfig(num_classes=1000)  # ViT-B/16, 224x224
+    params = init_vit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    pixels = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, cfg.image_size, cfg.image_size, 3), jnp.bfloat16
+    )
+
+    def fwd(pixels, params):
+        logits, _ = vit_forward(params, pixels, cfg, compute_dtype=jnp.bfloat16)
+        return logits
+
+    ms = measure_latency_scan(fwd, pixels, params, iters=iters)
+    img_per_s = batch / (ms / 1e3)
+
+    print(json.dumps({
+        "metric": "vit_b16_dense_throughput",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / REFERENCE_DENSE_IMG_PER_S, 2),
+        "detail": {
+            "batch": batch,
+            "latency_ms_per_batch": round(ms, 3),
+            "dtype": "bfloat16",
+            "backend": jax.default_backend(),
+            "baseline": "reference dense ViT-B/16 b=1 MPS 43.6ms (22.9 img/s)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,43 @@ def measure_latency_fn(
     return mean_s * 1e3, 1.0 / mean_s
 
 
+def measure_latency_scan(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
+    """Per-iteration latency (ms) with the loop INSIDE one jitted lax.scan.
+
+    The carry consumes each iteration's output, forcing truly sequential
+    device execution in a single dispatch. This is robust where host-side
+    timing is not (remote/tunneled devices with unreliable readiness
+    semantics). ``fn(*args)`` may return any pytree.
+    """
+    import jax.numpy as _jnp
+
+    # Arrays must be jit ARGUMENTS: closed-over device arrays are embedded as
+    # program constants, which forces a device->host fetch at lowering time
+    # (hangs on tunneled devices and bloats the executable).
+    @jax.jit
+    def run(*a):
+        first, rest = a[0], a[1:]
+
+        def step(carry, _):
+            # Perturb the first argument by the (runtime-unknown) carry so
+            # the body is NOT loop-invariant and cannot be hoisted.
+            x = first + (carry * 1e-20).astype(first.dtype)
+            out = fn(x, *rest)
+            acc = sum(_jnp.sum(leaf.astype(_jnp.float32)) for leaf in jax.tree.leaves(out))
+            return _jnp.tanh(acc), ()  # tanh keeps the carry bounded
+
+        total, _ = jax.lax.scan(step, _jnp.float32(0.0), None, length=iters)
+        return total
+
+    # On tunneled devices block_until_ready can return before execution
+    # completes; fetching the scalar VALUE is the only reliable barrier.
+    for _ in range(warmup):
+        float(run(*args))
+    t0 = time.perf_counter()
+    float(run(*args))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def measure_latency(
     params,
     cfg: ViTConfig,

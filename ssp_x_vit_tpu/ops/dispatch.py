@@ -26,4 +26,9 @@ def use_pallas() -> bool:
     env = os.environ.get("SSP_X_VIT_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
-    return jax.default_backend() == "tpu"
+    # Default OFF: measured on a v5e chip (scripts/tpu_smoke.py + in-graph scan
+    # timing), XLA's fused attention/FFN beat the v1 Pallas kernels at ViT
+    # shapes (e.g. b=256 attention 3.4ms XLA vs 6.6ms pallas). The kernels are
+    # correct and selectable (SSP_X_VIT_PALLAS=1 / set_pallas_enabled) while
+    # tile tuning continues; dispatch flips back on once they win.
+    return False

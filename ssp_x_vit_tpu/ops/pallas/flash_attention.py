@@ -1,0 +1,117 @@
+"""Pallas TPU flash attention for the ViT/LLM forward pass.
+
+Design: grid over (batch*heads, q-blocks); each program holds a 128-row query
+tile and the FULL key/value sequence in VMEM. For this framework's sequence
+lengths (ViT: 197 -> padded 256; LLM calibration: 2048) K/V VMEM residency is
+a few hundred KB to ~1 MB, so the single-pass softmax (no online-softmax
+streaming state) is both simpler and faster than the streaming variant — the
+logits tile never round-trips to HBM, which is the entire point of flash
+attention. Sequences beyond ~8k would need the streaming form; out of scope
+per the reference workloads (SURVEY.md §5.7).
+
+Backward pass: ``jax.custom_vjp`` falls back to the jnp reference attention's
+autodiff — correct everywhere, and only the (head-finetune) training path
+differentiates through attention at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssp_x_vit_tpu.ops.attention import sdpa_reference
+
+BLOCK_Q = 128
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, causal: bool):
+    iq = pl.program_id(1)
+
+    q = q_ref[0]  # [BLOCK_Q, hd]
+    k = k_ref[0]  # [S_pad, hd]
+    v = v_ref[0]  # [S_pad, hd]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BLOCK_Q, S_pad]
+
+    s_pad = logits.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    mask = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
+        mask = jnp.logical_and(mask, col <= row)
+    logits = jnp.where(mask, logits, _NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, *, causal: bool):
+    b, h, s, hd = q.shape
+    scale = 1.0 / (hd**0.5)
+    s_pad = -(-s // BLOCK_Q) * BLOCK_Q
+
+    def pad(t):
+        t = t.reshape(b * h, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    qf, kf, vf = pad(q), pad(k), pad(v)
+    nq = s_pad // BLOCK_Q
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, seq_len=s, causal=causal),
+        grid=(b * h, nq),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_pad * s_pad * hd,
+            bytes_accessed=(3 * b * h * s_pad * hd + b * h * s_pad * hd) * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+    )(qf, kf, vf)
+
+    return out[:, :s, :].reshape(b, h, s, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, causal):
+    return _flash_forward(q, k, v, causal=causal)
+
+
+def _flash_fwd(q, k, v, causal):
+    return _flash_forward(q, k, v, causal=causal), (q, k, v)
+
+
+def _flash_bwd(causal, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: sdpa_reference(q_, k_, v_, causal=causal), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False) -> jax.Array:
+    """[b, h, s, hd] x3 -> [b, h, s, hd], numerics matching sdpa_reference."""
+    return _flash(q, k, v, causal)

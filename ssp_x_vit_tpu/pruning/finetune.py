@@ -1,0 +1,109 @@
+"""Head / full-model finetuning with optax (reference ``maybe_finetune_head``,
+experiments/vit_pruning/auto_2ssp.py:231-290 — AdamW, cross-entropy, autocast).
+
+TPU-native: one jitted train step (donated params/opt state), data-parallel
+over the mesh ``data`` axis when run under shardings, bf16 compute with fp32
+params/optimizer state. ``trainable="head"`` freezes the backbone via masked
+gradients (exactly the reference's requires_grad freeze).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssp_x_vit_tpu.models.vit import Params, ViTConfig, vit_forward, vit_forward_materialized
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def trainable_mask(params: Params, trainable: str) -> Params:
+    """optax mask pytree: True = train. 'head' trains only the classifier."""
+    if trainable == "all":
+        return jax.tree.map(lambda _: True, params)
+    if trainable == "head":
+        return {
+            k: (jax.tree.map(lambda _: True, v) if k == "head" else jax.tree.map(lambda _: False, v))
+            for k, v in params.items()
+        }
+    raise ValueError(f"unknown trainable spec {trainable}")
+
+
+def make_optimizer(params: Params, lr: float = 5e-5, weight_decay: float = 0.01,
+                   trainable: str = "head") -> optax.GradientTransformation:
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+    mask = trainable_mask(params, trainable)
+    return optax.chain(
+        optax.masked(opt, mask),
+        # Hard-zero frozen grads so frozen params cannot drift.
+        optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask)),
+    )
+
+
+def make_train_step(cfg: ViTConfig, optimizer: optax.GradientTransformation,
+                    compute_dtype=jnp.bfloat16):
+    """Returns jitted step(params, opt_state, pixel_values, labels) ->
+    (params, opt_state, loss)."""
+    materialized = bool(cfg.pruned_attention_blocks)
+
+    def loss_fn(params, pixel_values, labels):
+        if materialized:
+            logits = vit_forward_materialized(params, pixel_values, cfg, compute_dtype=compute_dtype)
+        else:
+            logits, _ = vit_forward(params, pixel_values, cfg, compute_dtype=compute_dtype)
+        return cross_entropy_loss(logits, labels)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, pixel_values, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, pixel_values, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def finetune(
+    params: Params,
+    cfg: ViTConfig,
+    batches_fn,
+    *,
+    epochs: int = 1,
+    lr: float = 5e-5,
+    trainable: str = "head",
+    compute_dtype=jnp.bfloat16,
+    verbose: bool = True,
+) -> Params:
+    """Run finetuning; ``batches_fn()`` yields dicts per epoch (re-iterable)."""
+    optimizer = make_optimizer(params, lr=lr, trainable=trainable)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, optimizer, compute_dtype=compute_dtype)
+
+    n_train = sum(
+        int(x.size) for m, x in zip(jax.tree.leaves(trainable_mask(params, trainable)),
+                                    jax.tree.leaves(params)) if m
+    )
+    if verbose:
+        print(f"[INFO] Fine-tuning ({trainable}) for {epochs} epoch(s) with "
+              f"{n_train/1e6:.2f}M trainable params")
+
+    for epoch in range(epochs):
+        running, nsteps = 0.0, 0
+        for batch in batches_fn():
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(batch["pixel_values"]), jnp.asarray(batch["labels"])
+            )
+            running += float(loss)
+            nsteps += 1
+        if verbose:
+            print(f"[INFO] Epoch {epoch+1}/{epochs} done. Mean loss: {running/max(1,nsteps):.4f}")
+    if verbose:
+        print("[INFO] Fine-tuning complete.")
+    return params

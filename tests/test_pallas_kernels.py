@@ -1,0 +1,96 @@
+"""Pallas kernels vs jnp reference, interpret mode on CPU (SURVEY.md §7 step 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ssp_x_vit_tpu.ops.attention import sdpa_reference
+from ssp_x_vit_tpu.ops.ffn import ffn_forward
+
+
+def test_flash_attention_matches_reference():
+    from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    b, h, s, hd = 2, 4, 197, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    ref = sdpa_reference(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_causal():
+    from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(1)
+    b, h, s, hd = 1, 2, 160, 32
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    ref = sdpa_reference(q, k, v, causal=True)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ffn_matches_reference():
+    from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
+
+    rng = np.random.default_rng(2)
+    b, s, d, f = 2, 197, 64, 256
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    mask = jnp.asarray((rng.random(f) > 0.3).astype(np.float32))
+
+    ref_out, ref_stats = ffn_forward(x, w1, b1, w2, b2, neuron_mask=mask,
+                                     collect_stats=True, use_pallas_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        out, stats = fused_ffn(x, w1, b1, w2, b2, neuron_mask=mask, collect_stats=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(ref_stats), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ffn_no_bias_no_mask():
+    from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
+
+    rng = np.random.default_rng(3)
+    b, s, d, f = 1, 64, 32, 128
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.1, jnp.float32)
+    ref_out, _ = ffn_forward(x, w1, None, w2, None, use_pallas_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        out, stats = fused_ffn(x, w1, None, w2, None)
+    assert stats is None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ffn_grad_matches_reference():
+    from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
+
+    rng = np.random.default_rng(4)
+    b, s, d, f = 1, 16, 16, 32
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.1, jnp.float32)
+
+    def loss_pallas(w1_):
+        with pltpu.force_tpu_interpret_mode():
+            out, _ = fused_ffn(x, w1_, None, w2, None)
+        return jnp.sum(out**2)
+
+    def loss_ref(w1_):
+        out, _ = ffn_forward(x, w1_, None, w2, None, use_pallas_kernel=False)
+        return jnp.sum(out**2)
+
+    g_p = jax.grad(loss_pallas)(w1)
+    g_r = jax.grad(loss_ref)(w1)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), rtol=1e-3, atol=1e-3)
