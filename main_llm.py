@@ -1,0 +1,234 @@
+"""LLM pruning CLI — TPU-native counterpart of the reference ``main.py``
+(reference main.py:18-253): same flags and flow (method dispatch, sparsity
+sweeps -1/-2, pruning-time measurement, perplexity / inference / downstream /
+qualitative evaluation hooks).
+
+Offline operation: ``--model tiny-random`` builds a small random Llama-class
+model, and ``--synthetic-data`` (or any dataset-load failure) substitutes
+deterministic structured token streams so every pruning method and the
+perplexity loop remain exercisable with zero egress.
+
+Usage:
+  python main_llm.py --model /path/to/llama-dir --pruning_method 2ssp \
+      --sparsity_rate 0.5 --evaluate_perplexity
+  python main_llm.py --model tiny-random --pruning_method blockpruner \
+      --sparsity_rate 0.25 --evaluate_perplexity --synthetic-data
+"""
+
+import argparse
+import logging
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Pruning of transformer models (TPU-native)")
+    parser.add_argument('--model', type=str, required=True,
+                        help="Local HF model directory, or 'tiny-random' for an offline test model")
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--cache_dir', type=str, required=False)
+    parser.add_argument('--dense', action='store_true',
+                        help="Load the original dense model without pruning")
+    parser.add_argument('--pruning_method', type=str,
+                        choices=['2ssp', 'window_based', 'shortgpt', 'blockpruner',
+                                 'evopress', 'slicegpt'])
+    parser.add_argument('--sparsity_rate', type=float,
+                        help="0..1 target sparsity; -1 sweeps i/N; -2 sweeps 25/37.5/50%%")
+    parser.add_argument('--main_table_results', action='store_true')
+    parser.add_argument('--evaluate_inference', action='store_true')
+    parser.add_argument('--evaluate_downstream', action='store_true')
+    parser.add_argument('--evaluate_perplexity', action='store_true')
+    parser.add_argument('--evaluate_qualitative', action='store_true')
+    parser.add_argument('--local_datasets', action='store_true',
+                        help="Use local datasets stored in the './data/' folder")
+    parser.add_argument('--synthetic-data', action='store_true',
+                        help="Force deterministic synthetic token streams (offline)")
+    parser.add_argument('--seq-len', type=int, default=2048)
+    parser.add_argument('--num-calibration', type=int, default=256)
+    parser.add_argument('--num-calibration-2ssp', type=int, default=32)
+    parser.add_argument('--evopress-generations', type=int, default=None,
+                        help="Override EvoPress generation count (for smoke runs)")
+    parser.add_argument('--backend', type=str, default='default',
+                        choices=['default', 'cpu', 'tpu'])
+    parser.add_argument('--logging', type=str, default='INFO',
+                        choices=['DEBUG', 'INFO', 'WARNING', 'ERROR', 'CRITICAL'])
+    return parser.parse_args()
+
+
+TINY_RANDOM = dict(vocab_size=512, hidden_size=64, num_layers=6, num_heads=4,
+                   num_kv_heads=4, intermediate_size=172)
+
+
+def load_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.llm.checkpoints import load_hf_llama
+    from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
+
+    if os.path.isdir(args.model):
+        return load_hf_llama(args.model)
+    if args.model == "tiny-random":
+        cfg = LlamaConfig(**TINY_RANDOM)
+        return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
+    raise SystemExit(f"--model must be a local HF directory or 'tiny-random'; got {args.model}")
+
+
+def load_corpora(args, cfg):
+    """(wikitext_ids, c4_val_ids, fineweb_ids, c4_train_ids) token streams."""
+    from ssp_x_vit_tpu.llm import datasets as D
+
+    if not args.synthetic_data and os.path.isdir(args.model):
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+            base = "./data" if args.local_datasets else None
+            wik = D.load_wikitext2(base and f"{base}/wikitext2")
+            c4v = D.load_c4(base and f"{base}/c4_val", split="validation")
+            fwe = D.load_fineweb_edu(base and f"{base}/fineweb_edu")
+            c4t = D.load_c4(base and f"{base}/c4_train", split="train")
+            if all(x is not None for x in (wik, c4v, fwe, c4t)):
+                return (D.tokenize_corpus(wik, tok), D.tokenize_corpus(c4v, tok),
+                        D.tokenize_corpus(fwe[:500], tok), D.tokenize_corpus(c4t, tok))
+        except Exception as e:
+            logging.warning(f"Real datasets unavailable ({e}); falling back to synthetic")
+
+    logging.info("Using deterministic synthetic token streams")
+    n = args.seq_len * (args.num_calibration + 8)
+
+    def mk(s):
+        return D.synthetic_token_stream(n, cfg.vocab_size, seed=s)
+
+    return mk(1), mk(2), mk(3), mk(4)
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=getattr(logging, args.logging.upper()),
+                        format='%(asctime)s - %(levelname)s - %(message)s', datefmt='%H:%M:%S')
+    if args.backend != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+
+    from ssp_x_vit_tpu.utils.seeding import set_seed
+    from ssp_x_vit_tpu.llm import datasets as D
+    from ssp_x_vit_tpu.llm import pruning as P
+    from ssp_x_vit_tpu.llm.evaluation import (evaluate_perplexity, evaluation_ppl,
+                                              evaluate_inference_time)
+
+    set_seed(args.seed)
+    params, cfg = load_model(args)
+    logging.info(f"Model: {cfg.model_type} L={cfg.num_layers} d={cfg.hidden_size} "
+                 f"f={cfg.intermediate_size}")
+
+    wikitext_ids, c4_val_ids, fineweb_ids, c4_train_ids = load_corpora(args, cfg)
+    calibration = D.get_calibration(c4_train_ids, args.num_calibration, seq_len=args.seq_len)
+    calibration_2ssp = calibration[: args.num_calibration_2ssp]
+    first_sample = calibration[0]
+
+    def run_evals(p, c, attn_gate=None, mlp_gate=None):
+        if args.evaluate_inference:
+            ms = evaluate_inference_time(p, c, first_sample)
+            logging.info(f"Average Inference Time: {ms:.3f} ms")
+        if args.evaluate_downstream:
+            from ssp_x_vit_tpu.llm.downstream import evaluation_downstream
+
+            evaluation_downstream(p, c, args.model)
+        if args.main_table_results:
+            evaluation_ppl(p, c, wikitext_ids, c4_val_ids, fineweb_ids, seq_len=args.seq_len,
+                           attn_gate=attn_gate, mlp_gate=mlp_gate)
+        if args.evaluate_perplexity:
+            ppl = evaluate_perplexity(p, c, wikitext_ids, seq_len=args.seq_len,
+                                      attn_gate=attn_gate, mlp_gate=mlp_gate)
+            logging.info(f"Perplexity (wikitext2): {ppl}")
+        if args.evaluate_qualitative:
+            from ssp_x_vit_tpu.llm.generate import qualitative_results
+
+            qualitative_results(p, c, args.model, max_length=128)
+
+    if args.dense:
+        logging.info("Dense model evaluation")
+        run_evals(params, cfg)
+
+    if args.pruning_method is None:
+        return
+
+    L = cfg.num_layers
+    sr = args.sparsity_rate
+    if sr is not None and int(round(sr)) == -1:
+        pruning_rates = [i / L for i in range(1, L - 1)]
+    elif sr is not None and int(round(sr)) == -2:
+        pruning_rates = [0.25, 0.375, 0.5]
+    else:
+        pruning_rates = [sr]
+
+    for target_sparsity in pruning_rates:
+        set_seed(args.seed)
+        start_time = time.time()
+
+        work_params, work_cfg = params, cfg
+        attn_mask = mlp_mask = None
+
+        if args.pruning_method in ("window_based", "shortgpt", "blockpruner", "evopress"):
+            tsb = target_sparsity * L
+            if not float(tsb).is_integer():
+                logging.warning(f"Invalid sparsity rate for {args.pruning_method}: must be a "
+                                f"multiple of 1/{L} since model has {L} blocks.")
+                tsb = int(math.ceil(tsb))
+                logging.warning(f"Rounding to next valid sparsity rate: {tsb/L:.6f} ({tsb} blocks)")
+            else:
+                tsb = int(tsb)
+            target_sparsity = tsb / L
+        logging.info(f"Pruning rate {target_sparsity*100} "
+                     f"(equivalent of {target_sparsity * L} blocks)")
+
+        if args.pruning_method == "window_based":
+            attn_mask = mlp_mask = P.window_based(params, cfg, tsb, calibration)
+        elif args.pruning_method == "shortgpt":
+            attn_mask = mlp_mask = P.shortgpt(params, cfg, tsb, calibration)
+        elif args.pruning_method == "blockpruner":
+            attn_mask, mlp_mask = P.blockpruner(params, cfg, tsb, first_sample,
+                                                seq_len=args.seq_len)
+        elif args.pruning_method == "evopress":
+            from ssp_x_vit_tpu.llm.evopress import evopress
+
+            attn_mask, mlp_mask = evopress(
+                params, cfg, tsb, calibration[:16],
+                num_generations=args.evopress_generations, seed=args.seed)
+        elif args.pruning_method == "2ssp":
+            out = P.two_stage_2ssp(params, cfg, calibration_2ssp, target_sparsity,
+                                   seq_len=args.seq_len)
+            if out is False:
+                continue
+            work_params, work_cfg, info = out
+            logging.info(f"2SSP pruned attention blocks: {info['pruned_attention_blocks']}, "
+                         f"kept FFN width: {info['num_preserve_mlp']}")
+        elif args.pruning_method == "slicegpt":
+            from ssp_x_vit_tpu.llm.slicegpt import slicegpt
+
+            work_params, work_cfg = slicegpt(params, cfg, target_sparsity, calibration)
+        else:
+            logging.error("Invalid method provided")
+            sys.exit(1)
+
+        logging.info(f"Pruning Time: {time.time() - start_time} s")
+
+        if attn_mask is None:
+            run_evals(work_params, work_cfg)
+        else:
+            logging.debug(f"Pruned blocks: attn={attn_mask} mlp={mlp_mask}")
+            ga = 1.0 - np.asarray(attn_mask, np.float32)
+            gm = 1.0 - np.asarray(mlp_mask, np.float32)
+            run_evals(params, cfg, attn_gate=ga, mlp_gate=gm)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,13 +49,15 @@ def measure_latency_scan(fn: Callable, *args, iters: int = 20, warmup: int = 1) 
     # (hangs on tunneled devices and bloats the executable).
     @jax.jit
     def run(*a):
-        first, rest = a[0], a[1:]
-
         def step(carry, _):
-            # Perturb the first argument by the (runtime-unknown) carry so
-            # the body is NOT loop-invariant and cannot be hoisted.
-            x = first + (carry * 1e-20).astype(first.dtype)
-            out = fn(x, *rest)
+            # Perturb every floating-point array argument by the
+            # (runtime-unknown) carry so the body is NOT loop-invariant and
+            # cannot be hoisted out of the scan. Integer args pass through.
+            def perturb(leaf):
+                if hasattr(leaf, "dtype") and _jnp.issubdtype(leaf.dtype, _jnp.floating):
+                    return leaf + (carry * 1e-20).astype(leaf.dtype)
+                return leaf
+            out = fn(*jax.tree.map(perturb, a))
             acc = sum(_jnp.sum(leaf.astype(_jnp.float32)) for leaf in jax.tree.leaves(out))
             return _jnp.tanh(acc), ()  # tanh keeps the carry bounded
 

@@ -1,0 +1,257 @@
+"""Functional JAX causal LM (Llama-class: Llama-2 / Mistral / Qwen2 layout).
+
+Same pruning-native design as the ViT (models/vit.py): stacked block params +
+``lax.scan``; runtime ``attn_gate`` / ``mlp_gate`` / ``neuron_mask`` arguments
+replace the reference's forward monkey-patching (src/utilities.py:69-135) so
+the stage-2 greedy search (src/utilities.py:447-505) and blockpruner
+(src/pruning.py:127-194) evaluate every candidate with ZERO retraces; width
+pruning materializes once via gather (src/utilities.py:392-425 semantics).
+
+Architecture: RMSNorm, rotary position embeddings, GQA (num_kv_heads), SwiGLU
+MLP (gate/up/down), optional tied embeddings. Matches HF ``LlamaForCausalLM``
+numerics for checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    rms_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_embeddings: bool = False
+    model_type: str = "llama"  # llama | mistral | qwen2 (same block layout)
+    qkv_bias: bool = False     # qwen2 uses attention biases
+    # --- materialized-pruning state ---
+    # Uniform kept intermediate size after 2SSP stage-1 (reference sets
+    # config.intermediate_size = num_preserve, src/pruning.py:286).
+    pruned_intermediate_size: Optional[int] = None
+    pruned_attention_blocks: Tuple[int, ...] = ()
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def effective_intermediate(self) -> int:
+        return self.pruned_intermediate_size or self.intermediate_size
+
+    @property
+    def attn_store_index(self) -> Tuple[Optional[int], ...]:
+        idx, j = [], 0
+        for i in range(self.num_layers):
+            if i in self.pruned_attention_blocks:
+                idx.append(None)
+            else:
+                idx.append(j)
+                j += 1
+        return tuple(idx)
+
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    d, f, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    hq = cfg.num_heads * cfg.head_dim
+    hkv = cfg.num_kv_heads * cfg.head_dim
+    ks = iter(jax.random.split(rng, 12))
+
+    def nrm(key, shape, std=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    params: Params = {
+        "embed": nrm(next(ks), (cfg.vocab_size, d)),
+        "blocks": {
+            "ln1": jnp.ones((L, d), dtype),
+            "q_kernel": nrm(next(ks), (L, d, hq)),
+            "k_kernel": nrm(next(ks), (L, d, hkv)),
+            "v_kernel": nrm(next(ks), (L, d, hkv)),
+            "o_kernel": nrm(next(ks), (L, hq, d)),
+            "ln2": jnp.ones((L, d), dtype),
+            "gate_kernel": nrm(next(ks), (L, d, f)),
+            "up_kernel": nrm(next(ks), (L, d, f)),
+            "down_kernel": nrm(next(ks), (L, f, d)),
+        },
+        "ln_final": jnp.ones((d,), dtype),
+    }
+    if cfg.qkv_bias:
+        params["blocks"]["q_bias"] = jnp.zeros((L, hq), dtype)
+        params["blocks"]["k_bias"] = jnp.zeros((L, hkv), dtype)
+        params["blocks"]["v_bias"] = jnp.zeros((L, hkv), dtype)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = nrm(next(ks), (d, cfg.vocab_size))
+    return params
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(q: jax.Array, k: jax.Array, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """Rotary embeddings, HF half-rotation layout. q/k: [b, h, s, hd]."""
+    hd = q.shape[-1]
+    s = q.shape[2]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    pos = jnp.arange(s, dtype=jnp.float32)
+    freqs = jnp.outer(pos, inv_freq)                      # [s, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)        # [s, hd]
+    cos = jnp.cos(emb)[None, None]
+    sin = jnp.sin(emb)[None, None]
+
+    def rotate_half(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([-x2, x1], axis=-1)
+
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = q32 * cos + rotate_half(q32) * sin
+    k_out = k32 * cos + rotate_half(k32) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
+    b, s, d = x.shape
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = x @ bp["q_kernel"].astype(compute_dtype)
+    k = x @ bp["k_kernel"].astype(compute_dtype)
+    v = x @ bp["v_kernel"].astype(compute_dtype)
+    if "q_bias" in bp:
+        q = q + bp["q_bias"].astype(compute_dtype)
+        k = k + bp["k_bias"].astype(compute_dtype)
+        v = v + bp["v_bias"].astype(compute_dtype)
+
+    q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    q, k = _rope(q, k, cfg.rope_theta)
+    if nkv != nq:
+        rep = nq // nkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    from ssp_x_vit_tpu.ops.dispatch import use_pallas
+
+    if use_pallas() and s >= 128:
+        from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, causal=True)
+    else:
+        from ssp_x_vit_tpu.ops.attention import sdpa_reference
+
+        out = sdpa_reference(q, k, v, causal=True)
+
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
+    return out @ bp["o_kernel"].astype(compute_dtype)
+
+
+def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats):
+    g = x @ bp["gate_kernel"].astype(compute_dtype)
+    u = x @ bp["up_kernel"].astype(compute_dtype)
+    h = jax.nn.silu(g) * u  # the down_proj input the reference hooks observe
+    stats = None
+    if collect_stats:
+        stats = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=1)  # [b, f]
+    if neuron_mask is not None:
+        h = h * neuron_mask.astype(h.dtype)
+    return h @ bp["down_kernel"].astype(compute_dtype), stats
+
+
+def llama_forward(
+    params: Params,
+    input_ids: jax.Array,
+    cfg: LlamaConfig,
+    *,
+    attn_gate: Optional[jax.Array] = None,
+    mlp_gate: Optional[jax.Array] = None,
+    neuron_mask: Optional[jax.Array] = None,
+    collect_mlp_stats: bool = False,
+    return_block_outputs: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """input_ids [b, s] -> (logits [b, s, V] fp32, aux).
+
+    Gates/masks as in vit_forward. ``collect_mlp_stats`` returns the per-block,
+    per-sample token-sumsq of the down_proj INPUT ([L, b, f]) — the 2SSP
+    stage-1 statistic (reference src/pruning.py:271-276 via
+    get_mlp_hidden_state hooks). ``return_block_outputs`` returns each block's
+    output hidden states (shortGPT / window_based need them).
+    """
+    if cfg.pruned_attention_blocks:
+        raise ValueError("use llama_forward_materialized for depth-materialized configs")
+    L = cfg.num_layers
+    x = params["embed"].astype(compute_dtype)[input_ids]
+
+    gates_a = attn_gate if attn_gate is not None else jnp.ones((L,), jnp.float32)
+    gates_m = mlp_gate if mlp_gate is not None else jnp.ones((L,), jnp.float32)
+    nmask = neuron_mask if neuron_mask is not None else jnp.ones((L, 1), jnp.float32)
+
+    def body(x, scanned):
+        bp, ga, gm, nm = scanned
+        attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
+        x = x + attn_out * ga.astype(x.dtype)
+        mlp_out, stats = _mlp(rms_norm(x, bp["ln2"], cfg.rms_eps), bp, compute_dtype,
+                              nm, collect_mlp_stats)
+        x = x + mlp_out * gm.astype(x.dtype)
+        out = {}
+        if collect_mlp_stats:
+            out["mlp_stats"] = stats
+        if return_block_outputs:
+            out["block_outputs"] = x
+        return x, out
+
+    x, scanned_out = jax.lax.scan(body, x, (params["blocks"], gates_a, gates_m, nmask))
+
+    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    head = params.get("lm_head", None)
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
+    return logits, dict(scanned_out)
+
+
+def llama_forward_materialized(
+    params: Params,
+    input_ids: jax.Array,
+    cfg: LlamaConfig,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Unrolled forward for depth-materialized models (attention weights of
+    pruned blocks physically absent; cf. vit_forward_materialized)."""
+    x = params["embed"].astype(compute_dtype)[input_ids]
+    blocks = params["blocks"]
+    store = cfg.attn_store_index
+
+    for i in range(cfg.num_layers):
+        j = store[i]
+        if j is not None:
+            bp = {k: blocks[k][j] for k in ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel")
+                  if k in blocks}
+            for k in ("q_bias", "k_bias", "v_bias"):
+                if k in blocks:
+                    bp[k] = blocks[k][j]
+            x = x + _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
+        mp = {k: blocks[k][i] for k in ("ln2", "gate_kernel", "up_kernel", "down_kernel")}
+        mlp_out, _ = _mlp(rms_norm(x, mp["ln2"], cfg.rms_eps), mp, compute_dtype, None, False)
+        x = x + mlp_out
+
+    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    head = params.get("lm_head", None)
+    if head is None:
+        head = params["embed"].T
+    return (x @ head.astype(compute_dtype)).astype(jnp.float32)

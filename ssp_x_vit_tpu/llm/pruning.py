@@ -1,0 +1,344 @@
+"""LLM structured-pruning methods: 2SSP + depth-pruning baselines
+(reference src/pruning.py, src/utilities.py).
+
+All search phases run on the SAME compiled forward via gate/mask arguments —
+no monkey-patching, no per-candidate recompiles:
+
+- two_stage_2ssp: stage-1 prunes FFN neurons by mean-over-samples of the L2
+  norm over tokens of the down_proj input (src/pruning.py:260-286), collected
+  as a fused forward side-output; stage-2 greedily removes the attention
+  submodule minimizing 1-sample perplexity (src/utilities.py:447-505) by
+  flipping gate values.
+- window_based (sliding-window cosine similarity, src/pruning.py:29-64)
+- shortGPT (block influence 1-cos(in,out), src/pruning.py:82-107)
+- blockpruner (greedy attn/MLP submodule removal, src/pruning.py:127-194)
+- evopress (evolutionary mask search, src/evopress.py) lives in evopress.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, llama_forward
+from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def count_main_params(cfg: LlamaConfig) -> Tuple[int, int, int]:
+    """(main_layers_total, attn_per_block, mlp_per_block) — reference counts
+    model.model.layers / self_attn / mlp parameters (src/pruning.py:234-241).
+    RMSNorm scales included in the block total like torch's sum."""
+    d, f = cfg.hidden_size, cfg.effective_intermediate
+    hq = cfg.num_heads * cfg.head_dim
+    hkv = cfg.num_kv_heads * cfg.head_dim
+    attn = d * hq + 2 * d * hkv + hq * d
+    if cfg.qkv_bias:
+        attn += hq + 2 * hkv
+    mlp = d * f + d * f + f * d  # gate + up + down projections
+    per_block_other = 2 * d  # two RMSNorm scales
+    main = cfg.num_layers * (attn + mlp + per_block_other)
+    # exclude depth-pruned attention
+    main -= len(cfg.pruned_attention_blocks) * attn
+    return main, attn, mlp
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _mlp_stats_batch(params, tokens, cfg: LlamaConfig):
+    _, aux = llama_forward(params, tokens, cfg, collect_mlp_stats=True)
+    return aux["mlp_stats"]  # [L, b, f] sumsq of down_proj input over tokens
+
+
+def mlp_hidden_importance(
+    params: Params, cfg: LlamaConfig, calibration: Sequence[np.ndarray]
+) -> np.ndarray:
+    """Mean over samples of the token-L2 of down_proj inputs: [L, f]
+    (reference src/pruning.py:270-279 average_norms)."""
+    sums = None
+    for sample in calibration:
+        tokens = jnp.asarray(np.asarray(sample).reshape(1, -1), jnp.int32)
+        stats = _mlp_stats_batch(params, tokens, cfg)        # [L, 1, f]
+        norms = np.asarray(jnp.sqrt(stats))[:, 0, :]         # [L, f]
+        sums = norms if sums is None else sums + norms
+    return sums / max(1, len(calibration))
+
+
+def materialize_llm_width_pruning(
+    params: Params, cfg: LlamaConfig, keep_indices: Sequence[np.ndarray]
+) -> Tuple[Params, LlamaConfig]:
+    """Slice gate/up cols and down rows to the kept neurons per block
+    (reference prune_mlp, src/utilities.py:392-425). Uniform keep count."""
+    L = cfg.num_layers
+    keeps = [np.asarray(k) for k in keep_indices]
+    n_keep = len(keeps[0])
+    assert all(len(k) == n_keep for k in keeps), "2SSP LLM stage-1 keeps a uniform width"
+
+    blocks = dict(params["blocks"])
+    gate = np.asarray(blocks["gate_kernel"])
+    up = np.asarray(blocks["up_kernel"])
+    down = np.asarray(blocks["down_kernel"])
+    new_gate = np.stack([gate[i][:, keeps[i]] for i in range(L)])
+    new_up = np.stack([up[i][:, keeps[i]] for i in range(L)])
+    new_down = np.stack([down[i][keeps[i], :] for i in range(L)])
+    blocks["gate_kernel"] = jnp.asarray(new_gate)
+    blocks["up_kernel"] = jnp.asarray(new_up)
+    blocks["down_kernel"] = jnp.asarray(new_down)
+
+    new_params = dict(params)
+    new_params["blocks"] = blocks
+    new_cfg = dataclasses.replace(cfg, pruned_intermediate_size=n_keep)
+    return new_params, new_cfg
+
+
+def _gates(mask: Sequence[int]) -> jnp.ndarray:
+    """binary prune mask (1 = pruned) -> float gate (0 = skipped)."""
+    return jnp.asarray(1.0 - np.asarray(mask, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# 2SSP (reference src/pruning.py:228-294)
+# ---------------------------------------------------------------------------
+
+def second_stage_attention(
+    params: Params,
+    cfg: LlamaConfig,
+    num_prune: int,
+    calibration_input_ids: np.ndarray,
+    *,
+    seq_len: int = 2048,
+) -> Tuple[List[int], List[int]]:
+    """Greedy attention-submodule removal minimizing perplexity
+    (reference src/utilities.py:446-505). Returns (attnMask, mlpMask)."""
+    L = cfg.num_layers
+    attn_mask = [0] * L
+    mlp_mask = [0] * L
+
+    ppl = evaluate_perplexity(params, cfg, calibration_input_ids, seq_len=seq_len,
+                              enable_tqdm=False)
+    logging.debug(f"Original perplexity: {ppl}")
+
+    for _ in range(num_prune):
+        best_to_prune, best_ppl = None, float("inf")
+        for cand in range(L):
+            if attn_mask[cand] == 1:
+                continue
+            attn_mask[cand] = 1
+            ppl = evaluate_perplexity(
+                params, cfg, calibration_input_ids, seq_len=seq_len,
+                attn_gate=_gates(attn_mask), enable_tqdm=False,
+            )
+            logging.debug(f"[Attention] When pruning {cand} perplexity is {ppl}")
+            if ppl < best_ppl:
+                best_ppl, best_to_prune = ppl, cand
+            attn_mask[cand] = 0
+        logging.debug(f"[Attention] Best to prune: {best_to_prune} ({best_ppl})")
+        attn_mask[best_to_prune] = 1
+
+    return attn_mask, mlp_mask
+
+
+def two_stage_2ssp(
+    params: Params,
+    cfg: LlamaConfig,
+    calibration: Sequence[np.ndarray],
+    pruning_rate: float,
+    *,
+    num_attn_submodules_to_prune: Optional[int] = None,
+    alpha: float = 1.5,
+    num_calibration_second_stage: int = 1,
+    seq_len: int = 2048,
+):
+    """Full 2SSP (reference src/pruning.py:228-294). Returns
+    (params, cfg, info) with width materialized and attention depth-pruned."""
+    L = cfg.num_layers
+    main_total, attn_total, mlp_total = count_main_params(cfg)
+    logging.debug(f"Main model params={main_total}, attn/block={attn_total}, mlp/block={mlp_total}")
+
+    if num_attn_submodules_to_prune is None:
+        num_attn_submodules_to_prune = round(
+            L * pow(pruning_rate, (mlp_total / attn_total) / alpha)
+        )
+    logging.info(f"Pruning {num_attn_submodules_to_prune} attention submodules")
+
+    if (num_attn_submodules_to_prune * attn_total) / main_total > pruning_rate:
+        logging.error("Exceeded pruning parameters number")
+        return False
+    if (num_attn_submodules_to_prune * attn_total + L * mlp_total) / main_total < pruning_rate:
+        logging.error(
+            f"Unable to reach the target sparsity rate with only "
+            f"{num_attn_submodules_to_prune} pruned attention submodules")
+        return False
+
+    # Stage 1: FFN width (reference :260-286)
+    parameters_pruned_for_attention = num_attn_submodules_to_prune * attn_total
+    target_parameters_to_prune = int(round(pruning_rate * main_total))
+    mlp_params_to_prune = int(round(
+        (target_parameters_to_prune - parameters_pruned_for_attention) / L))
+    mlp_pruning_rate = mlp_params_to_prune / mlp_total
+    num_preserve = int(round(cfg.intermediate_size * (1 - mlp_pruning_rate)))
+
+    importance = mlp_hidden_importance(params, cfg, calibration)  # [L, f]
+    keep_indices = []
+    for li in range(L):
+        top = np.argsort(-importance[li], kind="stable")[:num_preserve]
+        keep_indices.append(np.sort(top))
+    params, cfg = materialize_llm_width_pruning(params, cfg, keep_indices)
+
+    # Stage 2: greedy attention removal on the width-pruned model (:288-293)
+    calib_cat = np.concatenate(
+        [np.asarray(c).reshape(-1) for c in calibration[:num_calibration_second_stage]])
+    attn_mask, mlp_mask = second_stage_attention(
+        params, cfg, num_attn_submodules_to_prune, calib_cat, seq_len=seq_len)
+
+    pruned_blocks = [i for i, m in enumerate(attn_mask) if m == 1]
+    params, cfg = materialize_llm_depth_pruning(params, cfg, pruned_blocks)
+
+    info = {
+        "num_attn_pruned": num_attn_submodules_to_prune,
+        "pruned_attention_blocks": pruned_blocks,
+        "num_preserve_mlp": num_preserve,
+        "attn_mask": attn_mask,
+        "mlp_mask": mlp_mask,
+    }
+    return params, cfg, info
+
+
+def materialize_llm_depth_pruning(
+    params: Params, cfg: LlamaConfig, blocks_to_prune: Sequence[int]
+) -> Tuple[Params, LlamaConfig]:
+    """Physically drop pruned blocks' attention weights (reference deletes
+    q/k/v/o projections, src/utilities.py:486-503)."""
+    pruned = tuple(sorted(set(int(i) for i in blocks_to_prune)))
+    if not pruned:
+        return params, cfg
+    if cfg.pruned_attention_blocks:
+        raise ValueError("depth pruning already materialized")
+    keep = [i for i in range(cfg.num_layers) if i not in pruned]
+    blocks = dict(params["blocks"])
+    for name in ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
+                 "q_bias", "k_bias", "v_bias"):
+        if name in blocks:
+            blocks[name] = jnp.asarray(np.asarray(blocks[name])[keep])
+    new_params = dict(params)
+    new_params["blocks"] = blocks
+    return new_params, dataclasses.replace(cfg, pruned_attention_blocks=pruned)
+
+
+# ---------------------------------------------------------------------------
+# depth-pruning baselines
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "last_token"))
+def _block_outputs(params, tokens, cfg: LlamaConfig, last_token: bool):
+    _, aux = llama_forward(params, tokens, cfg, return_block_outputs=True)
+    outs = aux["block_outputs"]  # [L, b, s, d]
+    if last_token:
+        return outs[:, 0, -1, :]  # [L, d]
+    return outs[:, 0]             # [L, s, d]
+
+
+def compute_intermediate_outputs(
+    params: Params, cfg: LlamaConfig, calibration: Sequence[np.ndarray],
+    last_token: bool = True,
+) -> List[np.ndarray]:
+    """Per-sample stacked block outputs (reference src/utilities.py:188-221),
+    captured from ONE forward per sample instead of L hooks."""
+    outs = []
+    for sample in calibration:
+        tokens = jnp.asarray(np.asarray(sample).reshape(1, -1), jnp.int32)
+        outs.append(np.asarray(_block_outputs(params, tokens, cfg, last_token)))
+    return outs
+
+
+def _cos(a: np.ndarray, b: np.ndarray) -> float:
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    return float(np.dot(a, b) / max(1e-12, na * nb))
+
+
+def window_based(params, cfg: LlamaConfig, num_prune: int,
+                 calibration: Sequence[np.ndarray]) -> List[int]:
+    """Sliding-window cosine similarity (reference src/pruning.py:29-64)."""
+    L = cfg.num_layers
+    outs = compute_intermediate_outputs(params, cfg, calibration, last_token=True)
+    l1, l2, best_sim = 0, 1, 0.0
+    for layer1 in range(L):
+        layer2 = layer1 + num_prune
+        if layer2 >= L:
+            continue
+        sims = [_cos(o[layer1], o[layer2]) for o in outs]
+        sim = sum(sims) / len(sims)
+        if sim >= best_sim:
+            best_sim, l1, l2 = sim, layer1, layer2
+    mask = [0] * L
+    for i in range(l1 + 1, l2 + 1):
+        mask[i] = 1
+    return mask
+
+
+def shortgpt(params, cfg: LlamaConfig, num_prune: int,
+             calibration: Sequence[np.ndarray]) -> List[int]:
+    """Block influence = 1 - cos(input, output) (reference src/pruning.py:82-107)."""
+    L = cfg.num_layers
+    outs = compute_intermediate_outputs(params, cfg, calibration, last_token=True)
+    similarity = [0.0] * L
+    for o in outs:
+        for li in range(1, L):
+            similarity[li] += _cos(o[li - 1], o[li])
+    influence = [1 - s / len(outs) for s in similarity]
+    to_prune = sorted(range(L), key=lambda i: influence[i])[:num_prune]
+    mask = [0] * L
+    for i in to_prune:
+        mask[i] = 1
+    return mask
+
+
+def blockpruner(params, cfg: LlamaConfig, num_prune: int,
+                calibration_sample: np.ndarray, *, seq_len: int = 2048
+                ) -> Tuple[List[int], List[int]]:
+    """Greedy attention-or-MLP submodule removal minimizing 1-sample
+    perplexity (reference src/pruning.py:127-194); gate flips, no retraces."""
+    L = cfg.num_layers
+    attn_mask, mlp_mask = [0] * L, [0] * L
+
+    def ppl_with(am, mm):
+        return evaluate_perplexity(params, cfg, calibration_sample, seq_len=seq_len,
+                                   attn_gate=_gates(am), mlp_gate=_gates(mm),
+                                   enable_tqdm=False)
+
+    for _ in range(num_prune):
+        best, best_ppl = None, float("inf")
+        for cand in range(L):
+            if attn_mask[cand] == 1:
+                continue
+            attn_mask[cand] = 1
+            p = ppl_with(attn_mask, mlp_mask)
+            logging.debug(f"[Attention] When pruning {cand} perplexity is {p}")
+            if p < best_ppl:
+                best_ppl, best = p, cand
+            attn_mask[cand] = 0
+        logging.debug(f"[Attention] Best to prune: {best} ({best_ppl})")
+        attn_mask[best] = 1
+
+        best, best_ppl = None, float("inf")
+        for cand in range(L):
+            if mlp_mask[cand] == 1:
+                continue
+            mlp_mask[cand] = 1
+            p = ppl_with(attn_mask, mlp_mask)
+            logging.debug(f"[MLP] When pruning {cand} perplexity is {p}")
+            if p < best_ppl:
+                best_ppl, best = p, cand
+            mlp_mask[cand] = 0
+        logging.debug(f"[MLP] Best to prune: {best} ({best_ppl})")
+        mlp_mask[best] = 1
+
+    return attn_mask, mlp_mask

@@ -1,0 +1,155 @@
+"""LLM path: forward semantics, gates, perplexity, 2SSP, baselines, zeroshot."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssp_x_vit_tpu.llm.model import (
+    LlamaConfig, init_llama_params, llama_forward, llama_forward_materialized,
+)
+from ssp_x_vit_tpu.llm.datasets import synthetic_token_stream, get_calibration
+from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
+from ssp_x_vit_tpu.llm import pruning as P
+
+CFG = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=4, num_heads=4,
+                  num_kv_heads=2, intermediate_size=48)
+
+
+@pytest.fixture(scope="module")
+def llm():
+    return init_llama_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32), CFG
+
+
+@pytest.fixture(scope="module")
+def stream():
+    return synthetic_token_stream(4096, CFG.vocab_size, seed=0)
+
+
+def test_forward_shapes(llm):
+    params, cfg = llm
+    tokens = jnp.zeros((2, 16), jnp.int32)
+    logits, _ = llama_forward(params, tokens, cfg, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_causality(llm):
+    """Changing a future token must not affect earlier logits."""
+    params, cfg = llm
+    t1 = jnp.asarray(np.arange(16, dtype=np.int32)[None] % cfg.vocab_size)
+    t2 = t1.at[0, -1].set(7)
+    l1, _ = llama_forward(params, t1, cfg, compute_dtype=jnp.float32)
+    l2, _ = llama_forward(params, t2, cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l1[0, :-1]), np.asarray(l2[0, :-1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gates_match_materialized(llm):
+    params, cfg = llm
+    tokens = jnp.asarray(np.arange(16, dtype=np.int32)[None] % cfg.vocab_size)
+    gate = jnp.ones((cfg.num_layers,)).at[1].set(0.0)
+    gated, _ = llama_forward(params, tokens, cfg, attn_gate=gate, compute_dtype=jnp.float32)
+    mp, mc = P.materialize_llm_depth_pruning(params, cfg, [1])
+    mat = llama_forward_materialized(mp, tokens, mc, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(mat), rtol=1e-4, atol=1e-4)
+
+
+def test_perplexity_gate_sensitivity(llm, stream):
+    """Skipping blocks must not crash and perplexity stays finite; dense ppl on
+    structured data is far below uniform (model is random, so just sanity)."""
+    params, cfg = llm
+    ppl_dense = evaluate_perplexity(params, cfg, stream, seq_len=256, enable_tqdm=False)
+    assert np.isfinite(ppl_dense) and ppl_dense > 0
+    gate = np.ones(cfg.num_layers, np.float32)
+    gate[2] = 0.0
+    ppl_skip = evaluate_perplexity(params, cfg, stream, seq_len=256,
+                                   attn_gate=gate, enable_tqdm=False)
+    assert np.isfinite(ppl_skip)
+    assert ppl_skip != ppl_dense
+
+
+def test_width_materialization_preserves_function(llm):
+    params, cfg = llm
+    tokens = jnp.asarray(np.arange(32, dtype=np.int32)[None] % cfg.vocab_size)
+    keep = [np.sort(np.random.default_rng(i).permutation(cfg.intermediate_size)[:32])
+            for i in range(cfg.num_layers)]
+    nmask = np.zeros((cfg.num_layers, cfg.intermediate_size), np.float32)
+    for i, k in enumerate(keep):
+        nmask[i, k] = 1.0
+    masked, _ = llama_forward(params, tokens, cfg, neuron_mask=jnp.asarray(nmask),
+                              compute_dtype=jnp.float32)
+    mp, mc = P.materialize_llm_width_pruning(params, cfg, keep)
+    assert mc.effective_intermediate == 32
+    mat, _ = llama_forward(mp, tokens, mc, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(mat), rtol=1e-4, atol=1e-4)
+
+
+def test_mlp_importance_shape(llm, stream):
+    params, cfg = llm
+    calib = get_calibration(stream, 2, seq_len=128)
+    imp = P.mlp_hidden_importance(params, cfg, calib)
+    assert imp.shape == (cfg.num_layers, cfg.intermediate_size)
+    assert (imp >= 0).all()
+
+
+def test_two_stage_2ssp_end_to_end(llm, stream):
+    params, cfg = llm
+    calib = get_calibration(stream, 4, seq_len=128)
+    out = P.two_stage_2ssp(params, cfg, calib, 0.25, seq_len=128)
+    assert out is not False
+    new_params, new_cfg, info = out
+    main_before, attn, mlp = P.count_main_params(cfg)
+    main_after, _, _ = P.count_main_params(new_cfg)
+    achieved = (main_before - main_after) / main_before
+    assert abs(achieved - 0.25) < 0.05, achieved
+    assert len(info["pruned_attention_blocks"]) == info["num_attn_pruned"]
+    # pruned model still runs
+    ppl = evaluate_perplexity(new_params, new_cfg, stream, seq_len=128, enable_tqdm=False)
+    assert np.isfinite(ppl)
+
+
+def test_shortgpt_and_window(llm, stream):
+    params, cfg = llm
+    calib = get_calibration(stream, 2, seq_len=128)
+    m1 = P.shortgpt(params, cfg, 1, calib)
+    assert sum(m1) == 1
+    m2 = P.window_based(params, cfg, 1, calib)
+    assert sum(m2) == 1
+
+
+def test_blockpruner(llm, stream):
+    params, cfg = llm
+    calib = get_calibration(stream, 1, seq_len=128)[0]
+    am, mm = P.blockpruner(params, cfg, 1, calib, seq_len=128)
+    assert sum(am) == 1 and sum(mm) == 1
+
+
+def test_evopress_smoke(llm, stream):
+    from ssp_x_vit_tpu.llm.evopress import evopress
+
+    params, cfg = llm
+    calib = get_calibration(stream, 4, seq_len=64)
+    am, mm = evopress(params, cfg, 1, calib, seed=0, num_generations=1,
+                      args=dict(initially_generated=4, offspring=4,
+                                initial_tokens=64,
+                                survivors_per_selection=(2, 1),
+                                tokens_per_selection=(64, 128)),
+                      verbose=False)
+    assert sum(am) == 1 and sum(mm) == 1
+
+
+def test_zeroshot_multiple_choice(llm):
+    from ssp_x_vit_tpu.llm.zeroshot import evaluate_multiple_choice
+
+    params, cfg = llm
+
+    def encode(s):
+        return [ord(c) % cfg.vocab_size for c in s]
+
+    examples = [
+        {"context": "abc", "choices": ["de", "fg"], "label": 0},
+        {"context": "xyz", "choices": ["de", "fg"], "label": 1},
+    ]
+    res = evaluate_multiple_choice(params, cfg, examples, encode, bucket=16)
+    assert res["count"] == 2 and 0.0 <= res["acc"] <= 1.0
