@@ -135,6 +135,13 @@ def main():
     first_sample = calibration[0]
 
     def run_evals(p, c, attn_gate=None, mlp_gate=None):
+        from ssp_x_vit_tpu.llm.slicegpt import SlicedLlamaConfig, evaluate_perplexity_sliced
+
+        if isinstance(c, SlicedLlamaConfig):
+            if args.evaluate_perplexity or args.main_table_results:
+                ppl = evaluate_perplexity_sliced(p, c, wikitext_ids, seq_len=args.seq_len)
+                logging.info(f"Perplexity (wikitext2): {ppl}")
+            return
         if args.evaluate_inference:
             ms = evaluate_inference_time(p, c, first_sample)
             logging.info(f"Average Inference Time: {ms:.3f} ms")

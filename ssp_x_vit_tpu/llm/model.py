@@ -144,9 +144,9 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    from ssp_x_vit_tpu.ops.dispatch import use_pallas
+    from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
 
-    if use_pallas() and s >= 128:
+    if use_pallas() and s >= FLASH_MIN_SEQ:
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, causal=True)

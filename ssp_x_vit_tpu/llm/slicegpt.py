@@ -1,0 +1,317 @@
+"""SliceGPT baseline: layernorm fusion -> per-layer PCA rotation -> embedding
+slicing with residual shortcut matrices.
+
+Reference: src/slicegpt.py:14-60 + the vendored Microsoft engine
+(src/slicegpt_utils/rotate.py:124-528 rotate_and_slice_sequential,
+layernorm_fusion.py:14-152, modules.py RMSN, slicing_scheduler.py
+ConstSlicingScheduler). Algorithm reproduced; mechanics are TPU-native:
+
+- eigendecompositions (pca_calc: damped covariance eigh in float64,
+  rotate.py:502-528) run on HOST numpy — TPUs have no native f64 matmul
+  (SURVEY.md §7 hard part (c));
+- signal capture (layer-0 inputs, attn->mlp signals, layer outputs,
+  model_utils.get_signals) runs as jitted partial forwards on device — no
+  hooks, one compile per (shape, stage) reused across layers;
+- weight rotation/slicing are host-side f64 matmuls on the pytree.
+
+Slicing dims follow ConstSlicingScheduler with do_slice_head=False: every
+boundary slices to ``new_dim = (1-s)*d  rounded down to /8`` except the last
+layer's MLP output and the head input, which stay at full hidden size
+(slicing_scheduler.py:101-115). final_orientation="random" applies a random
+orthogonal upper-left block to each Q (src/slicegpt.py:56).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _rope
+from ssp_x_vit_tpu.ops.attention import sdpa_reference
+
+RMSN_EPS = 1e-5  # reference modules.py:20 (fixed, regardless of model eps)
+
+
+# ---------------------------------------------------------------------------
+# Sliced model
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SlicedLlamaConfig:
+    base: LlamaConfig
+    new_dim: int
+    do_slice_head: bool = False
+
+    @property
+    def last_dim(self) -> int:
+        return self.new_dim if self.do_slice_head else self.base.hidden_size
+
+
+def rmsn(x: jax.Array, mean_dim: int) -> jax.Array:
+    """RMS normalization WITHOUT scale, divisor fixed to the ORIGINAL hidden
+    size even after slicing (reference modules.py:11-29)."""
+    x32 = x.astype(jnp.float32)
+    variance = jnp.sum(jnp.square(x32), axis=-1, keepdims=True) / mean_dim
+    return (x32 * jax.lax.rsqrt(variance + RMSN_EPS)).astype(x.dtype)
+
+
+def _sliced_attention(h, lp, cfg: LlamaConfig, compute_dtype):
+    b, s, _ = h.shape
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = h @ lp["q_kernel"].astype(compute_dtype)
+    k = h @ lp["k_kernel"].astype(compute_dtype)
+    v = h @ lp["v_kernel"].astype(compute_dtype)
+    if "q_bias" in lp:
+        q = q + lp["q_bias"].astype(compute_dtype)
+        k = k + lp["k_bias"].astype(compute_dtype)
+        v = v + lp["v_bias"].astype(compute_dtype)
+    q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    q, k = _rope(q, k, cfg.rope_theta)
+    if nkv != nq:
+        rep = nq // nkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    out = sdpa_reference(q, k, v, causal=True)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
+    return out @ lp["o_kernel"].astype(compute_dtype)
+
+
+def _sliced_mlp(h, lp, compute_dtype):
+    g = h @ lp["gate_kernel"].astype(compute_dtype)
+    u = h @ lp["up_kernel"].astype(compute_dtype)
+    return (jax.nn.silu(g) * u) @ lp["down_kernel"].astype(compute_dtype)
+
+
+def _sliced_block(x, lp, cfg: LlamaConfig, compute_dtype):
+    d_orig = cfg.hidden_size
+    attn_out = _sliced_attention(rmsn(x, d_orig), lp, cfg, compute_dtype)
+    x = x @ lp["attn_shortcut"].astype(compute_dtype) + attn_out
+    mlp_out = _sliced_mlp(rmsn(x, d_orig), lp, compute_dtype)
+    x = x @ lp["mlp_shortcut"].astype(compute_dtype) + mlp_out
+    return x
+
+
+def sliced_llama_forward(params: Params, input_ids: jax.Array, scfg: SlicedLlamaConfig,
+                         *, compute_dtype=jnp.float32) -> jax.Array:
+    cfg = scfg.base
+    x = params["embed"].astype(compute_dtype)[input_ids]
+    for lp in params["layers"]:
+        x = _sliced_block(x, lp, cfg, compute_dtype)
+    x = rmsn(x, cfg.hidden_size)
+    return (x @ params["lm_head"].astype(compute_dtype)).astype(jnp.float32)
+
+
+def evaluate_perplexity_sliced(params, scfg: SlicedLlamaConfig, input_ids,
+                               *, seq_len: int = 2048) -> float:
+    """Window perplexity for the sliced architecture (same estimator as
+    llm.evaluation.evaluate_perplexity)."""
+
+    @jax.jit
+    def window_nll(params, tokens):
+        logits = sliced_llama_forward(params, tokens, scfg)
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+        return jnp.sum(nll), nll.size
+
+    ids = np.asarray(input_ids).reshape(-1)
+    n = ids.size // seq_len
+    total, count = 0.0, 0
+    for i in range(n):
+        tokens = jnp.asarray(ids[i * seq_len : (i + 1) * seq_len].reshape(1, -1), jnp.int32)
+        s, c = window_nll(params, tokens)
+        total += float(s)
+        count += int(c)
+    return float(np.exp(total / max(1, count)))
+
+
+# ---------------------------------------------------------------------------
+# Rotation engine
+# ---------------------------------------------------------------------------
+
+def pca_calc(signals: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Damped covariance eigendecomposition in float64 on host
+    (reference rotate.py:502-528). signals: list of [b, s, d]."""
+    H = None
+    for X in signals:
+        X = np.asarray(X, np.float64)
+        Hb = np.einsum("bsd,bse->de", X, X)
+        H = Hb if H is None else H + Hb
+    damp = 0.01 * np.mean(np.diag(H))
+    H[np.arange(H.shape[0]), np.arange(H.shape[0])] += damp
+    eig_val, eig_vec = np.linalg.eigh(H)
+    order = np.argsort(eig_val)[::-1]
+    return eig_val[order], eig_vec[:, order]
+
+
+def random_orthogonal_upper_left(total_dim: int, upper_dim: int, seed: int) -> np.ndarray:
+    """Identity with a random orthogonal upper-left block (reference
+    rotate.py random_orthogonal_upper_left; used by final_orientation='random')."""
+    A = np.random.default_rng(seed).normal(size=(upper_dim, upper_dim))
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.diag(R))
+    out = np.eye(total_dim)
+    out[:upper_dim, :upper_dim] = Q
+    return out
+
+
+def fuse_layernorms(params: Params, cfg: LlamaConfig) -> Params:
+    """Fold every RMSNorm scale into the following linear's input rows and
+    reset norms to scale-free RMSN (reference layernorm_fusion.fuse_modules)."""
+    blocks = {k: np.asarray(v, np.float64) for k, v in params["blocks"].items()}
+    L = cfg.num_layers
+    for i in range(L):
+        s1 = blocks["ln1"][i]
+        for name in ("q_kernel", "k_kernel", "v_kernel"):
+            blocks[name][i] = blocks[name][i] * s1[:, None]
+        s2 = blocks["ln2"][i]
+        for name in ("gate_kernel", "up_kernel"):
+            blocks[name][i] = blocks[name][i] * s2[:, None]
+    head = np.asarray(params.get("lm_head", np.asarray(params["embed"]).T), np.float64)
+    head = head * np.asarray(params["ln_final"], np.float64)[:, None]
+    out = {
+        "embed": np.asarray(params["embed"], np.float64),
+        "blocks": blocks,
+        "lm_head": head,
+    }
+    return out
+
+
+def slicegpt(
+    params: Params,
+    cfg: LlamaConfig,
+    sparsity: float,
+    calibration: Sequence[np.ndarray],
+    *,
+    final_orientation: str = "random",
+    seed: int = 0,
+    compute_dtype=jnp.float32,
+) -> Tuple[Params, SlicedLlamaConfig]:
+    """Run the full SliceGPT pipeline; returns (sliced_params, sliced_cfg).
+
+    ``calibration``: list of [1, seq] token windows.
+    """
+    d = cfg.hidden_size
+    new_dim = int((1 - sparsity) * d)
+    new_dim -= new_dim % 8  # reference src/slicegpt.py:47-49
+    print(f"New embedding dimension: {new_dim} "
+          f"(sparsity {100*(1 - new_dim / d):.4f} %)")
+
+    fused = fuse_layernorms(params, cfg)
+    L = cfg.num_layers
+
+    # ---- jitted signal-capture helpers (device); defined ONCE so the jit
+    # cache is shared across layers (const dims -> 1-2 compiles per stage) ----
+    @jax.jit
+    def embed_fn(embed, tokens):
+        return embed.astype(compute_dtype)[tokens]
+
+    @jax.jit
+    def _attn_to_mlp(lp, x):
+        """x (rotated+sliced) -> input of the MLP RMSN (x after attn residual)."""
+        attn_out = _sliced_attention(rmsn(x, d), lp, cfg, compute_dtype)
+        return x @ lp["attn_shortcut"].astype(compute_dtype) + attn_out
+
+    @jax.jit
+    def _layer_out(lp, x):
+        return _sliced_block(x, lp, cfg, compute_dtype)
+
+    def capture_attn_to_mlp(lp_dev, inps_dev):
+        return [np.asarray(_attn_to_mlp(lp_dev, x)) for x in inps_dev]
+
+    def capture_layer_out(lp_dev, inps_dev):
+        return [np.asarray(_layer_out(lp_dev, x)) for x in inps_dev]
+
+    tokens_list = [jnp.asarray(np.asarray(c).reshape(1, -1), jnp.int32) for c in calibration]
+
+    # layer-0 inputs = embeddings (llama has no pre-layer processing)
+    embed_dev = jnp.asarray(fused["embed"], compute_dtype)
+    inps = [np.asarray(embed_fn(embed_dev, t)) for t in tokens_list]
+
+    _, Q = pca_calc(inps)
+    if final_orientation == "random":
+        Q = Q @ random_orthogonal_upper_left(d, new_dim, seed)
+
+    # rotate + slice embeddings
+    embed = (fused["embed"] @ Q)[:, :new_dim]
+
+    sliced_layers: List[Dict[str, Any]] = []
+    blocks = fused["blocks"]
+
+    for idx in range(L):
+        lp: Dict[str, Any] = {}
+        attn_shortcut = Q.T.copy()  # [d, d]
+
+        # rotate+slice attention inputs (kernel [in, out]: K' = Q.T @ K)
+        for name in ("q_kernel", "k_kernel", "v_kernel"):
+            lp[name] = (Q.T @ blocks[name][idx])[:new_dim, :]
+        for name in ("q_bias", "k_bias", "v_bias"):
+            if name in blocks:
+                lp[name] = blocks[name][idx]
+        attn_shortcut = attn_shortcut[:new_dim, :]
+        lp["o_kernel"] = blocks["o_kernel"][idx]
+        lp["attn_shortcut"] = attn_shortcut
+        lp["gate_kernel"] = blocks["gate_kernel"][idx]
+        lp["up_kernel"] = blocks["up_kernel"][idx]
+        lp["down_kernel"] = blocks["down_kernel"][idx]
+        lp["mlp_shortcut"] = np.eye(d)  # placeholder until Q2
+
+        # rotate inputs into the current basis
+        inps = [np.asarray(x @ Q, np.float64)[:, :, :new_dim] for x in inps]
+
+        lp_dev = {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()}
+        inps_dev = [jnp.asarray(x, compute_dtype) for x in inps]
+        mlp_ln_inputs = capture_attn_to_mlp(lp_dev, inps_dev)
+
+        _, Q2 = pca_calc(mlp_ln_inputs)
+        attn_out_dim = new_dim
+        if final_orientation == "random":
+            Q2 = Q2 @ random_orthogonal_upper_left(Q2.shape[0], attn_out_dim, seed + idx + 1)
+
+        lp["attn_shortcut"] = attn_shortcut @ Q2[:, :attn_out_dim]
+        lp["o_kernel"] = (lp["o_kernel"] @ Q2)[:, :attn_out_dim]
+        lp["mlp_shortcut"] = Q2.T[:attn_out_dim, :].copy()
+        lp["gate_kernel"] = (Q2.T @ lp["gate_kernel"])[:attn_out_dim, :]
+        lp["up_kernel"] = (Q2.T @ lp["up_kernel"])[:attn_out_dim, :]
+
+        # layer outputs -> next-layer inputs, in the Q2 basis
+        lp_dev = {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()}
+        outs = capture_layer_out(lp_dev, inps_dev)
+
+        _, Q3 = pca_calc(outs)
+        last = idx == L - 1
+        out_dim = d if last else new_dim  # do_slice_head=False keeps the last full
+        if final_orientation == "random":
+            Q3 = Q3 @ random_orthogonal_upper_left(Q3.shape[0], out_dim, seed + 10_000 + idx)
+
+        lp["mlp_shortcut"] = (lp["mlp_shortcut"] @ Q3)[:, :out_dim]
+        lp["down_kernel"] = (lp["down_kernel"] @ Q3)[:, :out_dim]
+        sliced_layers.append(lp)
+
+        # Next layer's inputs are THIS layer's outputs in the pre-Q3 basis
+        # (reference keeps `inps` from get_signals and carries Q=Q3 into the
+        # next iteration's rotate+slice). ``outs`` were captured pre-Q3, so
+        # just carry them plus the basis. The top-of-loop then computes
+        # (outs @ Q3)[:, :new_dim] and rotates the next kernels with Q3.
+        inps = [np.asarray(o, np.float64) for o in outs]
+        Q = Q3
+
+    # head: rotate by the final Q (torch W@Q, W [V, d] -> kernel Q.T @ K);
+    # not sliced with do_slice_head=False (reference slicing_scheduler:115).
+    head = Q.T @ fused["lm_head"]
+
+    scfg = SlicedLlamaConfig(base=cfg, new_dim=new_dim, do_slice_head=False)
+    sliced_params: Params = {
+        "embed": jnp.asarray(embed, compute_dtype),
+        "layers": [
+            {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()} for lp in sliced_layers
+        ],
+        "lm_head": jnp.asarray(head, compute_dtype),
+    }
+    return sliced_params, scfg

@@ -59,11 +59,9 @@ def multi_head_attention(
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
 
     if use_flash is None:
-        from ssp_x_vit_tpu.ops.dispatch import use_pallas
+        from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
 
-        # The Pallas kernel pads seq to its tile size internally but only pays
-        # off once there is at least one full 128-row tile of queries.
-        use_flash = use_pallas() and s >= 128
+        use_flash = use_pallas() and s >= FLASH_MIN_SEQ
     if use_flash:
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -20,15 +20,24 @@ def set_pallas_enabled(enabled: Optional[bool]) -> None:
     _FORCED = enabled
 
 
+# Minimum sequence length at which the flash-attention kernel beats XLA's
+# fused attention on a v5e chip (measured with the in-graph scan harness,
+# docs/tpu_notes.md): at s=2048 flash is ~1.8x faster (5.8ms vs 10.3ms,
+# 48 vs 27 TF/s); at ViT's s=197 attention is transcendental/HBM-bound and
+# XLA's fusion is at the practical floor (3.2ms vs 4.9ms for the best pallas
+# variant). LLM sequences use flash; ViT sequences use XLA.
+FLASH_MIN_SEQ = 1024
+
+
 def use_pallas() -> bool:
+    """Whether Pallas kernels are available/allowed on this backend.
+
+    Individual ops apply their own measured shape thresholds on top
+    (e.g. FLASH_MIN_SEQ); this gate only answers "is the TPU path usable".
+    """
     if _FORCED is not None:
         return _FORCED
     env = os.environ.get("SSP_X_VIT_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
-    # Default OFF: measured on a v5e chip (scripts/tpu_smoke.py + in-graph scan
-    # timing), XLA's fused attention/FFN beat the v1 Pallas kernels at ViT
-    # shapes (e.g. b=256 attention 3.4ms XLA vs 6.6ms pallas). The kernels are
-    # correct and selectable (SSP_X_VIT_PALLAS=1 / set_pallas_enabled) while
-    # tile tuning continues; dispatch flips back on once they win.
-    return False
+    return jax.default_backend() == "tpu"

@@ -50,9 +50,9 @@ def ffn_forward(
         (output [batch, seq, hidden], stats [batch, d_int] or None)
     """
     if use_pallas_kernel is None:
-        from ssp_x_vit_tpu.ops.dispatch import use_pallas
-
-        use_pallas_kernel = use_pallas() and x.shape[1] >= 128
+        # Measured: XLA's matmul+epilogue fusion beats the fused kernel at ViT
+        # shapes (docs/tpu_notes.md), so the pallas FFN is explicit opt-in.
+        use_pallas_kernel = False
     if use_pallas_kernel:
         from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
 

@@ -60,8 +60,75 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, cau
     ).astype(o_ref.dtype)
 
 
+def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
+                      num_heads: int, causal: bool):
+    """One program per batch element; loops over heads with K/V resident.
+
+    For short sequences (ViT: 197->256) per-(batch,head) programs are dominated
+    by program/DMA overhead — 12x fewer, 12x fatter programs win.
+    """
+    def head_body(h, _):
+        q = q_ref[0, h]  # [S_pad, hd]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        mask = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            mask = jnp.logical_and(mask, col <= row)
+        logits = jnp.where(mask, logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads, head_body, 0)
+
+
+def _flash_forward_multihead(q, k, v, *, causal: bool):
+    b, h, s, hd = q.shape
+    scale = 1.0 / (hd**0.5)
+    s_pad = max(-(-s // 128) * 128, 128)
+
+    def pad(t):
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    qf, kf, vf = pad(q), pad(k), pad(v)
+    spec = pl.BlockSpec((1, h, s_pad, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_multihead_kernel, scale=scale, seq_len=s,
+                          num_heads=h, causal=causal),
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_pad * s_pad * hd,
+            bytes_accessed=4 * b * h * s_pad * hd * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+    )(qf, kf, vf)
+    return out[:, :, :s, :]
+
+
+# Sequences at or below this length use the multihead (one-program-per-batch)
+# kernel; longer ones use the q-tiled kernel (K/V still fully VMEM-resident).
+MULTIHEAD_MAX_SEQ = 512
+
+
 def _flash_forward(q, k, v, *, causal: bool):
     b, h, s, hd = q.shape
+    if s <= MULTIHEAD_MAX_SEQ:
+        return _flash_forward_multihead(q, k, v, causal=causal)
     scale = 1.0 / (hd**0.5)
     s_pad = -(-s // BLOCK_Q) * BLOCK_Q
 
