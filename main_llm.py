@@ -45,6 +45,10 @@ def parse_args():
     parser.add_argument('--evaluate_downstream', action='store_true')
     parser.add_argument('--evaluate_perplexity', action='store_true')
     parser.add_argument('--evaluate_qualitative', action='store_true')
+    parser.add_argument('--ablation', action='store_true',
+                        help="Run the ablation study experiments")
+    parser.add_argument('--ablation-quick', action='store_true',
+                        help="Shrink ablation sweeps for smoke runs")
     parser.add_argument('--local_datasets', action='store_true',
                         help="Use local datasets stored in the './data/' folder")
     parser.add_argument('--synthetic-data', action='store_true',
@@ -164,6 +168,12 @@ def main():
     if args.dense:
         logging.info("Dense model evaluation")
         run_evals(params, cfg)
+
+    if args.ablation:
+        from ssp_x_vit_tpu.llm.ablations import run_ablations
+
+        run_ablations(params, cfg, c4_train_ids, wikitext_ids, calibration_2ssp,
+                      seq_len=args.seq_len, quick=args.ablation_quick)
 
     if args.pruning_method is None:
         return

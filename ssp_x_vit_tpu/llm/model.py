@@ -159,13 +159,16 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
     return out @ bp["o_kernel"].astype(compute_dtype)
 
 
-def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats):
+def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
     g = x @ bp["gate_kernel"].astype(compute_dtype)
     u = x @ bp["up_kernel"].astype(compute_dtype)
     h = jax.nn.silu(g) * u  # the down_proj input the reference hooks observe
     stats = None
     if collect_stats:
-        stats = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=1)  # [b, f]
+        h32 = h.astype(jnp.float32)
+        # "sumsq" feeds the token-L2 importance (2SSP); "sumabs" the L1
+        # variant (ablation two_stage_2ssp_l1_norm).
+        stats = jnp.sum(jnp.square(h32) if stats_kind == "sumsq" else jnp.abs(h32), axis=1)
     if neuron_mask is not None:
         h = h * neuron_mask.astype(h.dtype)
     return h @ bp["down_kernel"].astype(compute_dtype), stats
@@ -180,6 +183,8 @@ def llama_forward(
     mlp_gate: Optional[jax.Array] = None,
     neuron_mask: Optional[jax.Array] = None,
     collect_mlp_stats: bool = False,
+    mlp_stats_kind: str = "sumsq",
+    collect_mlp_io_stats: bool = False,
     return_block_outputs: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -204,12 +209,18 @@ def llama_forward(
         bp, ga, gm, nm = scanned
         attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
         x = x + attn_out * ga.astype(x.dtype)
-        mlp_out, stats = _mlp(rms_norm(x, bp["ln2"], cfg.rms_eps), bp, compute_dtype,
-                              nm, collect_mlp_stats)
-        x = x + mlp_out * gm.astype(x.dtype)
+        mlp_in = rms_norm(x, bp["ln2"], cfg.rms_eps)
+        mlp_out, stats = _mlp(mlp_in, bp, compute_dtype, nm, collect_mlp_stats,
+                              mlp_stats_kind)
         out = {}
         if collect_mlp_stats:
             out["mlp_stats"] = stats
+        if collect_mlp_io_stats:
+            # sumsq over tokens of the MLP module's input/output hidden dims
+            # (reference get_mlp_inputs_outputs, src/utilities.py:290-319).
+            out["mlp_in_stats"] = jnp.sum(jnp.square(mlp_in.astype(jnp.float32)), axis=1)
+            out["mlp_out_stats"] = jnp.sum(jnp.square(mlp_out.astype(jnp.float32)), axis=1)
+        x = x + mlp_out * gm.astype(x.dtype)
         if return_block_outputs:
             out["block_outputs"] = x
         return x, out
