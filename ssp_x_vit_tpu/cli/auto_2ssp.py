@@ -59,6 +59,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="default", choices=["default", "cpu", "tpu"],
                    help="Force a jax platform (the axon sitecustomize ignores JAX_PLATFORMS)")
+    # SRP/AugReg checkpoint options (reference auto_2ssp.py:939-948)
+    p.add_argument("--use-srp-checkpoint", action="store_true",
+                   help="Load an SRP AugReg checkpoint via index.csv instead of an HF model")
+    p.add_argument("--srp-model-type", type=str, default="B/16",
+                   choices=["Ti/16", "S/16", "B/16"])
+    p.add_argument("--srp-dataset", type=str, default="cifar100",
+                   choices=["cifar100", "oxford-iiit-pet"])
+    p.add_argument("--srp-index-csv", type=str, default=None)
+    p.add_argument("--srp-models-dir", type=str, default="models")
+    p.add_argument("--srp-checkpoint-npz", type=str, default=None,
+                   help="Direct path to an AugReg .npz (bypass index.csv)")
+    p.add_argument("--srp-top10-idx", type=int, default=8)
     return p
 
 
@@ -93,8 +105,22 @@ def run(args) -> Dict[str, Any]:
     ds_name = "cifar10" if args.load_cifar and args.dataset == "synthetic" else args.dataset
     num_classes = args.num_classes or {"cifar10": 10, "cifar100": 100, "synthetic": 10}[ds_name]
 
-    params, cfg = resolve_model(args.model, num_classes=num_classes,
-                                checkpoint=args.checkpoint, seed=args.seed)
+    if args.use_srp_checkpoint:
+        from ssp_x_vit_tpu.data.srp import load_srp_model
+
+        params, cfg = load_srp_model(
+            args.srp_model_type, args.srp_dataset,
+            top10_idx=args.srp_top10_idx, index_csv=args.srp_index_csv,
+            models_dir=args.srp_models_dir, checkpoint_npz=args.srp_checkpoint_npz,
+            num_classes=num_classes, verbose=True,
+        )
+        # SRP models skip head/adapter changes + finetuning (reference :536-539)
+        args.use_adapter = args.replace_classifier = args.do_finetune = False
+        args.load_adapter = None
+        print("[INFO] Using SRP checkpoint; skipping head/adapter changes.")
+    else:
+        params, cfg = resolve_model(args.model, num_classes=num_classes,
+                                    checkpoint=args.checkpoint, seed=args.seed)
 
     # Head config (reference :552-578)
     if args.load_adapter:

@@ -110,9 +110,14 @@ def synthetic_dataset(
     labels = (np.arange(num_samples) % num_classes).astype(np.int32)
     rng.shuffle(labels)
     patterns = base[labels]  # [N, 8, 8, 3]
-    imgs = np.asarray(
-        jax.image.resize(jnp.asarray(patterns), (num_samples, image_size, image_size, 3), "linear")
-    )
+    # Host-side generation: resizing on the accelerator and fetching hundreds
+    # of MB back hangs on tunneled devices (docs/tpu_notes.md) and wastes HBM.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        imgs = np.asarray(
+            jax.image.resize(jnp.asarray(patterns),
+                             (num_samples, image_size, image_size, 3), "linear")
+        )
     imgs = imgs + rng.normal(0.0, noise, imgs.shape)
     imgs = (imgs - imgs.min()) / max(1e-9, imgs.max() - imgs.min())
     return (imgs * 255).astype(np.uint8), labels

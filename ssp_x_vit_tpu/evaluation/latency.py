@@ -85,8 +85,10 @@ def measure_latency(
     """Mean forward latency (ms) on a dummy batch (reference auto_2ssp.py:74-99)."""
     dummy = jnp.zeros((batch_size, cfg.image_size, cfg.image_size, cfg.num_channels), compute_dtype)
     if cfg.is_materialized_pruned:
-        fn = jax.jit(lambda p, x: vit_forward_materialized(p, x, cfg, compute_dtype=compute_dtype))
+        def fn(x, p):
+            return vit_forward_materialized(p, x, cfg, compute_dtype=compute_dtype)
     else:
-        fn = jax.jit(lambda p, x: vit_forward(p, x, cfg, compute_dtype=compute_dtype)[0])
-    mean_ms, _ = measure_latency_fn(fn, params, dummy, warmup=warmup, iters=iters)
-    return mean_ms
+        def fn(x, p):
+            return vit_forward(p, x, cfg, compute_dtype=compute_dtype)[0]
+    # In-graph scan timing: reliable on tunneled devices (docs/tpu_notes.md).
+    return measure_latency_scan(fn, dummy, params, iters=iters, warmup=min(1, warmup))
