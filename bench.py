@@ -29,6 +29,7 @@ REFERENCE_DENSE_IMG_PER_S = 1000.0 / 43.6  # b=1 MPS latency, reports/report-2pe
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    with_pruned = os.environ.get("BENCH_PRUNED", "1") != "0"
 
     cfg = ViTConfig(num_classes=1000)  # ViT-B/16, 224x224
     params = init_vit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -43,18 +44,51 @@ def main():
     ms = measure_latency_scan(fwd, pixels, params, iters=iters)
     img_per_s = batch / (ms / 1e3)
 
+    detail = {
+        "batch": batch,
+        "latency_ms_per_batch": round(ms, 3),
+        "dtype": "bfloat16",
+        "backend": jax.default_backend(),
+        "baseline": "reference dense ViT-B/16 b=1 MPS 43.6ms (22.9 img/s)",
+    }
+
+    if with_pruned:
+        # 50%-global-sparsity 2SSP-materialized model (plan K/t, weight-L1
+        # importance — random weights, architecture is what matters here).
+        from ssp_x_vit_tpu.models.vit import vit_forward_materialized
+        from ssp_x_vit_tpu.pruning import (
+            plan_2ssp_allocation, select_keep_indices, weight_l1_importance,
+            materialize_width_pruning, materialize_depth_pruning,
+        )
+        from ssp_x_vit_tpu.pruning.depth import (
+            heuristic_attention_importance, select_attention_blocks_to_prune,
+        )
+
+        plan = plan_2ssp_allocation(cfg, 0.5, min_remaining=256)
+        width = select_keep_indices(
+            weight_l1_importance(params),
+            n_to_prune_per_block=[plan.per_block_neurons_to_prune] * cfg.num_layers,
+            min_remaining=256, verbose=False)
+        p2, c2 = materialize_width_pruning(params, cfg, width.keep_indices)
+        blocks = select_attention_blocks_to_prune(
+            heuristic_attention_importance(cfg.num_layers), plan.blocks_to_prune)
+        p2, c2 = materialize_depth_pruning(p2, c2, blocks)
+
+        def fwd_pruned(pixels, p):
+            return vit_forward_materialized(p, pixels, c2, compute_dtype=jnp.bfloat16)
+
+        ms_p = measure_latency_scan(fwd_pruned, pixels, p2, iters=iters)
+        detail["pruned50_latency_ms_per_batch"] = round(ms_p, 3)
+        detail["pruned50_images_per_sec"] = round(batch / (ms_p / 1e3), 2)
+        detail["pruned50_plan"] = {"K": plan.blocks_to_prune,
+                                   "t": plan.per_block_neurons_to_prune}
+
     print(json.dumps({
         "metric": "vit_b16_dense_throughput",
         "value": round(img_per_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / REFERENCE_DENSE_IMG_PER_S, 2),
-        "detail": {
-            "batch": batch,
-            "latency_ms_per_batch": round(ms, 3),
-            "dtype": "bfloat16",
-            "backend": jax.default_backend(),
-            "baseline": "reference dense ViT-B/16 b=1 MPS 43.6ms (22.9 img/s)",
-        },
+        "detail": detail,
     }))
 
 

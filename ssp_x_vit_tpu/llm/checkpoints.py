@@ -21,21 +21,27 @@ from ssp_x_vit_tpu.models.checkpoints import _read_safetensors, _t
 
 def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     mt = d.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2"):
-        raise ValueError(f"unsupported model_type {mt} (llama/mistral/qwen2 share the "
-                         "block layout; phi/phi3 require the fc/fused-gate variants)")
+    if mt not in ("llama", "mistral", "qwen2", "phi3", "phi"):
+        raise ValueError(f"unsupported model_type {mt}")
+    heads = d["num_attention_heads"]
+    head_dim = d["hidden_size"] // heads
+    rotary_dim = None
+    if mt == "phi":
+        rotary_dim = int(d.get("partial_rotary_factor", 0.4) * head_dim)
     return LlamaConfig(
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
         num_layers=d["num_hidden_layers"],
-        num_heads=d["num_attention_heads"],
-        num_kv_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+        num_heads=heads,
+        num_kv_heads=d.get("num_key_value_heads", heads),
         intermediate_size=d["intermediate_size"],
         rms_eps=d.get("rms_norm_eps", 1e-5),
         rope_theta=d.get("rope_theta", 10000.0),
         tie_embeddings=d.get("tie_word_embeddings", False),
         model_type=mt,
         qkv_bias=(mt == "qwen2"),
+        rotary_dim=rotary_dim,
+        layer_norm_eps=d.get("layer_norm_eps", 1e-5),
     )
 
 
@@ -57,6 +63,72 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
 
     def stack(fmt, transform=lambda x: x):
         return np.stack([transform(g(fmt.format(i=i))) for i in range(L)])
+
+    if cfg.model_type == "phi":
+        # phi-2 layout: parallel block, fc1/fc2 GELU MLP, dense out proj, all
+        # biased, LayerNorm (reference model family, src/utilities.py:358-373)
+        blocks = {
+            "ln1": stack("model.layers.{i}.input_layernorm.weight"),
+            "ln1_bias": stack("model.layers.{i}.input_layernorm.bias"),
+            "q_kernel": stack("model.layers.{i}.self_attn.q_proj.weight", _t),
+            "q_bias": stack("model.layers.{i}.self_attn.q_proj.bias"),
+            "k_kernel": stack("model.layers.{i}.self_attn.k_proj.weight", _t),
+            "k_bias": stack("model.layers.{i}.self_attn.k_proj.bias"),
+            "v_kernel": stack("model.layers.{i}.self_attn.v_proj.weight", _t),
+            "v_bias": stack("model.layers.{i}.self_attn.v_proj.bias"),
+            "o_kernel": stack("model.layers.{i}.self_attn.dense.weight", _t),
+            "o_bias": stack("model.layers.{i}.self_attn.dense.bias"),
+            "fc1_kernel": stack("model.layers.{i}.mlp.fc1.weight", _t),
+            "fc1_bias": stack("model.layers.{i}.mlp.fc1.bias"),
+            "fc2_kernel": stack("model.layers.{i}.mlp.fc2.weight", _t),
+            "fc2_bias": stack("model.layers.{i}.mlp.fc2.bias"),
+        }
+        params: Params = {
+            "embed": jnp.asarray(g("model.embed_tokens.weight"), dtype),
+            "blocks": {k: jnp.asarray(v, dtype) for k, v in blocks.items()},
+            "ln_final": jnp.asarray(g("model.final_layernorm.weight"), dtype),
+            "ln_final_bias": jnp.asarray(g("model.final_layernorm.bias"), dtype),
+            "lm_head": jnp.asarray(_t(g("lm_head.weight")), dtype),
+            "lm_head_bias": jnp.asarray(g("lm_head.bias"), dtype),
+        }
+        return params, cfg
+
+    if cfg.model_type == "phi3":
+        # phi-3 fuses qkv_proj [hq+2hkv, d] and gate_up_proj [2f, d]
+        # (reference prune_mlp chunks gate_up, src/utilities.py:409-418);
+        # the loader splits them into the unified layout once.
+        hq = cfg.num_heads * cfg.head_dim
+        hkv = cfg.num_kv_heads * cfg.head_dim
+        q_l, k_l, v_l, g_l, u_l = [], [], [], [], []
+        for i in range(L):
+            qkv = _t(g(f"model.layers.{i}.self_attn.qkv_proj.weight"))  # [d, hq+2hkv]
+            q_l.append(qkv[:, :hq])
+            k_l.append(qkv[:, hq : hq + hkv])
+            v_l.append(qkv[:, hq + hkv :])
+            gu = _t(g(f"model.layers.{i}.mlp.gate_up_proj.weight"))  # [d, 2f]
+            g_l.append(gu[:, : cfg.intermediate_size])
+            u_l.append(gu[:, cfg.intermediate_size :])
+        blocks = {
+            "ln1": stack("model.layers.{i}.input_layernorm.weight"),
+            "q_kernel": np.stack(q_l),
+            "k_kernel": np.stack(k_l),
+            "v_kernel": np.stack(v_l),
+            "o_kernel": stack("model.layers.{i}.self_attn.o_proj.weight", _t),
+            "ln2": stack("model.layers.{i}.post_attention_layernorm.weight"),
+            "gate_kernel": np.stack(g_l),
+            "up_kernel": np.stack(u_l),
+            "down_kernel": stack("model.layers.{i}.mlp.down_proj.weight", _t),
+        }
+        params = {
+            "embed": jnp.asarray(g("model.embed_tokens.weight"), dtype),
+            "blocks": {k: jnp.asarray(v, dtype) for k, v in blocks.items()},
+            "ln_final": jnp.asarray(g("model.norm.weight"), dtype),
+        }
+        if not cfg.tie_embeddings and "lm_head.weight" in sd:
+            params["lm_head"] = jnp.asarray(_t(g("lm_head.weight")), dtype)
+        import dataclasses as _dc
+
+        return params, _dc.replace(cfg, model_type="llama")
 
     blocks = {
         "ln1": stack("model.layers.{i}.input_layernorm.weight"),

@@ -34,6 +34,55 @@ def _window_nll(params, tokens, attn_gate, mlp_gate, neuron_mask, cfg: LlamaConf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _window_nll_candidates(params, tokens, attn_gates, mlp_gates, neuron_mask, cfg: LlamaConfig):
+    """Vmapped candidate evaluation: attn_gates/mlp_gates [C, L] -> per-candidate
+    summed NLL [C]. One dispatch scores a whole batch of skip patterns — the
+    inner loop of the stage-2 greedy search and blockpruner."""
+
+    def one(ga, gm):
+        logits, _ = llama_forward(params, tokens, cfg, attn_gate=ga, mlp_gate=gm,
+                                  neuron_mask=neuron_mask)
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+        return jnp.sum(nll)
+
+    return jax.vmap(one)(attn_gates, mlp_gates)
+
+
+def evaluate_perplexity_candidates(
+    params,
+    cfg: LlamaConfig,
+    input_ids: np.ndarray,
+    attn_gates: np.ndarray,
+    mlp_gates: Optional[np.ndarray] = None,
+    *,
+    seq_len: int = 2048,
+    chunk: int = 8,
+) -> np.ndarray:
+    """Perplexity of C gate candidates over the calibration stream -> [C].
+
+    Candidates are evaluated ``chunk`` at a time inside one jitted vmap
+    (memory-bounded); all windows stream through each chunk.
+    """
+    ids = np.asarray(input_ids).reshape(-1)
+    num_samples = ids.size // seq_len
+    C, L = np.asarray(attn_gates).shape
+    ga = jnp.asarray(attn_gates, jnp.float32)
+    gm = jnp.asarray(mlp_gates if mlp_gates is not None else np.ones((C, L)), jnp.float32)
+    nm = jnp.ones((L, 1), jnp.float32)
+
+    totals = np.zeros((C,), np.float64)
+    tokens_per_window = seq_len - 1
+    for i in range(num_samples):
+        tokens = jnp.asarray(ids[i * seq_len : (i + 1) * seq_len].reshape(1, -1), jnp.int32)
+        for c0 in range(0, C, chunk):
+            sl = slice(c0, min(C, c0 + chunk))
+            sums = _window_nll_candidates(params, tokens, ga[sl], gm[sl], nm, cfg)
+            totals[sl] += np.asarray(sums, np.float64)
+    return np.exp(totals / max(1, num_samples * tokens_per_window))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _window_nll_materialized(params, tokens, cfg: LlamaConfig):
     logits = llama_forward_materialized(params, tokens, cfg)
     shift_logits = logits[:, :-1]

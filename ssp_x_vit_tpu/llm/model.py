@@ -34,8 +34,18 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     rope_theta: float = 10000.0
     tie_embeddings: bool = False
-    model_type: str = "llama"  # llama | mistral | qwen2 (same block layout)
-    qkv_bias: bool = False     # qwen2 uses attention biases
+    # llama | mistral | qwen2 share the pre-RMSNorm SwiGLU block; phi3 maps to
+    # the same layout at load time (fused qkv/gate_up split by the loader);
+    # "phi" (phi-2) selects the parallel-residual LayerNorm+GELU block.
+    model_type: str = "llama"
+    qkv_bias: bool = False     # qwen2/phi use attention biases
+    # phi-2 specifics
+    rotary_dim: Optional[int] = None   # partial rotary (e.g. 32 of head_dim 80)
+    layer_norm_eps: float = 1e-5       # phi uses LayerNorm (with bias)
+
+    @property
+    def is_phi(self) -> bool:
+        return self.model_type == "phi"
     # --- materialized-pruning state ---
     # Uniform kept intermediate size after 2SSP stage-1 (reference sets
     # config.intermediate_size = num_preserve, src/pruning.py:286).
@@ -70,6 +80,32 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
 
     def nrm(key, shape, std=0.02):
         return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    if cfg.is_phi:
+        params: Params = {
+            "embed": nrm(next(ks), (cfg.vocab_size, d)),
+            "blocks": {
+                "ln1": jnp.ones((L, d), dtype),
+                "ln1_bias": jnp.zeros((L, d), dtype),
+                "q_kernel": nrm(next(ks), (L, d, hq)),
+                "q_bias": jnp.zeros((L, hq), dtype),
+                "k_kernel": nrm(next(ks), (L, d, hkv)),
+                "k_bias": jnp.zeros((L, hkv), dtype),
+                "v_kernel": nrm(next(ks), (L, d, hkv)),
+                "v_bias": jnp.zeros((L, hkv), dtype),
+                "o_kernel": nrm(next(ks), (L, hq, d)),
+                "o_bias": jnp.zeros((L, d), dtype),
+                "fc1_kernel": nrm(next(ks), (L, d, f)),
+                "fc1_bias": jnp.zeros((L, f), dtype),
+                "fc2_kernel": nrm(next(ks), (L, f, d)),
+                "fc2_bias": jnp.zeros((L, d), dtype),
+            },
+            "ln_final": jnp.ones((d,), dtype),
+            "ln_final_bias": jnp.zeros((d,), dtype),
+            "lm_head": nrm(next(ks), (d, cfg.vocab_size)),
+            "lm_head_bias": jnp.zeros((cfg.vocab_size,), dtype),
+        }
+        return params
 
     params: Params = {
         "embed": nrm(next(ks), (cfg.vocab_size, d)),
@@ -138,7 +174,14 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
     q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    q, k = _rope(q, k, cfg.rope_theta)
+    if cfg.rotary_dim is not None and cfg.rotary_dim < hd:
+        # phi partial rotary: rotate the first rotary_dim dims, pass the rest
+        rd = cfg.rotary_dim
+        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
+        q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
+        k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
+    else:
+        q, k = _rope(q, k, cfg.rope_theta)
     if nkv != nq:
         rep = nq // nkv
         k = jnp.repeat(k, rep, axis=1)
@@ -156,7 +199,34 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
         out = sdpa_reference(q, k, v, causal=True)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
-    return out @ bp["o_kernel"].astype(compute_dtype)
+    out = out @ bp["o_kernel"].astype(compute_dtype)
+    if "o_bias" in bp:
+        out = out + bp["o_bias"].astype(compute_dtype)
+    return out
+
+
+def _phi_mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
+    """phi-2 MLP: fc1 -> exact GELU -> fc2 (reference prunes fc1 rows/fc2 cols,
+    src/utilities.py:419-422; hooks observe the fc2 input)."""
+    from ssp_x_vit_tpu.ops.common import gelu as _gelu
+
+    h = x @ bp["fc1_kernel"].astype(compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
+    h = _gelu(h)
+    stats = None
+    if collect_stats:
+        h32 = h.astype(jnp.float32)
+        stats = jnp.sum(jnp.square(h32) if stats_kind == "sumsq" else jnp.abs(h32), axis=1)
+    if neuron_mask is not None:
+        h = h * neuron_mask.astype(h.dtype)
+    return h @ bp["fc2_kernel"].astype(compute_dtype) + bp["fc2_bias"].astype(compute_dtype), stats
+
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
@@ -207,12 +277,29 @@ def llama_forward(
 
     def body(x, scanned):
         bp, ga, gm, nm = scanned
+        out = {}
+        if cfg.is_phi:
+            # phi-2 parallel residual: one LayerNorm feeds BOTH branches,
+            # x' = x + attn(h) + mlp(h).
+            h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+            attn_out = _attention(h, bp, cfg, compute_dtype)
+            mlp_out, stats = _phi_mlp(h, bp, compute_dtype, nm, collect_mlp_stats,
+                                      mlp_stats_kind)
+            if collect_mlp_stats:
+                out["mlp_stats"] = stats
+            if collect_mlp_io_stats:
+                out["mlp_in_stats"] = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=1)
+                out["mlp_out_stats"] = jnp.sum(jnp.square(mlp_out.astype(jnp.float32)), axis=1)
+            x = x + attn_out * ga.astype(x.dtype) + mlp_out * gm.astype(x.dtype)
+            if return_block_outputs:
+                out["block_outputs"] = x
+            return x, out
+
         attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
         x = x + attn_out * ga.astype(x.dtype)
         mlp_in = rms_norm(x, bp["ln2"], cfg.rms_eps)
         mlp_out, stats = _mlp(mlp_in, bp, compute_dtype, nm, collect_mlp_stats,
                               mlp_stats_kind)
-        out = {}
         if collect_mlp_stats:
             out["mlp_stats"] = stats
         if collect_mlp_io_stats:
@@ -227,12 +314,17 @@ def llama_forward(
 
     x, scanned_out = jax.lax.scan(body, x, (params["blocks"], gates_a, gates_m, nmask))
 
-    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    if cfg.is_phi:
+        x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
+    else:
+        x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     head = params.get("lm_head", None)
     if head is None:
         head = params["embed"].T
-    logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
-    return logits, dict(scanned_out)
+    logits = x @ head.astype(compute_dtype)
+    if "lm_head_bias" in params:
+        logits = logits + params["lm_head_bias"].astype(compute_dtype)
+    return logits.astype(jnp.float32), dict(scanned_out)
 
 
 def llama_forward_materialized(
@@ -250,6 +342,22 @@ def llama_forward_materialized(
 
     for i in range(cfg.num_layers):
         j = store[i]
+        if cfg.is_phi:
+            # ln1 feeds both branches in phi, so it is indexed by the FULL
+            # layer index (never removed with the attention; reference deletes
+            # only q/k/v/dense, src/utilities.py:496-500).
+            h = _layer_norm(x, blocks["ln1"][i], blocks["ln1_bias"][i], cfg.layer_norm_eps)
+            delta = jnp.zeros_like(x)
+            if j is not None:
+                bp = {k: blocks[k][j] for k in
+                      ("q_kernel", "q_bias", "k_kernel", "k_bias",
+                       "v_kernel", "v_bias", "o_kernel", "o_bias") if k in blocks}
+                delta = _attention(h, bp, cfg, compute_dtype)
+            mp = {k: blocks[k][i] for k in
+                  ("fc1_kernel", "fc1_bias", "fc2_kernel", "fc2_bias")}
+            mlp_out, _ = _phi_mlp(h, mp, compute_dtype, None, False)
+            x = x + delta + mlp_out
+            continue
         if j is not None:
             bp = {k: blocks[k][j] for k in ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel")
                   if k in blocks}
@@ -261,8 +369,14 @@ def llama_forward_materialized(
         mlp_out, _ = _mlp(rms_norm(x, mp["ln2"], cfg.rms_eps), mp, compute_dtype, None, False)
         x = x + mlp_out
 
-    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    if cfg.is_phi:
+        x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
+    else:
+        x = rms_norm(x, params["ln_final"], cfg.rms_eps)
     head = params.get("lm_head", None)
     if head is None:
         head = params["embed"].T
-    return (x @ head.astype(compute_dtype)).astype(jnp.float32)
+    logits = x @ head.astype(compute_dtype)
+    if "lm_head_bias" in params:
+        logits = logits + params["lm_head_bias"].astype(compute_dtype)
+    return logits.astype(jnp.float32)

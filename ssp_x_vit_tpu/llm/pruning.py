@@ -41,11 +41,16 @@ def count_main_params(cfg: LlamaConfig) -> Tuple[int, int, int]:
     d, f = cfg.hidden_size, cfg.effective_intermediate
     hq = cfg.num_heads * cfg.head_dim
     hkv = cfg.num_kv_heads * cfg.head_dim
-    attn = d * hq + 2 * d * hkv + hq * d
-    if cfg.qkv_bias:
-        attn += hq + 2 * hkv
-    mlp = d * f + d * f + f * d  # gate + up + down projections
-    per_block_other = 2 * d  # two RMSNorm scales
+    if cfg.is_phi:
+        attn = (d * hq + hq) + 2 * (d * hkv + hkv) + (hq * d + d)  # q/k/v/dense+biases
+        mlp = (d * f + f) + (f * d + d)                            # fc1/fc2+biases
+        per_block_other = 2 * d                                    # one LayerNorm (scale+bias)
+    else:
+        attn = d * hq + 2 * d * hkv + hq * d
+        if cfg.qkv_bias:
+            attn += hq + 2 * hkv
+        mlp = d * f + d * f + f * d  # gate + up + down projections
+        per_block_other = 2 * d  # two RMSNorm scales
     main = cfg.num_layers * (attn + mlp + per_block_other)
     # exclude depth-pruned attention
     main -= len(cfg.pruned_attention_blocks) * attn
@@ -83,15 +88,20 @@ def materialize_llm_width_pruning(
     assert all(len(k) == n_keep for k in keeps), "2SSP LLM stage-1 keeps a uniform width"
 
     blocks = dict(params["blocks"])
-    gate = np.asarray(blocks["gate_kernel"])
-    up = np.asarray(blocks["up_kernel"])
-    down = np.asarray(blocks["down_kernel"])
-    new_gate = np.stack([gate[i][:, keeps[i]] for i in range(L)])
-    new_up = np.stack([up[i][:, keeps[i]] for i in range(L)])
-    new_down = np.stack([down[i][keeps[i], :] for i in range(L)])
-    blocks["gate_kernel"] = jnp.asarray(new_gate)
-    blocks["up_kernel"] = jnp.asarray(new_up)
-    blocks["down_kernel"] = jnp.asarray(new_down)
+    if cfg.is_phi:
+        fc1 = np.asarray(blocks["fc1_kernel"])
+        fc1b = np.asarray(blocks["fc1_bias"])
+        fc2 = np.asarray(blocks["fc2_kernel"])
+        blocks["fc1_kernel"] = jnp.asarray(np.stack([fc1[i][:, keeps[i]] for i in range(L)]))
+        blocks["fc1_bias"] = jnp.asarray(np.stack([fc1b[i][keeps[i]] for i in range(L)]))
+        blocks["fc2_kernel"] = jnp.asarray(np.stack([fc2[i][keeps[i], :] for i in range(L)]))
+    else:
+        gate = np.asarray(blocks["gate_kernel"])
+        up = np.asarray(blocks["up_kernel"])
+        down = np.asarray(blocks["down_kernel"])
+        blocks["gate_kernel"] = jnp.asarray(np.stack([gate[i][:, keeps[i]] for i in range(L)]))
+        blocks["up_kernel"] = jnp.asarray(np.stack([up[i][:, keeps[i]] for i in range(L)]))
+        blocks["down_kernel"] = jnp.asarray(np.stack([down[i][keeps[i], :] for i in range(L)]))
 
     new_params = dict(params)
     new_params["blocks"] = blocks
@@ -118,6 +128,8 @@ def second_stage_attention(
 ) -> Tuple[List[int], List[int]]:
     """Greedy attention-submodule removal minimizing perplexity
     (reference src/utilities.py:446-505). Returns (attnMask, mlpMask)."""
+    from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity_candidates
+
     L = cfg.num_layers
     attn_mask = [0] * L
     mlp_mask = [0] * L
@@ -127,20 +139,21 @@ def second_stage_attention(
     logging.debug(f"Original perplexity: {ppl}")
 
     for _ in range(num_prune):
-        best_to_prune, best_ppl = None, float("inf")
-        for cand in range(L):
-            if attn_mask[cand] == 1:
-                continue
-            attn_mask[cand] = 1
-            ppl = evaluate_perplexity(
-                params, cfg, calibration_input_ids, seq_len=seq_len,
-                attn_gate=_gates(attn_mask), enable_tqdm=False,
-            )
-            logging.debug(f"[Attention] When pruning {cand} perplexity is {ppl}")
-            if ppl < best_ppl:
-                best_ppl, best_to_prune = ppl, cand
-            attn_mask[cand] = 0
-        logging.debug(f"[Attention] Best to prune: {best_to_prune} ({best_ppl})")
+        # Score ALL remaining candidates in vmapped chunks — one (or a few)
+        # dispatches replace the reference's per-candidate mask/eval/unmask
+        # round trips (the "two-orders-of-magnitude" hot loop, SURVEY.md §3.1).
+        cands = [c for c in range(L) if attn_mask[c] == 0]
+        gates = np.ones((len(cands), L), np.float32)
+        for row, c in enumerate(cands):
+            gates[row] = 1.0 - np.asarray(attn_mask, np.float32)
+            gates[row, c] = 0.0
+        ppls = evaluate_perplexity_candidates(
+            params, cfg, calibration_input_ids, gates, seq_len=seq_len)
+        for c, p in zip(cands, ppls):
+            logging.debug(f"[Attention] When pruning {c} perplexity is {p}")
+        best_idx = int(np.argmin(ppls))  # first minimum, like the reference '<'
+        best_to_prune = cands[best_idx]
+        logging.debug(f"[Attention] Best to prune: {best_to_prune} ({ppls[best_idx]})")
         attn_mask[best_to_prune] = 1
 
     return attn_mask, mlp_mask
@@ -224,8 +237,13 @@ def materialize_llm_depth_pruning(
         raise ValueError("depth pruning already materialized")
     keep = [i for i in range(cfg.num_layers) if i not in pruned]
     blocks = dict(params["blocks"])
-    for name in ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
-                 "q_bias", "k_bias", "v_bias"):
+    # phi's ln1 feeds both branches, so it survives attention removal
+    # (reference deletes only q/k/v/dense, src/utilities.py:496-500).
+    attn_names = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
+                  "q_bias", "k_bias", "v_bias", "o_bias")
+    if not cfg.is_phi:
+        attn_names = ("ln1",) + attn_names
+    for name in attn_names:
         if name in blocks:
             blocks[name] = jnp.asarray(np.asarray(blocks[name])[keep])
     new_params = dict(params)
@@ -305,40 +323,32 @@ def blockpruner(params, cfg: LlamaConfig, num_prune: int,
                 calibration_sample: np.ndarray, *, seq_len: int = 2048
                 ) -> Tuple[List[int], List[int]]:
     """Greedy attention-or-MLP submodule removal minimizing 1-sample
-    perplexity (reference src/pruning.py:127-194); gate flips, no retraces."""
+    perplexity (reference src/pruning.py:127-194); all candidates of each
+    round scored in vmapped chunks, no retraces."""
+    from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity_candidates
+
     L = cfg.num_layers
     attn_mask, mlp_mask = [0] * L, [0] * L
 
-    def ppl_with(am, mm):
-        return evaluate_perplexity(params, cfg, calibration_sample, seq_len=seq_len,
-                                   attn_gate=_gates(am), mlp_gate=_gates(mm),
-                                   enable_tqdm=False)
+    def sweep(base_attn, base_mlp, which):
+        base = base_attn if which == "attn" else base_mlp
+        cands = [c for c in range(L) if base[c] == 0]
+        ga = np.tile(1.0 - np.asarray(base_attn, np.float32), (len(cands), 1))
+        gm = np.tile(1.0 - np.asarray(base_mlp, np.float32), (len(cands), 1))
+        tgt = ga if which == "attn" else gm
+        for row, c in enumerate(cands):
+            tgt[row, c] = 0.0
+        ppls = evaluate_perplexity_candidates(
+            params, cfg, calibration_sample, ga, gm, seq_len=seq_len)
+        tag = "Attention" if which == "attn" else "MLP"
+        for c, p in zip(cands, ppls):
+            logging.debug(f"[{tag}] When pruning {c} perplexity is {p}")
+        best_idx = int(np.argmin(ppls))
+        logging.debug(f"[{tag}] Best to prune: {cands[best_idx]} ({ppls[best_idx]})")
+        return cands[best_idx]
 
     for _ in range(num_prune):
-        best, best_ppl = None, float("inf")
-        for cand in range(L):
-            if attn_mask[cand] == 1:
-                continue
-            attn_mask[cand] = 1
-            p = ppl_with(attn_mask, mlp_mask)
-            logging.debug(f"[Attention] When pruning {cand} perplexity is {p}")
-            if p < best_ppl:
-                best_ppl, best = p, cand
-            attn_mask[cand] = 0
-        logging.debug(f"[Attention] Best to prune: {best} ({best_ppl})")
-        attn_mask[best] = 1
-
-        best, best_ppl = None, float("inf")
-        for cand in range(L):
-            if mlp_mask[cand] == 1:
-                continue
-            mlp_mask[cand] = 1
-            p = ppl_with(attn_mask, mlp_mask)
-            logging.debug(f"[MLP] When pruning {cand} perplexity is {p}")
-            if p < best_ppl:
-                best_ppl, best = p, cand
-            mlp_mask[cand] = 0
-        logging.debug(f"[MLP] Best to prune: {best} ({best_ppl})")
-        mlp_mask[best] = 1
+        attn_mask[sweep(attn_mask, mlp_mask, "attn")] = 1
+        mlp_mask[sweep(attn_mask, mlp_mask, "mlp")] = 1
 
     return attn_mask, mlp_mask
