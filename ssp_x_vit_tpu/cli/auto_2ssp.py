@@ -71,6 +71,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--srp-checkpoint-npz", type=str, default=None,
                    help="Direct path to an AugReg .npz (bypass index.csv)")
     p.add_argument("--srp-top10-idx", type=int, default=8)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard calibration/eval batches over all devices "
+                        "(jax.sharding mesh; no-op on a single chip)")
     return p
 
 
@@ -160,6 +163,13 @@ def run(args) -> Dict[str, Any]:
     latency_baseline = measure_latency(params, cfg, batch_size=1)
     test_batches = test.batches(args.eval_batches)
     calib_batches = calib.batches()
+    if args.data_parallel and len(jax.devices()) > 1:
+        from ssp_x_vit_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh(model=1)
+        test_batches = [shard_batch(mesh, b) for b in test_batches]
+        calib_batches = [shard_batch(mesh, b) for b in calib_batches]
+        print(f"[INFO] Data-parallel eval over {mesh.shape['data']} devices")
     acc_baseline = evaluate_top1(params, cfg, test_batches)
 
     plan = None
@@ -275,13 +285,10 @@ def run(args) -> Dict[str, Any]:
         artifacts["adapter_path"] = adapter_path
 
     if args.save_pruned_model:
-        from ssp_x_vit_tpu.models.checkpoints import save_params_npz
+        from ssp_x_vit_tpu.models.persistence import save_pruned_model
 
         pruned_dir = out_root / "pruned_models" / run_id
-        pruned_dir.mkdir(parents=True, exist_ok=True)
-        save_params_npz(str(pruned_dir / "model.npz"), work_params)
-        with open(pruned_dir / "config.json", "w") as f:
-            json.dump(dataclasses.asdict(work_cfg), f, indent=2, default=str)
+        save_pruned_model(str(pruned_dir), work_params, work_cfg)
         artifacts["pruned_model_dir"] = str(pruned_dir)
 
     if args.export_framework_prefix:

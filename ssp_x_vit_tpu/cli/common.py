@@ -39,6 +39,12 @@ def resolve_model(
     from ssp_x_vit_tpu.models import checkpoints as ckpt
 
     if os.path.isdir(model):
+        if os.path.exists(os.path.join(model, "model.npz")):
+            from ssp_x_vit_tpu.models.persistence import load_pruned_model
+
+            params, cfg = load_pruned_model(model, dtype=dtype)
+            print(f"[INFO] Loaded framework (possibly pruned) model: {model}")
+            return params, cfg
         params, cfg = ckpt.load_hf_vit(model, num_classes=num_classes, dtype=dtype)
         print(f"[INFO] Loaded HF model from directory: {model}")
         return params, cfg
