@@ -75,13 +75,12 @@ class DataPipeline:
         if self.shuffle:
             rng.shuffle(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
+        from ssp_x_vit_tpu.data.native_loader import gather_batch
+
         for start in range(0, end, self.batch_size):
             idx = order[start : start + self.batch_size]
-            imgs = self.images[idx]
-            if self.flip:
-                flips = rng.random(len(idx)) < 0.5
-                imgs = imgs.copy()
-                imgs[flips] = imgs[flips, :, ::-1]
+            flips = (rng.random(len(idx)) < 0.5).astype(np.uint8) if self.flip else None
+            imgs = gather_batch(self.images, idx, flips)
             px = preprocess_batch(jnp.asarray(imgs), self.img_size)
             yield {"pixel_values": px, "labels": jnp.asarray(self.labels[idx].astype(np.int32))}
 

@@ -153,3 +153,19 @@ def test_zeroshot_multiple_choice(llm):
     ]
     res = evaluate_multiple_choice(params, cfg, examples, encode, bucket=16)
     assert res["count"] == 2 and 0.0 <= res["acc"] <= 1.0
+
+
+def test_candidate_evaluator_matches_sequential(llm, stream):
+    """evaluate_perplexity_candidates == per-candidate evaluate_perplexity."""
+    from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity_candidates
+
+    params, cfg = llm
+    L = cfg.num_layers
+    gates = np.ones((3, L), np.float32)
+    gates[1, 0] = 0.0
+    gates[2, 2] = 0.0
+    batch = evaluate_perplexity_candidates(params, cfg, stream, gates, seq_len=256, chunk=2)
+    for i in range(3):
+        seq = evaluate_perplexity(params, cfg, stream, seq_len=256,
+                                  attn_gate=gates[i], enable_tqdm=False)
+        assert abs(np.log(batch[i]) - np.log(seq)) < 1e-4, (i, batch[i], seq)
