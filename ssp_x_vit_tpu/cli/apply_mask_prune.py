@@ -71,6 +71,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out-root", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="default", choices=["default", "cpu", "tpu"])
+    # SRP checkpoint (the reference applier hard-codes SRP B/16 cifar100
+    # top10_idx=8 @224, apply_mask_prune.py:284-300; here it is opt-in)
+    p.add_argument("--use-srp-checkpoint", action="store_true")
+    p.add_argument("--srp-model-type", type=str, default="B/16",
+                   choices=["Ti/16", "S/16", "B/16"])
+    p.add_argument("--srp-index-csv", type=str, default=None)
+    p.add_argument("--srp-models-dir", type=str, default="models")
+    p.add_argument("--srp-checkpoint-npz", type=str, default=None)
+    p.add_argument("--srp-top10-idx", type=int, default=8)
     return p
 
 
@@ -90,8 +99,18 @@ def run(args):
 
     print(f"[INFO] Using backend: {jax.default_backend()}")
     num_classes = {"cifar10": 10, "cifar100": 100, "synthetic": 10}[args.dataset]
-    params, cfg = resolve_model(args.model, num_classes=num_classes,
-                                checkpoint=args.checkpoint, seed=args.seed)
+    if args.use_srp_checkpoint:
+        from ssp_x_vit_tpu.data.srp import load_srp_model
+
+        params, cfg = load_srp_model(
+            args.srp_model_type, "cifar100" if args.dataset != "oxford-iiit-pet" else args.dataset,
+            top10_idx=args.srp_top10_idx, index_csv=args.srp_index_csv,
+            models_dir=args.srp_models_dir, checkpoint_npz=args.srp_checkpoint_npz,
+            num_classes=num_classes, verbose=True,
+        )
+    else:
+        params, cfg = resolve_model(args.model, num_classes=num_classes,
+                                    checkpoint=args.checkpoint, seed=args.seed)
     train, test, _ = resolve_dataset(
         args.dataset, cfg, train_pct=args.cifar_train_pct, test_pct=args.cifar_test_pct,
         calib_per_class=max(1, args.calib_per_class), seed=args.seed,

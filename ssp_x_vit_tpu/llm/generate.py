@@ -47,7 +47,7 @@ def greedy_generate(
     while len(ids) < max_length:
         tokens = np.full((1, max_length), pad, np.int32)
         tokens[0, : len(ids)] = ids
-        logits = np.asarray(step_logits(jnp.asarray(tokens), len(ids) - 1))
+        logits = np.array(step_logits(jnp.asarray(tokens), len(ids) - 1))  # writable copy
 
         if no_repeat_ngram_size and len(ids) >= no_repeat_ngram_size - 1:
             n = no_repeat_ngram_size
@@ -67,11 +67,79 @@ def greedy_generate(
     return np.asarray(ids)
 
 
+def _banned_next_tokens(ids, n):
+    """Tokens that would complete an already-seen n-gram (no_repeat_ngram)."""
+    if not n or len(ids) < n - 1:
+        return ()
+    prefix = tuple(ids[-(n - 1):]) if n > 1 else ()
+    return tuple(ids[i + n - 1] for i in range(len(ids) - n + 1)
+                 if tuple(ids[i : i + n - 1]) == prefix)
+
+
+def beam_generate(
+    params,
+    cfg: LlamaConfig,
+    input_ids: np.ndarray,
+    *,
+    max_length: int = 64,
+    num_beams: int = 5,
+    eos_token_id: Optional[int] = None,
+    no_repeat_ngram_size: int = 3,
+    early_stopping: bool = True,
+) -> np.ndarray:
+    """Beam search matching the reference generation kwargs
+    (src/evaluation.py:153-160: num_beams=5, no_repeat_ngram_size=3,
+    early_stopping). All live beams are scored in ONE padded batched forward
+    per step (shapes static -> a single compile)."""
+    prompt = list(np.asarray(input_ids).reshape(-1).tolist())
+    materialized = bool(cfg.pruned_attention_blocks)
+
+    @jax.jit
+    def step_logits(tokens, cursor):
+        if materialized:
+            logits = llama_forward_materialized(params, tokens, cfg)
+        else:
+            logits, _ = llama_forward(params, tokens, cfg)
+        return jax.nn.log_softmax(logits[:, cursor].astype(jnp.float32), axis=-1)
+
+    beams = [(0.0, prompt, False)]  # (logprob, ids, finished)
+    while len(beams[0][1]) < max_length:
+        if all(f for _, _, f in beams):
+            break
+        live = [(s, ids) for s, ids, f in beams if not f]
+        done = [(s, ids, True) for s, ids, f in beams if f]
+        tokens = np.zeros((num_beams, max_length), np.int32)
+        for i, (_, ids) in enumerate(live):
+            tokens[i, : len(ids)] = ids
+        cursor = len(live[0][1]) - 1  # all live beams share a length
+        logp = np.asarray(step_logits(jnp.asarray(tokens), cursor))  # [B, V]
+
+        candidates = list(done)
+        for i, (score, ids) in enumerate(live):
+            row = logp[i].copy()
+            for b in _banned_next_tokens(ids, no_repeat_ngram_size):
+                row[b] = -np.inf
+            top = np.argsort(-row)[: num_beams]
+            for t in top:
+                finished = eos_token_id is not None and int(t) == eos_token_id
+                candidates.append((score + float(row[t]), ids + [int(t)], finished))
+        candidates.sort(key=lambda c: c[0], reverse=True)
+        beams = candidates[:num_beams]
+        if early_stopping and beams[0][2]:
+            break
+    return np.asarray(beams[0][1])
+
+
 def generate_response(prompt: str, params, cfg: LlamaConfig, tokenizer,
-                      max_length: int = 512) -> str:
+                      max_length: int = 512, num_beams: int = 5) -> str:
     enc = tokenizer(prompt, add_special_tokens=True)["input_ids"]
-    out = greedy_generate(params, cfg, np.asarray(enc), max_length=max_length,
-                          eos_token_id=getattr(tokenizer, "eos_token_id", None))
+    eos = getattr(tokenizer, "eos_token_id", None)
+    if num_beams > 1:
+        out = beam_generate(params, cfg, np.asarray(enc), max_length=max_length,
+                            num_beams=num_beams, eos_token_id=eos)
+    else:
+        out = greedy_generate(params, cfg, np.asarray(enc), max_length=max_length,
+                              eos_token_id=eos)
     return tokenizer.decode(out.tolist(), skip_special_tokens=True)
 
 
