@@ -41,7 +41,12 @@ def main():
         logits, _ = vit_forward(params, pixels, cfg, compute_dtype=jnp.bfloat16)
         return logits
 
-    ms = measure_latency_scan(fwd, pixels, params, iters=iters)
+    # Optional profiler capture (set SSP_X_VIT_TRACE_DIR): traces the dense
+    # measurement for TensorBoard/Perfetto inspection.
+    from ssp_x_vit_tpu.utils.profiling import trace
+
+    with trace():
+        ms = measure_latency_scan(fwd, pixels, params, iters=iters)
     img_per_s = batch / (ms / 1e3)
 
     detail = {
