@@ -50,9 +50,12 @@ def ffn_forward(
         (output [batch, seq, hidden], stats [batch, d_int] or None)
     """
     if use_pallas_kernel is None:
-        # Measured: XLA's matmul+epilogue fusion beats the fused kernel at ViT
-        # shapes (docs/tpu_notes.md), so the pallas FFN is explicit opt-in.
-        use_pallas_kernel = False
+        from ssp_x_vit_tpu.ops.dispatch import use_pallas
+
+        # Tuned tiles (s_tile=256, f_tile=1536) beat XLA by ~14% at ViT shapes
+        # with the importance side-output coming for free (docs/tpu_notes.md);
+        # tiny sequences (< one 8-sublane tile of work) stay on the jnp path.
+        use_pallas_kernel = use_pallas() and x.shape[1] >= 64 and fc1_kernel.shape[1] >= 256
     if use_pallas_kernel:
         from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
 
