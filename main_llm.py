@@ -81,7 +81,11 @@ def load_model(args):
     if args.model == "tiny-random":
         cfg = LlamaConfig(**TINY_RANDOM)
         return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
-    raise SystemExit(f"--model must be a local HF directory or 'tiny-random'; got {args.model}")
+    if args.model == "tiny-random-phi":
+        cfg = LlamaConfig(**TINY_RANDOM, model_type="phi", qkv_bias=True, rotary_dim=8)
+        return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
+    raise SystemExit("--model must be a local HF directory, 'tiny-random' or "
+                     f"'tiny-random-phi'; got {args.model}")
 
 
 def load_corpora(args, cfg):

@@ -62,3 +62,16 @@ def test_llm_tp_dp_odd_window_count():
     sharded = shard_llama_params(params, mesh, cfg)
     ppl_sharded = evaluate_perplexity_sharded(sharded, cfg, mesh, stream, seq_len=128)
     assert abs(np.log(ppl_sharded) - np.log(ppl_single)) < 1e-3
+
+
+def test_vit_tp_numerics(tiny_cfg, tiny_params, tiny_batches):
+    """ViT tensor-parallel sharding preserves accuracy numerics exactly."""
+    from ssp_x_vit_tpu.parallel.vit_sharding import shard_vit_params
+    from jax.sharding import PartitionSpec as PS
+
+    single = evaluate_top1(tiny_params, tiny_cfg, tiny_batches[:2])
+    mesh = make_mesh(model=4)
+    sharded = shard_vit_params(tiny_params, mesh, tiny_cfg)
+    assert sharded["blocks"]["qkv_kernel"].sharding.spec == PS(None, None, "model")
+    tp = evaluate_top1(sharded, tiny_cfg, [shard_batch(mesh, b) for b in tiny_batches[:2]])
+    assert abs(single - tp) < 1e-9
