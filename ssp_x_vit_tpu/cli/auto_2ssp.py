@@ -19,8 +19,6 @@ from typing import Any, Dict
 
 import numpy as np
 
-import jax.numpy as jnp
-
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Auto 2SSP for ViT with single TARGET sparsity (TPU-native).")

@@ -8,7 +8,7 @@ uses ``jax.block_until_ready`` in place of cuda/mps synchronization.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

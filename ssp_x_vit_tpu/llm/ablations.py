@@ -18,7 +18,7 @@ from __future__ import annotations
 import functools
 import logging
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import copy
 import functools
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,7 @@ orthogonal upper-left block to each Q (src/slicegpt.py:56).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

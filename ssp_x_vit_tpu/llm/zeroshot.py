@@ -14,7 +14,7 @@ lm-eval harness when that package is available.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

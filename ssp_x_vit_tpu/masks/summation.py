@@ -13,7 +13,7 @@ then ascending neuron id via stable sort over id-sorted arrays).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -52,10 +52,11 @@ def ffn_forward(
     if use_pallas_kernel is None:
         from ssp_x_vit_tpu.ops.dispatch import use_pallas
 
-        # Tuned tiles (s_tile=256, f_tile=1536) beat XLA by ~14% at ViT shapes
-        # with the importance side-output coming for free (docs/tpu_notes.md);
-        # tiny sequences (< one 8-sublane tile of work) stay on the jnp path.
-        use_pallas_kernel = use_pallas() and x.shape[1] >= 64 and fc1_kernel.shape[1] >= 256
+        # Measured crossover (docs/tpu_notes.md): the tuned kernel wins for
+        # f >= 2048 (dense ViT widths, stats free); below that XLA's epilogue
+        # fusion with the surrounding residual/layernorm ops wins (e.g.
+        # 50%-pruned f=1622: 4.6ms XLA vs 5.3ms pallas).
+        use_pallas_kernel = use_pallas() and x.shape[1] >= 64 and fc1_kernel.shape[1] >= 2048
     if use_pallas_kernel:
         from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
 

@@ -17,7 +17,6 @@ differentiates through attention at all.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -118,8 +118,15 @@ def _fused_ffn_forward(x, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias, neuron_mas
 
     s_tile = S_TILE if s > S_TILE else _round_up(s, 8)
     s_pad = _round_up(s, s_tile)
-    f_tile = min(F_TILE, _round_up(f, 128))
-    f_pad = _round_up(f, f_tile)
+    # Pick the largest f-tile (<= F_TILE, multiple of 128) that does not pad
+    # beyond the minimal 128-aligned width — a fixed tile can nearly DOUBLE
+    # the work for pruned widths (e.g. f=1622 with tile 1536 pads to 3072).
+    min_pad = _round_up(f, 128)
+    f_tile, f_pad = 128, min_pad
+    for t in range(F_TILE, 0, -128):
+        if _round_up(f, t) == min_pad:
+            f_tile, f_pad = t, min_pad
+            break
 
     xp = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else x
     w1 = jnp.pad(fc1_kernel, ((0, 0), (0, f_pad - f))) if f_pad != f else fc1_kernel

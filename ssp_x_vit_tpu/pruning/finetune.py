@@ -10,7 +10,7 @@ gradients (exactly the reference's requires_grad freeze).
 from __future__ import annotations
 
 import functools
-from typing import Iterable, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ DEPTH: [q,k,v,proj], [fc1,fc2]; WIDTH: [q,k], [v,proj], [fc1,fc2]; HEAD: [q,k],[
 from __future__ import annotations
 
 import enum
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
