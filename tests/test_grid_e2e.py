@@ -59,3 +59,16 @@ def test_grid_records_failures(score_files, tmp_path):
     assert rows[0]["status"].startswith("apply_failed_rc_")
     # failed rows are NOT treated as complete
     assert ("a+b", 10) not in load_completed_ok(csv_path)
+
+
+def test_consensus_grid_end_to_end(score_files, tmp_path):
+    out = tmp_path / "gridc"
+    csv_path = run_grid(
+        "consensus", score_files, sizes={2}, prune_levels=[20], out_dir=out,
+        apply_args=["--model", "tiny", "--dataset", "synthetic",
+                    "--min-remaining", "32", "--eval-batches", "1",
+                    "--backend", "cpu"],
+    )
+    rows = list(csv.DictReader(csv_path.open()))
+    assert len(rows) == 1 and rows[0]["status"] == "ok"
+    assert (out / "mask_consensus.json").exists()
