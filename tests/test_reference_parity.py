@@ -70,3 +70,79 @@ def test_planner_matches_reference_on_tiny_hf_vit():
         assert our_p.blocks_to_prune == ref_p.blocks_to_prune, target
         assert our_p.per_block_neurons_to_prune == ref_p.per_block_neurons_to_prune, target
         assert our_p.estimated_total_removed_params == ref_p.estimated_total_removed_params, target
+
+
+def test_stage1_width_pruning_matches_reference(tmp_path):
+    """Full stage-1 head-to-head on an IDENTICAL tiny HF ViT: activation
+    importance agrees (autocast-bf16 vs fp32 tolerance), and pruning with the
+    reference's own importance yields matching pruned-model logits."""
+    torch = pytest.importorskip("torch")
+    from transformers import ViTConfig as HFViTConfig, ViTForImageClassification
+
+    sys.path.insert(0, REF)
+    from src.vit_pruning import (
+        _compute_ffn_activation_importance as ref_importance,
+        prune_vit_mlp_width as ref_prune,
+    )
+
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.models.checkpoints import load_hf_vit
+    from ssp_x_vit_tpu.models.vit import vit_forward, vit_forward_materialized
+    from ssp_x_vit_tpu.pruning import (
+        compute_ffn_activation_importance, select_keep_indices,
+        materialize_width_pruning,
+    )
+
+    hf_cfg = HFViTConfig(hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+                         intermediate_size=128, image_size=32, patch_size=16,
+                         num_labels=10)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = ViTForImageClassification(hf_cfg).eval()
+        model.save_pretrained(tmp_path / "vit")
+    params, cfg = load_hf_vit(str(tmp_path / "vit"))
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    loader = [{"pixel_values": torch.from_numpy(px.transpose(0, 3, 1, 2)),
+               "labels": torch.zeros(8, dtype=torch.long)}]
+    batches = [{"pixel_values": jnp.asarray(px), "labels": jnp.zeros(8, jnp.int32)}]
+
+    with torch.no_grad():
+        ref_imps = ref_importance(model, loader, device="cpu")
+    our_imp = compute_ffn_activation_importance(params, cfg, batches)
+
+    for b in range(3):
+        r = np.asarray([float(v) for v in ref_imps[b]])
+        o = our_imp[b]
+        # reference hooks run under cpu autocast (bfloat16): ~0.5% tolerance
+        np.testing.assert_allclose(o, r, rtol=2e-2, atol=2e-2)
+        # keep-set agreement for the actual prune count
+        keep_r = set(np.argsort(-r, kind="stable")[:96].tolist())
+        keep_o = set(np.argsort(-o, kind="stable")[:96].tolist())
+        assert len(keep_r & keep_o) >= 92  # boundary ties may flip a few
+
+    # Prune BOTH with the reference's importance -> identical keep sets.
+    # bf16-quantized scores contain exact ties, which torch's UNSTABLE
+    # descending argsort breaks arbitrarily (reference behavior is
+    # unspecified there); add a tiny index-dependent tiebreaker so both
+    # implementations face a strict ordering.
+    ref_np = [np.asarray([float(v) for v in t]) + np.arange(128) * 1e-9
+              for t in ref_imps]
+    with torch.no_grad():
+        res = ref_prune(model, n_to_prune_per_block=[32, 32, 32], min_remaining=16,
+                        precomputed_importance=[torch.tensor(t) for t in ref_np],
+                        collect_masks=True)
+    width = select_keep_indices(np.stack(ref_np), n_to_prune_per_block=[32, 32, 32],
+                                min_remaining=16, verbose=False)
+    # same pruned index sets as the reference
+    for b in range(3):
+        assert res["ffn_pruned_indices"][b] == width.pruned_indices[b]
+
+    p2, c2 = materialize_width_pruning(params, cfg, width.keep_indices)
+    with torch.no_grad():
+        ref_logits = res["model"](
+            pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2))).logits.numpy()
+    ours = vit_forward_materialized(p2, jnp.asarray(px), c2)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, rtol=3e-4, atol=3e-4)
