@@ -146,3 +146,58 @@ def test_stage1_width_pruning_matches_reference(tmp_path):
             pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2))).logits.numpy()
     ours = vit_forward_materialized(p2, jnp.asarray(px), c2)
     np.testing.assert_allclose(np.asarray(ours), ref_logits, rtol=3e-4, atol=3e-4)
+
+
+def test_llm_mlp_importance_matches_reference(tmp_path):
+    """2SSP LLM stage-1 statistic head-to-head: reference get_mlp_hidden_state
+    hooks vs our fused side-output on an identical tiny LlamaForCausalLM.
+
+    (The reference's stage-2 maskModel monkey-patching no longer runs under
+    transformers 4.57 — attention return-arity changed — so the comparison
+    covers the hook-based stage-1 path, which still works.)"""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    sys.path.insert(0, REF)
+    # src.utilities imports src.evaluation which imports the vendored-only
+    # lm_eval; stub it (we only need the hook helper).
+    import types
+
+    sys.modules.setdefault("lm_eval", types.ModuleType("lm_eval"))
+    from src.utilities import get_mlp_hidden_state
+
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.llm.checkpoints import load_hf_llama
+    from ssp_x_vit_tpu.llm.pruning import mlp_hidden_importance
+
+    hf_cfg = HFLlamaConfig(vocab_size=96, hidden_size=32, num_hidden_layers=3,
+                           num_attention_heads=4, num_key_value_heads=4,
+                           intermediate_size=48, max_position_embeddings=64,
+                           tie_word_embeddings=False)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = LlamaForCausalLM(hf_cfg).eval()
+        model.save_pretrained(tmp_path / "llama")
+        model.config.model_type = "llama"
+    params, cfg = load_hf_llama(str(tmp_path / "llama"), dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    samples = [rng.integers(0, 96, (1, 32)).astype(np.int64) for _ in range(3)]
+
+    # reference: per-sample L2 over tokens of the down_proj input, averaged
+    avg = [0.0] * 3
+    with torch.no_grad():
+        for s in samples:
+            hs = get_mlp_hidden_state(model, torch.from_numpy(s))
+            for li in range(3):
+                avg[li] = avg[li] + hs[li].float().norm(dim=0, p=2)
+    ref_imp = np.stack([np.asarray((a / len(samples)).numpy()) for a in avg])
+
+    ours = mlp_hidden_importance(params, cfg, [s.astype(np.int32) for s in samples])
+    np.testing.assert_allclose(ours, ref_imp, rtol=2e-3, atol=2e-3)
+    # identical keep-sets at the 2SSP preserve count
+    for li in range(3):
+        keep_r = set(np.argsort(-ref_imp[li], kind="stable")[:32].tolist())
+        keep_o = set(np.argsort(-ours[li], kind="stable")[:32].tolist())
+        assert len(keep_r & keep_o) >= 31
