@@ -24,12 +24,19 @@ import numpy as np
 from ssp_x_vit_tpu.models.vit import ViTConfig, vit_forward, vit_forward_materialized
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "materialized"))
-def _correct_in_batch(params, pixel_values, labels, cfg: ViTConfig, materialized: bool):
+def _eval_dtype():
+    """bf16 on TPU (the reference evaluates under autocast fp16/bf16,
+    src/vit_pruning.py:339-352), fp32 elsewhere for test determinism."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "materialized", "dtype"))
+def _correct_in_batch(params, pixel_values, labels, cfg: ViTConfig,
+                      materialized: bool, dtype):
     if materialized:
-        logits = vit_forward_materialized(params, pixel_values, cfg)
+        logits = vit_forward_materialized(params, pixel_values, cfg, compute_dtype=dtype)
     else:
-        logits, _ = vit_forward(params, pixel_values, cfg)
+        logits, _ = vit_forward(params, pixel_values, cfg, compute_dtype=dtype)
     preds = jnp.argmax(logits, axis=-1)
     return jnp.sum(preds == labels)
 
@@ -50,17 +57,19 @@ def evaluate_top1(
             break
         px = jnp.asarray(batch["pixel_values"])
         labels = jnp.asarray(batch["labels"])
-        correct += int(_correct_in_batch(params, px, labels, cfg, materialized))
+        correct += int(_correct_in_batch(params, px, labels, cfg, materialized, _eval_dtype()))
         total += int(labels.shape[0])
     return correct / max(1, total)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _candidate_correct_in_batch(params, pixel_values, labels, attn_gates, neuron_mask, cfg: ViTConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _candidate_correct_in_batch(params, pixel_values, labels, attn_gates, neuron_mask,
+                                cfg: ViTConfig, dtype):
     """attn_gates: [C, num_layers] -> per-candidate correct counts [C]."""
 
     def one(gate):
-        logits, _ = vit_forward(params, pixel_values, cfg, attn_gate=gate, neuron_mask=neuron_mask)
+        logits, _ = vit_forward(params, pixel_values, cfg, attn_gate=gate,
+                                neuron_mask=neuron_mask, compute_dtype=dtype)
         preds = jnp.argmax(logits, axis=-1)
         return jnp.sum(preds == labels)
 
@@ -87,6 +96,7 @@ def evaluate_top1_candidates(
             break
         px = jnp.asarray(batch["pixel_values"])
         labels = jnp.asarray(batch["labels"])
-        correct += np.asarray(_candidate_correct_in_batch(params, px, labels, gates, neuron_mask, cfg))
+        correct += np.asarray(_candidate_correct_in_batch(params, px, labels, gates,
+                                                          neuron_mask, cfg, _eval_dtype()))
         total += int(labels.shape[0])
     return correct / max(1, total)
