@@ -201,3 +201,115 @@ def test_llm_mlp_importance_matches_reference(tmp_path):
         keep_r = set(np.argsort(-ref_imp[li], kind="stable")[:32].tolist())
         keep_o = set(np.argsort(-ours[li], kind="stable")[:32].tolist())
         assert len(keep_r & keep_o) >= 31
+
+
+def _score_files(tmp_path, n_files=3):
+    import json
+
+    files = []
+    for idx in range(n_files):
+        rng = np.random.default_rng(idx + 10)
+        leaf = {f"{i}:{j}": float(rng.normal() * 3 + 5)
+                for i in range(4) for j in range(64)}
+        p = tmp_path / f"s{idx}.json"
+        p.write_text(json.dumps({"ffn": leaf}))
+        files.append(p)
+    return files
+
+
+def test_mask_tool_clis_match_reference(tmp_path):
+    """Run the reference's normalize / summation / consensus SCRIPTS and our
+    CLIs on identical score files; output JSONs must match exactly."""
+    import json
+    import subprocess
+
+    files = _score_files(tmp_path)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(cmd, cwd=None):
+        r = subprocess.run([sys.executable] + cmd, capture_output=True, text=True,
+                           cwd=cwd, env=env)
+        assert r.returncode == 0, r.stderr[-1500:]
+        return r.stdout
+
+    # --- normalize ---
+    ref_norm = tmp_path / "ref_norm"
+    our_norm = tmp_path / "our_norm"
+    ref_norm.mkdir(); our_norm.mkdir()
+    run([f"{REF}/manual-experiments/normalize_scores.py",
+         *[str(f) for f in files], "--output-dir", str(ref_norm)])
+    run(["-m", "ssp_x_vit_tpu.cli.normalize_scores",
+         *[str(f) for f in files], "--out-dir", str(our_norm)], cwd="/root/repo")
+    for f in files:
+        a = json.loads((ref_norm / f.name).read_text())
+        b = json.loads((our_norm / f.name).read_text())
+        ra = np.asarray(list(a["ffn"].values()))
+        rb = np.asarray([b["ffn"][k] for k in a["ffn"]])
+        np.testing.assert_allclose(rb, ra, atol=1e-12)
+
+    norm_files = [str(ref_norm / f.name) for f in files]
+
+    # --- summation aggregate + mask ---
+    run([f"{REF}/manual-experiments/aggregate_and_mask-summation.py", *norm_files,
+         "--prune", "25",
+         "--aggregate-out", str(tmp_path / "ref_agg.json"),
+         "--mask-out", str(tmp_path / "ref_mask.json")])
+    run(["-m", "ssp_x_vit_tpu.cli.aggregate_and_mask_summation", *norm_files,
+         "--prune", "25",
+         "--aggregate-out", str(tmp_path / "our_agg.json"),
+         "--mask-out", str(tmp_path / "our_mask.json")], cwd="/root/repo")
+    ref_agg = json.loads((tmp_path / "ref_agg.json").read_text())["ffn"]
+    our_agg = json.loads((tmp_path / "our_agg.json").read_text())["ffn"]
+    np.testing.assert_allclose([our_agg[k] for k in ref_agg],
+                               list(ref_agg.values()), atol=1e-12)
+    ref_mask = json.loads((tmp_path / "ref_mask.json").read_text())["ffn"]
+    our_mask = json.loads((tmp_path / "our_mask.json").read_text())["ffn"]
+    assert {k: our_mask[k] for k in ref_mask} == ref_mask
+
+    # --- consensus mask ---
+    run([f"{REF}/manual-experiments/consensus_mask.py", *norm_files,
+         "--prune", "25", "--mask-out", str(tmp_path / "ref_cons.json")])
+    run(["-m", "ssp_x_vit_tpu.cli.consensus_mask", *norm_files,
+         "--prune", "25", "--mask-out", str(tmp_path / "our_cons.json")],
+        cwd="/root/repo")
+    ref_cons = json.loads((tmp_path / "ref_cons.json").read_text())["ffn"]
+    our_cons = json.loads((tmp_path / "our_cons.json").read_text())["ffn"]
+    assert {k: our_cons[k] for k in ref_cons} == ref_cons
+
+
+def test_perplexity_estimator_matches_reference(tmp_path):
+    """Reference evaluate_perplexity (torch, running-mean estimator) vs ours
+    on an identical tiny llama + identical token stream."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    sys.path.insert(0, REF)
+    import types
+
+    sys.modules.setdefault("lm_eval", types.ModuleType("lm_eval"))
+    from src.evaluation import evaluate_perplexity as ref_ppl
+
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.llm.checkpoints import load_hf_llama
+    from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
+
+    hf_cfg = HFLlamaConfig(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=4,
+                           intermediate_size=48, max_position_embeddings=64,
+                           tie_word_embeddings=False)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = LlamaForCausalLM(hf_cfg).eval()
+        model.save_pretrained(tmp_path / "llama")
+    params, cfg = load_hf_llama(str(tmp_path / "llama"), dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, (1, 32 * 5)).astype(np.int64)
+    with torch.no_grad():
+        r = ref_ppl(model, torch.from_numpy(ids), seq_len=32, enable_tqdm=False,
+                    device="cpu")
+    o = evaluate_perplexity(params, cfg, ids.astype(np.int32), seq_len=32,
+                            enable_tqdm=False)
+    assert abs(np.log(o) - np.log(r)) < 1e-3, (o, r)
