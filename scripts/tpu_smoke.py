@@ -37,7 +37,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     for (b, h, s, hd, dtype, tol) in [
-        (8, 12, 197, 64, jnp.float32, 2e-5),
+        (8, 12, 197, 64, jnp.float32, 5e-3),  # TPU matmuls use bf16 MXU passes at default precision
         (8, 12, 197, 64, jnp.bfloat16, 2e-2),
         (1, 8, 2048, 64, jnp.bfloat16, 2e-2),
     ]:
