@@ -72,6 +72,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard calibration/eval batches over all devices "
                         "(jax.sharding mesh; no-op on a single chip)")
+    # Re-apply a previous run's pruning decisions without recomputing
+    # importance (the artifact-resume loop, reference SURVEY.md §5.4:
+    # auto_2ssp.py:789-817 artifacts consumed by later runs).
+    p.add_argument("--ffn-masks-json", type=str, default=None,
+                   help="ffn_prune_masks.json from a previous run: reuse its "
+                        "per-block masks for stage-1 instead of importance")
+    p.add_argument("--attn-indices-json", type=str, default=None,
+                   help="attention_pruned_indices.json from a previous run: "
+                        "prune exactly those blocks in stage-2 (no search)")
     return p
 
 
@@ -179,21 +188,45 @@ def run(args) -> Dict[str, Any]:
         print(f"[PLAN] target={plan.target_sparsity:.3f}, blocks_to_prune={plan.blocks_to_prune}, "
               f"per_block_neurons_to_prune={plan.per_block_neurons_to_prune}")
 
-    # Importances once, on the dense model (reference :633-641)
-    iface = Auto2SSPInterface(
-        params, cfg, calib_batches or test_batches,
-        importance_mode=args.depth_importance,
-        batch_limit=args.eval_batches, min_remaining=args.min_remaining,
-    )
-    att_imp, mlp_imp = iface.fit()
-    mlp_imp_arr = np.stack([np.asarray(x) for x in mlp_imp])
+    # Artifact resume: reuse a previous run's decisions instead of importance.
+    reapply_attn = None
+    if args.attn_indices_json:
+        with open(args.attn_indices_json) as f:
+            reapply_attn = [int(i) for i in json.load(f)["indices"]]
+        print(f"[INFO] Re-applying attention pruning from artifact: {reapply_attn}")
+    reapply_mlp_imp = None
+    if args.ffn_masks_json:
+        with open(args.ffn_masks_json) as f:
+            masks = json.load(f)["masks"]  # list of per-block 0/1 lists (1=prune)
+        reapply_mlp_imp = np.where(np.asarray(masks, np.float32) == 1, -1.0, 1.0)
+        print(f"[INFO] Re-applying FFN masks from artifact "
+              f"({int((reapply_mlp_imp < 0).sum())} neurons marked)")
+
+    # Importances once, on the dense model (reference :633-641); skipped for
+    # the parts covered by artifacts.
+    if reapply_attn is not None and reapply_mlp_imp is not None:
+        att_imp = np.zeros((cfg.num_layers,), np.float32)
+        mlp_imp_arr = reapply_mlp_imp
+    else:
+        iface = Auto2SSPInterface(
+            params, cfg, calib_batches or test_batches,
+            importance_mode=args.depth_importance,
+            batch_limit=args.eval_batches, min_remaining=args.min_remaining,
+        )
+        att_imp, mlp_imp = iface.fit()
+        mlp_imp_arr = np.stack([np.asarray(x) for x in mlp_imp])
+        if reapply_mlp_imp is not None:
+            mlp_imp_arr = reapply_mlp_imp
 
     B = cfg.num_layers
     ffn_masks = ffn_indices = None
     work_params, work_cfg = params, cfg
 
     if args.stage in ("both", "s1"):
-        if args.stage == "both":
+        if reapply_mlp_imp is not None:
+            n_to_prune = [int((reapply_mlp_imp[i] < 0).sum()) for i in range(B)]
+            print(f"[S1] Re-applying artifact masks: n_to_prune_per_block={n_to_prune}")
+        elif args.stage == "both":
             n_to_prune = [plan.per_block_neurons_to_prune] * B
         else:
             if args.s1_sparsity is None:
@@ -223,7 +256,11 @@ def run(args) -> Dict[str, Any]:
                 raise ValueError("When --stage s2, you must provide --s2-sparsity")
             k = max(0, min(B - 1, int(round(B * args.s2_sparsity))))
             print(f"[S2] Using per-component sparsity: s2_sparsity={args.s2_sparsity} -> K={k}/{B} blocks")
-        if k > 0:
+        if reapply_attn is not None:
+            pruned_indices = sorted(set(reapply_attn))[: max(0, cfg.num_layers - 1)]
+            work_params, work_cfg = materialize_depth_pruning(work_params, work_cfg, pruned_indices)
+            print(f"Re-applied blocks to remove attention: {pruned_indices}")
+        elif k > 0:
             pruned_indices = select_attention_blocks_to_prune(att_imp, k)
             work_params, work_cfg = materialize_depth_pruning(work_params, work_cfg, pruned_indices)
             print(f"Selected blocks to remove attention: {pruned_indices}")
