@@ -129,7 +129,6 @@ def load_srp_model(
 
     ``checkpoint_npz`` bypasses index.csv selection (reference
     --srp-checkpoint-npz)."""
-    import jax.numpy as jnp
 
     from ssp_x_vit_tpu.models.checkpoints import load_augreg_npz
     from ssp_x_vit_tpu.models.vit import ViTConfig
