@@ -3,10 +3,10 @@
 
 Greedy decoding with a static-shape KV-free loop: for the short qualitative
 prompts (<=128 tokens) a full-sequence recompute per step is cheap and keeps
-shapes static (one compile). A KV-cache decode path is a later optimization.
-``no_repeat_ngram_size=3`` matches the reference generation kwargs; beam
-search is approximated by greedy (reference uses beams=5 purely for the
-qualitative section).
+shapes static (one compile). A KV-cached decode path lives in
+``llm/serve.py``. ``no_repeat_ngram_size=3`` matches the reference generation
+kwargs; ``beam_generate`` is a true 5-beam search with the same n-gram ban,
+matching the reference's ``num_beams=5`` qualitative protocol.
 """
 
 from __future__ import annotations
