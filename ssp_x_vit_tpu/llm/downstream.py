@@ -1,13 +1,16 @@
-"""Downstream task evaluation via the lm-eval harness (when installed)
+"""Downstream task evaluation via the lm-eval harness
 (reference src/evaluation.py:69-116 evaluation_downstream / eval_zero_shot;
 the reference vendors EleutherAI lm-evaluation-harness v0.4.7 — 23 MB — which
-we deliberately do NOT vendor; SURVEY.md §7 step 9).
+we deliberately do NOT vendor; llm/harness_compat.py path-imports the
+reference's vendored copy read-only when ``lm_eval`` is not pip-installed).
 
-When ``lm_eval`` is importable, ``JaxLM`` adapts our functional model to the
-harness LM interface (loglikelihood / loglikelihood_rolling / generate_until)
-and ``evaluation_downstream`` runs the reference task list. Without it, the
-standalone zero-shot core (llm/zeroshot.py) provides the same scoring
-mechanism for local task files.
+``JaxLM`` adapts our functional model to the harness LM interface
+(loglikelihood / loglikelihood_rolling / generate_until) following the HFLM
+conventions (lm_harness/lm_eval/models/huggingface.py): a real ``is_greedy``
+bit from argmax agreement, and BOS-prefixed rolling windows via the harness's
+own ``get_rolling_token_windows(context_len=1)``. The standalone zero-shot
+core (llm/zeroshot.py) provides the same scoring mechanism without the
+harness for local task files.
 """
 
 from __future__ import annotations
@@ -22,55 +25,96 @@ TASK_LIST = ["winogrande", "arc_easy", "arc_challenge", "hellaswag", "piqa", "mm
 
 def lm_eval_available() -> bool:
     try:
-        import lm_eval  # noqa: F401
+        from ssp_x_vit_tpu.llm.harness_compat import ensure_lm_eval
 
+        ensure_lm_eval()
         return True
     except Exception:
         return False
 
 
-def make_jax_lm(params, cfg, tokenizer, batch_size: int = 1):
+def make_jax_lm(params, cfg, tokenizer, batch_size: int = 1, max_length: int = 2048):
     """Build an lm_eval LM adapter around the functional model."""
+    from ssp_x_vit_tpu.llm.harness_compat import ensure_lm_eval
+
+    ensure_lm_eval()
     import lm_eval.api.model as lm_model
+    from lm_eval.utils import get_rolling_token_windows, make_disjoint_window
 
     from ssp_x_vit_tpu.llm.generate import greedy_generate
-    from ssp_x_vit_tpu.llm.zeroshot import sequence_loglikelihood
+    from ssp_x_vit_tpu.llm.zeroshot import sequence_loglikelihood_greedy
+
+    def _encode(text: str) -> List[int]:
+        return tokenizer(text, add_special_tokens=False)["input_ids"]
+
+    def _prefix_token() -> int:
+        # HFLM prefix_token_id: BOS if set, else EOS, else 0.
+        for tok in (tokenizer.bos_token_id, tokenizer.eos_token_id):
+            if tok is not None:
+                return int(tok)
+        return 0
+
+    def _score(ctx: List[int], cont: List[int]) -> Tuple[float, bool]:
+        total = len(ctx) + len(cont)
+        pad_to = -(-total // 128) * 128
+        return sequence_loglikelihood_greedy(params, cfg, ctx, cont, pad_to=pad_to)
 
     class JaxLM(lm_model.LM):
-        def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
+        def loglikelihood(self, requests, disable_tqdm: bool = False
+                          ) -> List[Tuple[float, bool]]:
             out = []
             for req in requests:
                 context, continuation = req.args
-                ctx = tokenizer(context, add_special_tokens=False)["input_ids"] or [
-                    tokenizer.bos_token_id or 0]
-                cont = tokenizer(continuation, add_special_tokens=False)["input_ids"]
-                total = len(ctx) + len(cont)
-                pad_to = -(-total // 128) * 128
-                ll = sequence_loglikelihood(params, cfg, ctx, cont, pad_to=pad_to)
-                # greedy check: is the continuation the argmax continuation?
-                out.append((ll, False))
+                ctx = _encode(context) or [_prefix_token()]
+                cont = _encode(continuation)
+                # HFLM truncates from the left to fit max_length, keeping at
+                # least one context token.
+                overflow = len(ctx) + len(cont) - max_length
+                if overflow > 0:
+                    ctx = ctx[overflow:] or ctx[-1:]
+                out.append(_score(ctx, cont))
             return out
 
-        def loglikelihood_rolling(self, requests) -> List[float]:
+        def loglikelihood_rolling(self, requests, disable_tqdm: bool = False
+                                  ) -> List[float]:
+            # Harness convention: window the full text with a BOS-like prefix
+            # token so EVERY token (including the first) is scored
+            # (huggingface.py loglikelihood_rolling, context_len=1).
             out = []
             for req in requests:
                 (text,) = req.args
-                ids = tokenizer(text, add_special_tokens=False)["input_ids"]
-                ll = sequence_loglikelihood(params, cfg, ids[:1], ids[1:],
-                                            pad_to=-(-len(ids) // 128) * 128)
-                out.append(ll)
+                ids = _encode(text)
+                windows = [
+                    make_disjoint_window(w)
+                    for w in get_rolling_token_windows(
+                        token_list=ids,
+                        prefix_token=_prefix_token(),
+                        max_seq_len=max_length,
+                        context_len=1,
+                    )
+                ]
+                total = 0.0
+                for ctx, cont in windows:
+                    ll, _ = _score(list(ctx), list(cont))
+                    total += ll
+                out.append(total)
             return out
 
-        def generate_until(self, requests) -> List[str]:
+        def generate_until(self, requests, disable_tqdm: bool = False) -> List[str]:
             outs = []
             for req in requests:
                 context, gen_kwargs = req.args
-                ids = tokenizer(context, add_special_tokens=False)["input_ids"]
+                ids = _encode(context)
                 max_len = len(ids) + int(gen_kwargs.get("max_gen_toks", 64))
                 seq = greedy_generate(params, cfg, np.asarray(ids), max_length=max_len,
                                       eos_token_id=tokenizer.eos_token_id)
-                outs.append(tokenizer.decode(seq[len(ids):].tolist(),
-                                             skip_special_tokens=True))
+                text = tokenizer.decode(seq[len(ids):].tolist(),
+                                        skip_special_tokens=True)
+                for stop in gen_kwargs.get("until", []) or []:
+                    idx = text.find(stop)
+                    if idx >= 0:
+                        text = text[:idx]
+                outs.append(text)
             return outs
 
     return JaxLM()
@@ -79,7 +123,9 @@ def make_jax_lm(params, cfg, tokenizer, batch_size: int = 1):
 def eval_zero_shot(model_name, params, cfg, tokenizer, task_list=None,
                    num_fewshot: int = 0, limit: Optional[int] = None):
     """(reference src/evaluation.py:88-116)"""
-    import lm_eval
+    from ssp_x_vit_tpu.llm.harness_compat import ensure_lm_eval
+
+    lm_eval = ensure_lm_eval()
 
     if limit is None and any(s in model_name for s in ("70b", "65b")):
         limit = 2000
@@ -100,9 +146,10 @@ def evaluation_downstream(params, cfg, model_name_or_dir: str, num_fewshot: int 
     """(reference src/evaluation.py:69-84)"""
     if not lm_eval_available():
         logging.warning(
-            "lm-eval harness not installed in this environment; downstream tasks "
-            "need it (the reference vendors v0.4.7). The standalone zero-shot "
-            "core is available as ssp_x_vit_tpu.llm.zeroshot for local tasks.")
+            "lm-eval harness not importable (not installed, and no vendored "
+            "copy found); downstream tasks need it (the reference vendors "
+            "v0.4.7). The standalone zero-shot core is available as "
+            "ssp_x_vit_tpu.llm.zeroshot for local tasks.")
         return None
     from transformers import AutoTokenizer
 

@@ -34,6 +34,21 @@ def _token_logprobs(params, tokens, cfg: LlamaConfig):
     return jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]  # [b, s-1]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _token_logprobs_and_argmax(params, tokens, cfg: LlamaConfig):
+    """Like ``_token_logprobs`` but also returns the greedy (argmax) token at
+    each position — needed for the lm-eval harness ``is_greedy`` bit."""
+    if cfg.pruned_attention_blocks:
+        logits = llama_forward_materialized(params, tokens, cfg)
+    else:
+        logits, _ = llama_forward(params, tokens, cfg)
+    shifted = logits[:, :-1].astype(jnp.float32)
+    logp = jax.nn.log_softmax(shifted, axis=-1)
+    token_lp = jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+    greedy = jnp.argmax(shifted, axis=-1)  # [b, s-1]
+    return token_lp, greedy
+
+
 def sequence_loglikelihood(
     params, cfg: LlamaConfig,
     context_tokens: Sequence[int],
@@ -53,6 +68,34 @@ def sequence_loglikelihood(
     lp = np.asarray(_token_logprobs(params, jnp.asarray(tokens), cfg))[0]  # [padded-1]
     start = len(context_tokens) - 1  # prediction of first continuation token
     return float(lp[start : start + len(continuation_tokens)].sum())
+
+
+def sequence_loglikelihood_greedy(
+    params, cfg: LlamaConfig,
+    context_tokens: Sequence[int],
+    continuation_tokens: Sequence[int],
+    *,
+    pad_to: int = 0,
+) -> tuple:
+    """(log p(continuation | context), is_greedy) — the lm-eval harness
+    ``loglikelihood`` contract: is_greedy is True iff every continuation token
+    is the argmax prediction at its position (harness exact-match metrics use
+    this bit; reference runs it via HFLM, lm_harness/lm_eval/models/huggingface.py)."""
+    ids = list(context_tokens) + list(continuation_tokens)
+    s = len(ids)
+    padded = max(s, pad_to)
+    tokens = np.zeros((1, padded), np.int32)
+    tokens[0, :s] = ids
+    lp, greedy = _token_logprobs_and_argmax(params, jnp.asarray(tokens), cfg)
+    lp = np.asarray(lp)[0]
+    greedy = np.asarray(greedy)[0]
+    start = len(context_tokens) - 1
+    n = len(continuation_tokens)
+    ll = float(lp[start : start + n].sum())
+    is_greedy = bool(
+        (greedy[start : start + n] == np.asarray(continuation_tokens)).all()
+    )
+    return ll, is_greedy
 
 
 def evaluate_multiple_choice(
