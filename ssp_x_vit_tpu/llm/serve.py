@@ -2,50 +2,81 @@
 
 The reference's generation recomputes the full sequence every step
 (HF generate on a research box); for production serving this module provides
-the TPU-native incremental path: a static-shape KV cache ([L, b, max_len,
+the TPU-native incremental path: a static-shape KV cache ([L_attn, b, max_len,
 n_kv, head_dim]), one compiled prefill and one compiled decode step (cache
 donated, position-indexed updates via dynamic_update_slice) — zero retraces
 for any prompt/generation length up to the bucket size.
 
-Llama-layout models only (the phi parallel block would need its own step fn).
+Batching uses LEFT-padded prompts: all sequences share one global write
+position (donation-friendly ``dynamic_update_slice``), per-sequence rotary
+positions subtract the pad length, and the attention mask excludes pad slots
+(``key >= pad_len[i]``). Prompt-length buckets keep the number of compiled
+prefill shapes small without padding every prompt to ``max_length``.
+
+Covers dense llama-layout models (llama/mistral/qwen2/phi-3), phi-2's
+parallel-residual block (partial rotary, LayerNorm, biases), width-pruned
+(uniform stacked scan) and depth-materialized models (attention physically
+absent in pruned blocks -> unrolled layer loop, cache rows only for surviving
+attention, cf. llama_forward_materialized).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, rms_norm
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _layer_norm, rms_norm
+
+PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
 
-def _rope_at(q, k, positions, theta):
-    """Rotary embedding at explicit positions. q/k: [b, s, h, hd]; positions [s]."""
+def bucket_prompt_pad(n: int, buckets: Sequence[int] = PROMPT_BUCKETS) -> int:
+    """Smallest bucket >= n (rounding up to a multiple of 128 past the table),
+    so a handful of compiled prefill shapes serves any prompt length."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // 128) * 128
+
+
+def _rope_at(q, k, positions, theta, rotary_dim: Optional[int] = None):
+    """Rotary embedding at per-sequence positions. q/k: [b, s, h, hd];
+    positions [b, s]. ``rotary_dim`` rotates only the first dims (phi-2)."""
     hd = q.shape[-1]
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
-    freqs = jnp.outer(positions.astype(jnp.float32), inv_freq)  # [s, hd/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
-    cos = jnp.cos(emb)[None, :, None, :]
-    sin = jnp.sin(emb)[None, :, None, :]
+    rd = rotary_dim if (rotary_dim is not None and rotary_dim < hd) else hd
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [b, s, rd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)               # [b, s, rd]
+    cos = jnp.cos(emb)[:, :, None, :]
+    sin = jnp.sin(emb)[:, :, None, :]
 
     def rot(x):
         x1, x2 = jnp.split(x, 2, axis=-1)
         return jnp.concatenate([-x2, x1], axis=-1)
 
-    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
-    return ((q32 * cos + rot(q32) * sin).astype(q.dtype),
-            (k32 * cos + rot(k32) * sin).astype(k.dtype))
+    def apply(x):
+        xr = x[..., :rd].astype(jnp.float32)
+        out = (xr * cos + rot(xr) * sin).astype(x.dtype)
+        return out if rd == hd else jnp.concatenate([out, x[..., rd:]], axis=-1)
+
+    return apply(q), apply(k)
+
+
+def num_attn_layers(cfg: LlamaConfig) -> int:
+    return cfg.num_layers - len(cfg.pruned_attention_blocks)
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (num_attn_layers(cfg), batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
+    """positions: [b, s] per-sequence rotary positions."""
     b, s, _ = x.shape
     q = x @ bp["q_kernel"].astype(compute_dtype)
     k = x @ bp["k_kernel"].astype(compute_dtype)
@@ -57,176 +88,353 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    q, k = _rope_at(q, k, positions, cfg.rope_theta)
+    q, k = _rope_at(q, k, positions, cfg.rope_theta, cfg.rotary_dim)
     return q, k, v
 
 
-def _attend_cached(q, ck, cv, query_positions, cfg: LlamaConfig):
-    """q [b, s_q, h, hd] over cached k/v [b, max_len, nkv, hd]; each query row
-    attends to key positions <= its own position (causal over the cache)."""
+def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig):
+    """q [b, s_q, h, hd] over cached k/v [b, max_len, nkv, hd]; query at global
+    index g attends keys with pad_len[i] <= key_index <= g (left-pad masked)."""
     b, s_q, h, hd = q.shape
     rep = cfg.num_heads // cfg.num_kv_heads
     k = jnp.repeat(ck, rep, axis=2) if rep > 1 else ck
     v = jnp.repeat(cv, rep, axis=2) if rep > 1 else cv
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / (hd ** 0.5)
-    key_pos = jnp.arange(k.shape[1])[None, :]         # [1, max_len]
-    mask = key_pos <= query_positions[:, None]        # [s_q, max_len]
-    logits = jnp.where(mask[None, None], logits, jnp.finfo(jnp.float32).min)
+    key_idx = jnp.arange(k.shape[1])                     # [max_len]
+    causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
+    valid = key_idx[None, None, :] >= pad_lens[:, None, None]
+    mask = (causal & valid)[:, None]                     # [b, 1, s_q, max_len]
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s_q, h * hd)
 
 
+def _write_cache(ck_l, cv_l, k, v, write_pos):
+    ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype),
+                                        (0, write_pos, 0, 0))
+    cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype),
+                                        (0, write_pos, 0, 0))
+    return ck_l, cv_l
+
+
+def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
+                rope_positions, pad_lens, write_pos, compute_dtype, has_attn=True):
+    """One transformer layer over cached attention.
+
+    global_positions [b, s]: indices into the cache for the mask;
+    rope_positions [b, s]: pad-corrected rotary positions;
+    write_pos: scalar cache write offset (shared — prompts are left-padded).
+    """
+    if cfg.is_phi:
+        h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+        delta = jnp.zeros_like(x)
+        if has_attn:
+            q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
+            ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
+            attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
+            delta = attn @ bp["o_kernel"].astype(compute_dtype) + \
+                bp["o_bias"].astype(compute_dtype)
+        from ssp_x_vit_tpu.ops.common import gelu
+
+        hm = h @ bp["fc1_kernel"].astype(compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
+        mlp = gelu(hm) @ bp["fc2_kernel"].astype(compute_dtype) + \
+            bp["fc2_bias"].astype(compute_dtype)
+        return x + delta + mlp, ck_l, cv_l
+
+    if has_attn:
+        h = rms_norm(x, bp["ln1"], cfg.rms_eps)
+        q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
+        ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
+        attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
+        attn = attn @ bp["o_kernel"].astype(compute_dtype)
+        if "o_bias" in bp:
+            attn = attn + bp["o_bias"].astype(compute_dtype)
+        x = x + attn
+    h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+    g = h2 @ bp["gate_kernel"].astype(compute_dtype)
+    u = h2 @ bp["up_kernel"].astype(compute_dtype)
+    return x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype), ck_l, cv_l
+
+
+_LLAMA_ATTN_KEYS = ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
+                    "q_bias", "k_bias", "v_bias", "o_bias")
+
+
+def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
+                global_positions, rope_positions, pad_lens, write_pos,
+                compute_dtype):
+    """All transformer layers. Dense models scan over the stacked pytree;
+    depth-materialized models (attention arrays shorter than MLP arrays)
+    unroll with attn_store_index (cf. llama_forward_materialized)."""
+    blocks = params["blocks"]
+    kw = dict(global_positions=global_positions, rope_positions=rope_positions,
+              pad_lens=pad_lens, write_pos=write_pos, compute_dtype=compute_dtype)
+
+    if not cfg.pruned_attention_blocks:
+        def body(x, scanned):
+            bp, ck_l, cv_l = scanned
+            x, ck_l, cv_l = _layer_step(x, bp, ck_l, cv_l, cfg, **kw)
+            return x, (ck_l, cv_l)
+
+        x, (cache_k, cache_v) = jax.lax.scan(body, x, (blocks, cache_k, cache_v))
+        return x, cache_k, cache_v
+
+    store = cfg.attn_store_index
+    attn_keys = set(_LLAMA_ATTN_KEYS) - ({"ln1"} if cfg.is_phi else set())
+    for i in range(cfg.num_layers):
+        j = store[i]
+        bp = {}
+        for k, v in blocks.items():
+            if k in attn_keys:
+                if j is None:
+                    continue
+                bp[k] = v[j]
+            else:
+                bp[k] = v[i]
+        if j is None:
+            x, _, _ = _layer_step(x, bp, None, None, cfg, has_attn=False, **kw)
+        else:
+            x, ck_l, cv_l = _layer_step(x, bp, cache_k[j], cache_v[j], cfg, **kw)
+            cache_k = cache_k.at[j].set(ck_l)
+            cache_v = cache_v.at[j].set(cv_l)
+    return x, cache_k, cache_v
+
+
+def _final_logits(params, x, cfg: LlamaConfig, compute_dtype):
+    if cfg.is_phi:
+        x = _layer_norm(x, params["ln_final"], params["ln_final_bias"],
+                        cfg.layer_norm_eps)
+    else:
+        x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    head = params.get("lm_head", None)
+    if head is None:
+        head = params["embed"].T
+    logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
+    if "lm_head_bias" in params:
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
+    return logits
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
 def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfig,
-            prompt_len: jax.Array):
-    """Run the prompt ([b, P_pad], right-padded) through the model, filling the
-    cache; returns (logits at the last real position [b, V], cache_k, cache_v)."""
+            pad_lens: jax.Array):
+    """Run LEFT-padded prompts ([b, p_pad]) through the model, filling the
+    cache; ``pad_lens [b]`` = p_pad - prompt_len per sequence. Returns
+    (logits at the last position [b, V], cache_k, cache_v)."""
     compute_dtype = cache_k.dtype
     b, p_pad = tokens.shape
     x = params["embed"].astype(compute_dtype)[tokens]
-    positions = jnp.arange(p_pad)
-
-    def body(x, scanned):
-        bp, ck_l, cv_l = scanned
-        h = rms_norm(x, bp["ln1"], cfg.rms_eps)
-        q, k, v = _block_qkv(h, bp, cfg, positions, compute_dtype)
-        ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype), (0, 0, 0, 0))
-        cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype), (0, 0, 0, 0))
-        attn = _attend_cached(q, ck_l, cv_l, positions, cfg)
-        attn = attn @ bp["o_kernel"].astype(compute_dtype)
-        x = x + attn
-        h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-        g = h2 @ bp["gate_kernel"].astype(compute_dtype)
-        u = h2 @ bp["up_kernel"].astype(compute_dtype)
-        x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
-        return x, (ck_l, cv_l)
-
-    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["blocks"], cache_k, cache_v))
-    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    head = params.get("lm_head", params["embed"].T)
-    logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)  # [b, p_pad, V]
-    idx = jnp.full((b, 1, 1), prompt_len - 1, jnp.int32)
-    last = jnp.take_along_axis(logits, jnp.broadcast_to(idx, (b, 1, logits.shape[-1])),
-                               axis=1)[:, 0]
-    return last, cache_k, cache_v
+    idx = jnp.arange(p_pad)
+    global_positions = jnp.broadcast_to(idx[None], (b, p_pad))
+    rope_positions = jnp.maximum(0, idx[None] - pad_lens[:, None])
+    x, cache_k, cache_v = _run_layers(
+        params, x, cache_k, cache_v, cfg,
+        global_positions=global_positions, rope_positions=rope_positions,
+        pad_lens=pad_lens, write_pos=0, compute_dtype=compute_dtype)
+    return _final_logits(params, x[:, -1:], cfg, compute_dtype)[:, 0], cache_k, cache_v
 
 
 def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
-                 cfg: LlamaConfig, pos: jax.Array):
+                 cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array):
     compute_dtype = cache_k.dtype
     b = token.shape[0]
     x = params["embed"].astype(compute_dtype)[token][:, None, :]  # [b, 1, d]
-    positions = pos[None]
-
-    def body(x, scanned):
-        bp, ck_l, cv_l = scanned
-        h = rms_norm(x, bp["ln1"], cfg.rms_eps)
-        q, k, v = _block_qkv(h, bp, cfg, positions, compute_dtype)
-        ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype), (0, pos, 0, 0))
-        cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype), (0, pos, 0, 0))
-        attn = _attend_cached(q, ck_l, cv_l, positions, cfg)
-        x = x + attn @ bp["o_kernel"].astype(compute_dtype)
-        h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-        g = h2 @ bp["gate_kernel"].astype(compute_dtype)
-        u = h2 @ bp["up_kernel"].astype(compute_dtype)
-        x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
-        return x, (ck_l, cv_l)
-
-    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["blocks"], cache_k, cache_v))
-    x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    head = params.get("lm_head", params["embed"].T)
-    logits = (x[:, 0] @ head.astype(compute_dtype)).astype(jnp.float32)
-    return logits, cache_k, cache_v
+    global_positions = jnp.broadcast_to(pos[None, None], (b, 1))
+    rope_positions = pos[None, None] - pad_lens[:, None]
+    x, cache_k, cache_v = _run_layers(
+        params, x, cache_k, cache_v, cfg,
+        global_positions=global_positions, rope_positions=rope_positions,
+        pad_lens=pad_lens, write_pos=pos, compute_dtype=compute_dtype)
+    return _final_logits(params, x, cfg, compute_dtype)[:, 0], cache_k, cache_v
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
 def decode_step(params: Params, token: jax.Array, cache_k, cache_v,
-                cfg: LlamaConfig, pos: jax.Array):
-    """One token ([b] int32) at position ``pos``; returns (logits [b, V], caches)."""
-    return _decode_body(params, token, cache_k, cache_v, cfg, pos)
+                cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array):
+    """One token ([b] int32) at shared global position ``pos``;
+    returns (logits [b, V], caches)."""
+    return _decode_body(params, token, cache_k, cache_v, cfg, pos, pad_lens)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"), donate_argnums=(2, 3))
-def greedy_decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
-                       cfg: LlamaConfig, start_pos: jax.Array, num_steps: int):
-    """Run ``num_steps`` greedy decode steps ENTIRELY on device (lax.scan with
-    token feedback) — one dispatch for the whole generation, which matters on
-    dispatch-latency-bound links (docs/tpu_notes.md). Returns the generated
+def _sample_token(logits, rng, temperature: float, top_k: Optional[int]):
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / temperature
+    if top_k is not None:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+    return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "temperature", "top_k"),
+    donate_argnums=(2, 3),
+)
+def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
+                cfg: LlamaConfig, start_pos: jax.Array, pad_lens: jax.Array,
+                num_steps: int, rng: Optional[jax.Array] = None,
+                temperature: float = 0.0, top_k: Optional[int] = None):
+    """Run ``num_steps`` decode steps ENTIRELY on device (lax.scan with token
+    feedback) — one dispatch for the whole generation, which matters on
+    dispatch-latency-bound links (docs/tpu_notes.md). Greedy when
+    temperature == 0, else temperature/top-k sampling. Returns the generated
     tokens [num_steps, b] and the final caches."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     def step(carry, _):
-        token, ck, cv, pos = carry
-        logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, ck, cv, pos + 1), nxt
+        token, ck, cv, pos, key = carry
+        logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos, pad_lens)
+        key, sub = jax.random.split(key)
+        nxt = _sample_token(logits, sub, temperature, top_k)
+        return (nxt, ck, cv, pos + 1, key), nxt
 
-    (_, cache_k, cache_v, _), tokens = jax.lax.scan(
-        step, (first_token, cache_k, cache_v, start_pos), None, length=num_steps)
+    (_, cache_k, cache_v, _, _), tokens = jax.lax.scan(
+        step, (first_token, cache_k, cache_v, start_pos, rng), None,
+        length=num_steps)
     return tokens, cache_k, cache_v
 
 
-def greedy_generate_kv_scan(
+# Backwards-compatible alias (greedy-only entry used by benchmarks).
+def greedy_decode_scan(params, first_token, cache_k, cache_v, cfg, start_pos,
+                       pad_lens, num_steps: int):
+    return decode_scan(params, first_token, cache_k, cache_v, cfg, start_pos,
+                       pad_lens, num_steps)
+
+
+def _prepare_prompts(input_ids, max_length: int):
+    """list/array of prompts -> (tokens [b, p_pad] left-padded, pad_lens [b],
+    prompt_lens [b], p_pad)."""
+    if isinstance(input_ids, np.ndarray) and input_ids.ndim == 1:
+        prompts = [input_ids.tolist()]
+    elif isinstance(input_ids, np.ndarray):
+        prompts = [row.tolist() for row in input_ids]
+    elif input_ids and isinstance(input_ids[0], (int, np.integer)):
+        prompts = [list(input_ids)]
+    else:
+        prompts = [list(p) for p in input_ids]
+    lens = np.asarray([len(p) for p in prompts], np.int32)
+    if lens.max() >= max_length:
+        raise ValueError(f"prompt length {lens.max()} >= max_length {max_length}")
+    p_pad = min(bucket_prompt_pad(int(lens.max())), max_length)
+    p_pad = max(p_pad, int(lens.max()))
+    tokens = np.zeros((len(prompts), p_pad), np.int32)
+    for i, p in enumerate(prompts):
+        tokens[i, p_pad - len(p):] = p
+    return tokens, (p_pad - lens).astype(np.int32), lens, p_pad
+
+
+def _trim_outputs(prompts_lens, pad_lens, p_pad, prompt_tokens, gen, max_length,
+                  eos_token_id):
+    """Assemble per-sequence outputs: prompt + generated, cut at eos/cap."""
+    outs = []
+    b = len(prompts_lens)
+    for i in range(b):
+        prompt = prompt_tokens[i, pad_lens[i]:].tolist()
+        budget = max_length - prompts_lens[i]
+        seq = gen[: max(0, budget), i].tolist()
+        if eos_token_id is not None and eos_token_id in seq:
+            seq = seq[: seq.index(eos_token_id) + 1]
+        outs.append(np.asarray(prompt + seq, np.int32))
+    return outs
+
+
+def generate_kv_scan(
     params: Params,
     cfg: LlamaConfig,
-    input_ids: np.ndarray,
+    input_ids,
     *,
     max_length: int = 64,
+    eos_token_id: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
-) -> np.ndarray:
-    """Whole-generation-on-device greedy decoding: prefill + ONE scan dispatch
-    (no per-token host round trips; no early eos stop by construction)."""
-    if cfg.is_phi or cfg.pruned_attention_blocks:
-        raise NotImplementedError("KV serve path covers dense llama-layout models")
-    prompt = np.asarray(input_ids).reshape(-1).astype(np.int32)
-    cache_k, cache_v = init_cache(cfg, 1, max_length, cache_dtype)
-    tokens = np.zeros((1, max_length), np.int32)
-    tokens[0, : len(prompt)] = prompt
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """Whole-generation-on-device decoding: prefill + ONE scan dispatch (no
+    per-token host round trips). Batched: ``input_ids`` may be one prompt or a
+    list of prompts of different lengths (left-padded to a shared bucket).
+    Returns a list of per-sequence token arrays (prompt + generation, trimmed
+    at eos); a single 1-D prompt returns a single array."""
+    single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
+        not isinstance(input_ids, np.ndarray) and input_ids
+        and isinstance(input_ids[0], (int, np.integer)))
+    tokens, pad_lens, lens, p_pad = _prepare_prompts(input_ids, max_length)
+    b = tokens.shape[0]
+    num_steps = max_length - int(lens.min()) - 1
+    cache_k, cache_v = init_cache(cfg, b, p_pad + max(num_steps, 0) + 1, cache_dtype)
     logits, cache_k, cache_v = prefill(
-        params, jnp.asarray(tokens), cache_k, cache_v, cfg,
-        jnp.asarray(len(prompt), jnp.int32))
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # token at pos P
-    num_steps = max_length - len(prompt) - 1
+        params, jnp.asarray(tokens), cache_k, cache_v, cfg, jnp.asarray(pad_lens))
+    if temperature <= 0.0:
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, sub = jax.random.split(rng)
+        first = _sample_token(logits, sub, temperature, top_k)
     if num_steps <= 0:
-        return np.concatenate([prompt, np.asarray(first)])[:max_length]
-    gen, _, _ = greedy_decode_scan(params, first, cache_k, cache_v, cfg,
-                                   jnp.asarray(len(prompt), jnp.int32), num_steps)
-    return np.concatenate([prompt, np.asarray(first), np.asarray(gen)[:, 0]])
+        gen = np.asarray(first)[None]
+    else:
+        toks, _, _ = decode_scan(
+            params, first, cache_k, cache_v, cfg,
+            jnp.asarray(p_pad, jnp.int32), jnp.asarray(pad_lens), num_steps,
+            rng=rng, temperature=temperature, top_k=top_k)
+        gen = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0)
+    outs = _trim_outputs(lens, pad_lens, p_pad, tokens, gen, max_length,
+                         eos_token_id)
+    return outs[0] if single else outs
+
+
+def greedy_generate_kv_scan(params, cfg, input_ids, *, max_length: int = 64,
+                            cache_dtype=jnp.bfloat16):
+    """Greedy whole-generation-on-device decoding (see generate_kv_scan)."""
+    return generate_kv_scan(params, cfg, input_ids, max_length=max_length,
+                            cache_dtype=cache_dtype)
 
 
 def greedy_generate_kv(
     params: Params,
     cfg: LlamaConfig,
-    input_ids: np.ndarray,
+    input_ids,
     *,
     max_length: int = 64,
     eos_token_id: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
-) -> np.ndarray:
-    """KV-cached greedy decoding (functionally equals generate.greedy_generate
-    without n-gram banning). One prefill compile + one decode-step compile."""
-    if cfg.is_phi or cfg.pruned_attention_blocks:
-        raise NotImplementedError("KV serve path covers dense llama-layout models")
-    prompt = np.asarray(input_ids).reshape(-1).astype(np.int32)
-    b = 1
-    cache_k, cache_v = init_cache(cfg, b, max_length, cache_dtype)
-    p_pad = max_length  # one bucket; prompts are short in this workload
-
-    tokens = np.zeros((b, p_pad), np.int32)
-    tokens[0, : len(prompt)] = prompt
+):
+    """KV-cached greedy decoding with per-token host feedback (early eos stop).
+    Functionally equals generate.greedy_generate without n-gram banning.
+    One prefill compile per prompt bucket + one decode-step compile. Batched:
+    sequences that hit eos keep decoding but their outputs are trimmed."""
+    single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
+        not isinstance(input_ids, np.ndarray) and input_ids
+        and isinstance(input_ids[0], (int, np.integer)))
+    tokens, pad_lens, lens, p_pad = _prepare_prompts(input_ids, max_length)
+    b = tokens.shape[0]
+    max_steps = max_length - int(lens.min())
+    cache_k, cache_v = init_cache(cfg, b, p_pad + max_steps, cache_dtype)
     logits, cache_k, cache_v = prefill(
-        params, jnp.asarray(tokens), cache_k, cache_v, cfg,
-        jnp.asarray(len(prompt), jnp.int32))
+        params, jnp.asarray(tokens), cache_k, cache_v, cfg, jnp.asarray(pad_lens))
 
-    ids = list(prompt.tolist())
-    while len(ids) < max_length:
-        nxt = int(np.argmax(np.asarray(logits)[0]))
-        ids.append(nxt)
-        if eos_token_id is not None and nxt == eos_token_id:
-            break
-        if len(ids) >= max_length:
+    generated = [[] for _ in range(b)]
+    done = np.zeros(b, bool)
+    pos = p_pad
+    while True:
+        nxt = np.argmax(np.asarray(logits), axis=-1).astype(np.int32)
+        for i in range(b):
+            if not done[i] and len(generated[i]) < max_length - lens[i]:
+                generated[i].append(int(nxt[i]))
+                if eos_token_id is not None and nxt[i] == eos_token_id:
+                    done[i] = True
+                if len(generated[i]) >= max_length - lens[i]:
+                    done[i] = True
+        if done.all():
             break
         logits, cache_k, cache_v = decode_step(
-            params, jnp.asarray([nxt], jnp.int32), cache_k, cache_v, cfg,
-            jnp.asarray(len(ids) - 1, jnp.int32))
-    return np.asarray(ids)
+            params, jnp.asarray(nxt), cache_k, cache_v, cfg,
+            jnp.asarray(pos, jnp.int32), jnp.asarray(pad_lens))
+        pos += 1
+
+    outs = [np.asarray(tokens[i, pad_lens[i]:].tolist() + generated[i], np.int32)
+            for i in range(b)]
+    return outs[0] if single else outs

@@ -1,4 +1,6 @@
-"""KV-cached decoding equals full-recompute greedy decoding."""
+"""KV-cached decoding equals full-recompute greedy decoding — including
+batched prompts, phi-2 layout, depth-materialized pruned models, and
+temperature sampling (round-2 serve hardening)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,7 +9,10 @@ import pytest
 
 from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params, llama_forward
 from ssp_x_vit_tpu.llm.generate import greedy_generate
-from ssp_x_vit_tpu.llm.serve import greedy_generate_kv, init_cache, prefill, decode_step
+from ssp_x_vit_tpu.llm.serve import (
+    bucket_prompt_pad, decode_step, generate_kv_scan, greedy_generate_kv,
+    greedy_generate_kv_scan, init_cache, prefill,
+)
 
 CFG = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=3, num_heads=4,
                   num_kv_heads=2, intermediate_size=64)
@@ -21,12 +26,12 @@ def llm():
 def test_prefill_logits_match_full_forward(llm):
     params, cfg = llm
     prompt = np.asarray([5, 9, 2, 7], np.int32)
-    max_len = 16
-    ck, cv = init_cache(cfg, 1, max_len, jnp.float32)
-    toks = np.zeros((1, max_len), np.int32)
-    toks[0, : len(prompt)] = prompt
+    p_pad = 16
+    ck, cv = init_cache(cfg, 1, p_pad, jnp.float32)
+    toks = np.zeros((1, p_pad), np.int32)
+    toks[0, p_pad - len(prompt):] = prompt  # LEFT-padded
     last, ck, cv = prefill(params, jnp.asarray(toks), ck, cv, cfg,
-                           jnp.asarray(len(prompt), jnp.int32))
+                           jnp.asarray([p_pad - len(prompt)], jnp.int32))
 
     full, _ = llama_forward(params, jnp.asarray(prompt[None]), cfg,
                             compute_dtype=jnp.float32)
@@ -37,14 +42,14 @@ def test_prefill_logits_match_full_forward(llm):
 def test_decode_step_matches_full_forward(llm):
     params, cfg = llm
     seq = np.asarray([5, 9, 2, 7, 11], np.int32)
-    max_len = 16
-    ck, cv = init_cache(cfg, 1, max_len, jnp.float32)
-    toks = np.zeros((1, max_len), np.int32)
-    toks[0, :4] = seq[:4]
-    _, ck, cv = prefill(params, jnp.asarray(toks), ck, cv, cfg,
-                        jnp.asarray(4, jnp.int32))
+    p_pad = 16
+    ck, cv = init_cache(cfg, 1, p_pad + 4, jnp.float32)
+    toks = np.zeros((1, p_pad), np.int32)
+    toks[0, p_pad - 4:] = seq[:4]
+    pad_lens = jnp.asarray([p_pad - 4], jnp.int32)
+    _, ck, cv = prefill(params, jnp.asarray(toks), ck, cv, cfg, pad_lens)
     step_logits, ck, cv = decode_step(params, jnp.asarray(seq[4:5]), ck, cv, cfg,
-                                      jnp.asarray(4, jnp.int32))
+                                      jnp.asarray(p_pad, jnp.int32), pad_lens)
     full, _ = llama_forward(params, jnp.asarray(seq[None]), cfg,
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(step_logits[0]), np.asarray(full[0, -1]),
@@ -59,20 +64,99 @@ def test_kv_generation_matches_recompute(llm):
     np.testing.assert_array_equal(ref, kv)
 
 
-def test_kv_rejects_unsupported(llm):
-    params, cfg = llm
-    import dataclasses
-
-    phi_cfg = dataclasses.replace(cfg, model_type="phi")
-    with pytest.raises(NotImplementedError):
-        greedy_generate_kv(params, phi_cfg, np.asarray([1]), max_length=8)
-
-
 def test_scan_generation_matches_loop(llm):
-    from ssp_x_vit_tpu.llm.serve import greedy_generate_kv_scan
-
     params, cfg = llm
     prompt = np.asarray([4, 8, 15], np.int32)
     loop = greedy_generate_kv(params, cfg, prompt, max_length=14, cache_dtype=jnp.float32)
     scan = greedy_generate_kv_scan(params, cfg, prompt, max_length=14, cache_dtype=jnp.float32)
     np.testing.assert_array_equal(loop, scan)
+
+
+def test_batched_generation_matches_single(llm):
+    """b=3 prompts of DIFFERENT lengths: each batched output must equal its
+    single-prompt generation (left-pad + per-sequence rope correctness)."""
+    params, cfg = llm
+    prompts = [[1, 2, 3], [7, 11, 13, 17, 19], [42]]
+    batched = greedy_generate_kv(params, cfg, prompts, max_length=12,
+                                 cache_dtype=jnp.float32)
+    assert len(batched) == 3
+    for p, out in zip(prompts, batched):
+        single = greedy_generate_kv(params, cfg, np.asarray(p, np.int32),
+                                    max_length=12, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(out, single)
+
+    scan_batched = greedy_generate_kv_scan(params, cfg, prompts, max_length=12,
+                                           cache_dtype=jnp.float32)
+    for a, b in zip(batched, scan_batched):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_eos_stops_each_sequence(llm):
+    params, cfg = llm
+    prompt = np.asarray([1, 2, 3], np.int32)
+    full = greedy_generate_kv(params, cfg, prompt, max_length=16,
+                              cache_dtype=jnp.float32)
+    eos = int(full[5])  # force an early "eos" we know will be generated
+    out = greedy_generate_kv(params, cfg, prompt, max_length=16,
+                             eos_token_id=eos, cache_dtype=jnp.float32)
+    assert len(out) == 6 and out[-1] == eos
+    out2 = generate_kv_scan(params, cfg, prompt, max_length=16,
+                            eos_token_id=eos, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_phi_layout_kv_matches_recompute():
+    """phi-2 parallel-residual block (LayerNorm, biases, partial rotary)
+    decodes correctly through the KV path (was NotImplementedError in r1)."""
+    phi_cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=3,
+                          num_heads=4, num_kv_heads=4, intermediate_size=64,
+                          model_type="phi", qkv_bias=True, rotary_dim=4)
+    params = init_llama_params(jax.random.PRNGKey(1), phi_cfg, dtype=jnp.float32)
+    prompt = np.asarray([3, 1, 4], np.int32)
+    ref = greedy_generate(params, phi_cfg, prompt, max_length=12,
+                          no_repeat_ngram_size=0)
+    kv = greedy_generate_kv(params, phi_cfg, prompt, max_length=12,
+                            cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(ref, kv)
+
+
+def test_depth_pruned_model_kv_matches_recompute(llm):
+    """Depth-materialized model (attention physically removed from one block)
+    decodes through the KV path (the pruned-model speedup is the point of the
+    framework; was NotImplementedError in r1)."""
+    from ssp_x_vit_tpu.llm.pruning import materialize_llm_depth_pruning
+
+    params, cfg = llm
+    pp, pc = materialize_llm_depth_pruning(params, cfg, [1])
+    prompt = np.asarray([9, 8, 7], np.int32)
+    ref = greedy_generate(params, cfg, prompt, max_length=12,
+                          no_repeat_ngram_size=0, )
+    del ref  # dense reference not comparable; compare vs materialized forward
+    ref_mat = greedy_generate(pp, pc, prompt, max_length=12, no_repeat_ngram_size=0)
+    kv = greedy_generate_kv(pp, pc, prompt, max_length=12, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(ref_mat, kv)
+    scan = greedy_generate_kv_scan(pp, pc, prompt, max_length=12,
+                                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(ref_mat, scan)
+
+
+def test_sampling_deterministic_and_valid(llm):
+    params, cfg = llm
+    prompt = np.asarray([5, 6], np.int32)
+    rng = jax.random.PRNGKey(42)
+    a = generate_kv_scan(params, cfg, prompt, max_length=12, temperature=0.8,
+                         top_k=8, rng=rng, cache_dtype=jnp.float32)
+    b = generate_kv_scan(params, cfg, prompt, max_length=12, temperature=0.8,
+                         top_k=8, rng=rng, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(a, b)  # same rng -> same sample
+    assert len(a) == 12 and a.min() >= 0 and a.max() < cfg.vocab_size
+    c = generate_kv_scan(params, cfg, prompt, max_length=12, temperature=0.8,
+                         top_k=8, rng=jax.random.PRNGKey(7), cache_dtype=jnp.float32)
+    assert not np.array_equal(a, c)  # different rng -> (overwhelmingly) different
+
+
+def test_prompt_buckets():
+    assert bucket_prompt_pad(3) == 32
+    assert bucket_prompt_pad(33) == 64
+    assert bucket_prompt_pad(2048) == 2048
+    assert bucket_prompt_pad(2049) == 2176  # next /128 multiple
