@@ -313,3 +313,81 @@ def test_perplexity_estimator_matches_reference(tmp_path):
     o = evaluate_perplexity(params, cfg, ids.astype(np.int32), seq_len=32,
                             enable_tqdm=False)
     assert abs(np.log(o) - np.log(r)) < 1e-3, (o, r)
+
+
+def test_stage2_copy_mode_selection_matches_reference(tmp_path):
+    """Stage-2 copy-mode head-to-head on an IDENTICAL tiny HF ViT: per-block
+    bypass accuracies agree and both implementations select the same K blocks.
+
+    The reference's own HFAttentionBypass tuple-return crashes under the
+    installed transformers 4.57 (documented in COVERAGE.md), so the reference
+    side runs the identical loop structure (src/vit_pruning.py:477-496) with a
+    version-compatible tensor-return bypass, plus the reference's own
+    selection rule (stable sort over clipped impacts, :496).
+    """
+    torch = pytest.importorskip("torch")
+    import copy
+
+    from transformers import ViTConfig as HFViTConfig, ViTForImageClassification
+
+    sys.path.insert(0, REF)
+    from src.vit_pruning import evaluate_top1 as ref_evaluate_top1
+
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.evaluation.classify import evaluate_top1_candidates
+    from ssp_x_vit_tpu.models.checkpoints import load_hf_vit
+    from ssp_x_vit_tpu.pruning.depth import select_attention_blocks_to_prune
+
+    hf_cfg = HFViTConfig(hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+                         intermediate_size=128, image_size=32, patch_size=16,
+                         num_labels=10)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = ViTForImageClassification(hf_cfg).eval()
+        model.save_pretrained(tmp_path / "vit")
+    params, cfg = load_hf_vit(str(tmp_path / "vit"))
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(32, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, 32)
+    loader = [
+        {"pixel_values": torch.from_numpy(px[i:i + 16].transpose(0, 3, 1, 2)),
+         "labels": torch.from_numpy(labels[i:i + 16])}
+        for i in (0, 16)
+    ]
+    batches = [
+        {"pixel_values": jnp.asarray(px[i:i + 16]),
+         "labels": jnp.asarray(labels[i:i + 16], jnp.int32)}
+        for i in (0, 16)
+    ]
+
+    class _Bypass(torch.nn.Module):
+        def forward(self, hidden_states, *a, **k):
+            return torch.zeros_like(hidden_states)
+
+    L = hf_cfg.num_hidden_layers
+    with torch.no_grad():
+        ref_baseline = ref_evaluate_top1(model, loader, device="cpu", progress=False)
+        ref_scores = []
+        for block_idx in range(L):
+            mc = copy.deepcopy(model).eval()
+            mc.vit.encoder.layer[block_idx].attention = _Bypass()
+            ref_scores.append(
+                ref_evaluate_top1(mc, loader, device="cpu", progress=False))
+    ref_impacts = [max(0.0, ref_baseline - s) for s in ref_scores]
+    ref_sel = sorted(sorted(range(L), key=lambda i: ref_impacts[i])[:2])
+
+    gates = np.ones((L + 1, L), np.float32)
+    for i in range(L):
+        gates[i + 1, i] = 0.0
+    accs = evaluate_top1_candidates(params, cfg, batches, gates)
+    our_baseline = float(accs[0])
+    our_impacts = np.maximum(0.0, our_baseline - np.asarray(accs[1:]))
+    our_sel = select_attention_blocks_to_prune(our_impacts, 2)
+
+    # accuracy is a discrete count over 32 images: must agree exactly
+    assert our_baseline == pytest.approx(ref_baseline, abs=1e-9)
+    np.testing.assert_allclose(np.asarray(accs[1:]), np.asarray(ref_scores),
+                               atol=1e-9)
+    assert our_sel == ref_sel
