@@ -33,6 +33,19 @@ import numpy as np
 from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _rope
 from ssp_x_vit_tpu.ops.attention import sdpa_reference
 
+
+def _sdpa(q, k, v):
+    """Causal attention through the measured dispatch layer: the flash kernel
+    wins at LLM sequence lengths (s >= FLASH_MIN_SEQ, docs/tpu_notes.md), so
+    sliced-model perplexity evals at s=2048 should not forgo it."""
+    from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
+
+    if use_pallas() and q.shape[2] >= FLASH_MIN_SEQ:
+        from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=True)
+    return sdpa_reference(q, k, v, causal=True)
+
 RMSN_EPS = 1e-5  # reference modules.py:20 (fixed, regardless of model eps)
 
 
@@ -77,7 +90,7 @@ def _sliced_attention(h, lp, cfg: LlamaConfig, compute_dtype):
         rep = nq // nkv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    out = sdpa_reference(q, k, v, causal=True)
+    out = _sdpa(q, k, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     return out @ lp["o_kernel"].astype(compute_dtype)
 
@@ -97,14 +110,59 @@ def _sliced_block(x, lp, cfg: LlamaConfig, compute_dtype):
     return x
 
 
+def _sliced_attention_phi(h, lp, cfg: LlamaConfig, compute_dtype):
+    """phi-2 attention on a sliced input basis: biases + partial rotary
+    (reference adapters/phi2_adapter.py CompressedPhiAttention semantics)."""
+    b, s, _ = h.shape
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = h @ lp["q_kernel"].astype(compute_dtype) + lp["q_bias"].astype(compute_dtype)
+    k = h @ lp["k_kernel"].astype(compute_dtype) + lp["k_bias"].astype(compute_dtype)
+    v = h @ lp["v_kernel"].astype(compute_dtype) + lp["v_bias"].astype(compute_dtype)
+    q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    rd = cfg.rotary_dim
+    if rd is not None and rd < hd:
+        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
+        q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
+        k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
+    else:
+        q, k = _rope(q, k, cfg.rope_theta)
+    if nkv != nq:
+        rep = nq // nkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    out = _sdpa(q, k, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
+    return out @ lp["o_kernel"].astype(compute_dtype) + lp["o_bias"].astype(compute_dtype)
+
+
+def _sliced_block_phi(x, lp, cfg: LlamaConfig, compute_dtype):
+    """phi-2 parallel-residual sliced block: ONE fused RMSN feeds both
+    branches, ONE shortcut matrix (reference rotate.py:255-358
+    rotate_and_slice_parallel)."""
+    from ssp_x_vit_tpu.ops.common import gelu
+
+    h = rmsn(x, cfg.hidden_size)
+    attn_out = _sliced_attention_phi(h, lp, cfg, compute_dtype)
+    hm = h @ lp["fc1_kernel"].astype(compute_dtype) + lp["fc1_bias"].astype(compute_dtype)
+    mlp_out = gelu(hm) @ lp["fc2_kernel"].astype(compute_dtype) + \
+        lp["fc2_bias"].astype(compute_dtype)
+    return x @ lp["attn_shortcut"].astype(compute_dtype) + attn_out + mlp_out
+
+
 def sliced_llama_forward(params: Params, input_ids: jax.Array, scfg: SlicedLlamaConfig,
                          *, compute_dtype=jnp.float32) -> jax.Array:
     cfg = scfg.base
+    block = _sliced_block_phi if cfg.is_phi else _sliced_block
     x = params["embed"].astype(compute_dtype)[input_ids]
     for lp in params["layers"]:
-        x = _sliced_block(x, lp, cfg, compute_dtype)
+        x = block(x, lp, cfg, compute_dtype)
     x = rmsn(x, cfg.hidden_size)
-    return (x @ params["lm_head"].astype(compute_dtype)).astype(jnp.float32)
+    logits = (x @ params["lm_head"].astype(compute_dtype)).astype(jnp.float32)
+    if "lm_head_bias" in params:
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
+    return logits
 
 
 def evaluate_perplexity_sliced(params, scfg: SlicedLlamaConfig, input_ids,
@@ -182,6 +240,132 @@ def fuse_layernorms(params: Params, cfg: LlamaConfig) -> Params:
     return out
 
 
+def fuse_layernorms_phi(params: Params, cfg: LlamaConfig) -> Params:
+    """LayerNorm -> RMSN fusion for phi-2's parallel block (reference
+    layernorm_fusion.fuse_modules with parallel_blocks=True and
+    should_bake_mean_into_linear=True):
+
+    - embeddings mean-centered per row;
+    - ln1 scale folded into q/k/v/fc1 input rows, ln1 bias folded into their
+      biases (``b += ln_bias @ K``);
+    - mean-subtraction baked into the o/fc2 output linears (column-centered
+      kernels, mean-centered biases) so the residual stream stays centered and
+      scale-free RMSN equals the original LayerNorm;
+    - ln_final fused into the lm head.
+    """
+    blocks = {k: np.asarray(v, np.float64) for k, v in params["blocks"].items()}
+    for i in range(cfg.num_layers):
+        s1 = blocks["ln1"][i]
+        b1 = blocks["ln1_bias"][i]
+        for kn, bn in (("q_kernel", "q_bias"), ("k_kernel", "k_bias"),
+                       ("v_kernel", "v_bias"), ("fc1_kernel", "fc1_bias")):
+            blocks[bn][i] = blocks[bn][i] + b1 @ blocks[kn][i]
+            blocks[kn][i] = blocks[kn][i] * s1[:, None]
+        for kn, bn in (("o_kernel", "o_bias"), ("fc2_kernel", "fc2_bias")):
+            blocks[kn][i] = blocks[kn][i] - blocks[kn][i].mean(axis=1, keepdims=True)
+            blocks[bn][i] = blocks[bn][i] - blocks[bn][i].mean()
+    embed = np.asarray(params["embed"], np.float64)
+    embed = embed - embed.mean(axis=-1, keepdims=True)
+    head = np.asarray(params["lm_head"], np.float64)
+    head_bias = np.asarray(params["lm_head_bias"], np.float64) + \
+        np.asarray(params["ln_final_bias"], np.float64) @ head
+    head = head * np.asarray(params["ln_final"], np.float64)[:, None]
+    return {"embed": embed, "blocks": blocks, "lm_head": head,
+            "lm_head_bias": head_bias}
+
+
+def slicegpt_parallel(
+    params: Params,
+    cfg: LlamaConfig,
+    sparsity: float,
+    calibration: Sequence[np.ndarray],
+    *,
+    final_orientation: str = "random",
+    seed: int = 0,
+    compute_dtype=jnp.float32,
+) -> Tuple[Params, SlicedLlamaConfig]:
+    """SliceGPT for parallel-residual models (phi-2): ONE PCA rotation per
+    layer boundary — the fused RMSN feeds both branches, so there is no
+    attn/mlp Q2 split (reference rotate.py:255-358 rotate_and_slice_parallel,
+    adapters/phi2_adapter.py)."""
+    d = cfg.hidden_size
+    new_dim = int((1 - sparsity) * d)
+    new_dim -= new_dim % 8
+    print(f"New embedding dimension: {new_dim} "
+          f"(sparsity {100*(1 - new_dim / d):.4f} %)")
+
+    fused = fuse_layernorms_phi(params, cfg)
+    L = cfg.num_layers
+    blocks = fused["blocks"]
+
+    @jax.jit
+    def embed_fn(embed, tokens):
+        return embed.astype(compute_dtype)[tokens]
+
+    @jax.jit
+    def _layer_out(lp, x):
+        return _sliced_block_phi(x, lp, cfg, compute_dtype)
+
+    tokens_list = [jnp.asarray(np.asarray(c).reshape(1, -1), jnp.int32)
+                   for c in calibration]
+    embed_dev = jnp.asarray(fused["embed"], compute_dtype)
+    inps = [np.asarray(embed_fn(embed_dev, t)) for t in tokens_list]
+
+    _, Q = pca_calc(inps)
+    if final_orientation == "random":
+        Q = Q @ random_orthogonal_upper_left(d, new_dim, seed)
+    embed = (fused["embed"] @ Q)[:, :new_dim]
+
+    sliced_layers: List[Dict[str, Any]] = []
+    for idx in range(L):
+        lp: Dict[str, Any] = {}
+        # rotate+slice BOTH branches' inputs by the same Q
+        for name in ("q_kernel", "k_kernel", "v_kernel", "fc1_kernel"):
+            lp[name] = (Q.T @ blocks[name][idx])[:new_dim, :]
+        for name in ("q_bias", "k_bias", "v_bias", "fc1_bias",
+                     "o_bias", "fc2_bias"):
+            lp[name] = blocks[name][idx]
+        lp["o_kernel"] = blocks["o_kernel"][idx]
+        lp["fc2_kernel"] = blocks["fc2_kernel"][idx]
+        lp["attn_shortcut"] = Q.T[:new_dim, :].copy()
+
+        inps = [np.asarray(x @ Q, np.float64)[:, :, :new_dim] for x in inps]
+
+        lp_dev = {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()}
+        inps_dev = [jnp.asarray(x, compute_dtype) for x in inps]
+        outs = [np.asarray(_layer_out(lp_dev, x)) for x in inps_dev]
+
+        _, Qn = pca_calc(outs)
+        last = idx == L - 1
+        out_dim = d if last else new_dim  # do_slice_head=False keeps the last full
+        if final_orientation == "random":
+            Qn = Qn @ random_orthogonal_upper_left(Qn.shape[0], out_dim,
+                                                   seed + idx + 1)
+
+        lp["attn_shortcut"] = (lp["attn_shortcut"] @ Qn)[:, :out_dim]
+        lp["o_kernel"] = (lp["o_kernel"] @ Qn)[:, :out_dim]
+        lp["o_bias"] = (lp["o_bias"] @ Qn)[:out_dim]
+        lp["fc2_kernel"] = (lp["fc2_kernel"] @ Qn)[:, :out_dim]
+        lp["fc2_bias"] = (lp["fc2_bias"] @ Qn)[:out_dim]
+        sliced_layers.append(lp)
+
+        inps = [np.asarray(o, np.float64) for o in outs]
+        Q = Qn
+
+    head = Q.T @ fused["lm_head"]
+    scfg = SlicedLlamaConfig(base=cfg, new_dim=new_dim, do_slice_head=False)
+    sliced_params: Params = {
+        "embed": jnp.asarray(embed, compute_dtype),
+        "layers": [
+            {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()}
+            for lp in sliced_layers
+        ],
+        "lm_head": jnp.asarray(head, compute_dtype),
+        "lm_head_bias": jnp.asarray(fused["lm_head_bias"], compute_dtype),
+    }
+    return sliced_params, scfg
+
+
 def slicegpt(
     params: Params,
     cfg: LlamaConfig,
@@ -194,8 +378,13 @@ def slicegpt(
 ) -> Tuple[Params, SlicedLlamaConfig]:
     """Run the full SliceGPT pipeline; returns (sliced_params, sliced_cfg).
 
-    ``calibration``: list of [1, seq] token windows.
+    ``calibration``: list of [1, seq] token windows. phi-2's parallel block
+    dispatches to the single-Q parallel engine.
     """
+    if cfg.is_phi:
+        return slicegpt_parallel(params, cfg, sparsity, calibration,
+                                 final_orientation=final_orientation,
+                                 seed=seed, compute_dtype=compute_dtype)
     d = cfg.hidden_size
     new_dim = int((1 - sparsity) * d)
     new_dim -= new_dim % 8  # reference src/slicegpt.py:47-49

@@ -58,3 +58,45 @@ def test_sparsity_25_runs_and_shrinks(setup):
     assert sliced["layers"][-1]["down_kernel"].shape[1] == CFG.hidden_size
     ppl = evaluate_perplexity_sliced(sliced, scfg, stream, seq_len=128)
     assert np.isfinite(ppl) and ppl > 0
+
+
+PHI = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=3, num_heads=4,
+                  num_kv_heads=4, intermediate_size=64, model_type="phi",
+                  qkv_bias=True, rotary_dim=4, layer_norm_eps=1e-5)
+
+
+@pytest.fixture(scope="module")
+def phi_setup():
+    params = init_llama_params(jax.random.PRNGKey(3), PHI, dtype=jnp.float32)
+    stream = synthetic_token_stream(2048, PHI.vocab_size, seed=1)
+    calib = get_calibration(stream, 3, seq_len=128)
+    return params, stream, calib
+
+
+def test_phi_rotation_only_is_lossless(phi_setup):
+    """phi-2 parallel-residual engine: LayerNorm->RMSN fusion + single-Q
+    rotations at 0% sparsity reproduce the dense phi logits
+    (reference rotate.py:255-358, adapters/phi2_adapter.py)."""
+    params, stream, calib = phi_setup
+    sliced, scfg = slicegpt(params, PHI, 0.0, calib, final_orientation="pca")
+    assert scfg.new_dim == PHI.hidden_size
+    tokens = jnp.asarray(np.asarray(calib[0]), jnp.int32)
+    dense_logits, _ = llama_forward(params, tokens, PHI, compute_dtype=jnp.float32)
+    sliced_logits = sliced_llama_forward(sliced, tokens, scfg)
+    np.testing.assert_allclose(np.asarray(sliced_logits), np.asarray(dense_logits),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_phi_sparsity_25_runs_and_shrinks(phi_setup):
+    params, stream, calib = phi_setup
+    sliced, scfg = slicegpt(params, PHI, 0.25, calib)
+    assert scfg.new_dim == 24
+    lp = sliced["layers"][0]
+    assert lp["q_kernel"].shape[0] == 24
+    assert lp["fc1_kernel"].shape[0] == 24
+    # parallel block: ONE shortcut matrix, no mlp_shortcut
+    assert "mlp_shortcut" not in lp
+    assert lp["attn_shortcut"].shape == (24, 24)
+    assert sliced["layers"][-1]["fc2_kernel"].shape[1] == PHI.hidden_size
+    ppl = evaluate_perplexity_sliced(sliced, scfg, stream, seq_len=128)
+    assert np.isfinite(ppl) and ppl > 0
