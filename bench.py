@@ -49,13 +49,41 @@ def main():
         ms = measure_latency_scan(fwd, pixels, params, iters=iters)
     img_per_s = batch / (ms / 1e3)
 
+    # Dense ViT-B/16 forward FLOPs per image (s=197 tokens, d=768, 12 blocks:
+    # 8sd^2 qkv+proj, 4s^2d attention matmuls, 16sd^2 MLP) — for MFU honesty
+    # against both the v5e bf16 peak and the measured tunnel matmul ceiling
+    # (docs/tpu_notes.md: 120 TF/s on a bare FFN-shaped matmul pair).
+    s, d, L = cfg.seq_len, cfg.hidden_size, cfg.num_layers
+    flops_per_img = L * (24 * s * d * d + 4 * s * s * d)
+    tf_per_s = flops_per_img * img_per_s / 1e12
+    V5E_PEAK_TF = 197.0
+    MEASURED_CEILING_TF = 120.0
+
+    # b=1 single-image latency (the reference's own protocol is b=1 MPS).
+    pixels_b1 = pixels[:1]
+    ms_b1 = measure_latency_scan(fwd, pixels_b1, params, iters=iters)
+
     detail = {
         "batch": batch,
         "latency_ms_per_batch": round(ms, 3),
+        "latency_b1_ms": round(ms_b1, 3),
+        "effective_tf_per_s": round(tf_per_s, 1),
+        "mfu_vs_peak": round(tf_per_s / V5E_PEAK_TF, 3),
+        "mfu_vs_measured_ceiling": round(tf_per_s / MEASURED_CEILING_TF, 3),
         "dtype": "bfloat16",
         "backend": jax.default_backend(),
         "baseline": "reference dense ViT-B/16 b=1 MPS 43.6ms (22.9 img/s)",
     }
+
+    # North-star pruning-loop speedup: quote the committed flagship-scale
+    # head-to-head (scripts/bench_pruning_loop.py writes it; re-running the
+    # torch reference takes ~20 min on this 1-core host, so bench.py reports
+    # the recorded measurement rather than re-measuring).
+    loop_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "bench_pruning_loop_b16.json")
+    if os.path.exists(loop_json):
+        with open(loop_json) as f:
+            detail["pruning_loop_b16_224"] = json.load(f)
 
     if with_pruned:
         # 50%-global-sparsity 2SSP-materialized model (plan K/t, weight-L1

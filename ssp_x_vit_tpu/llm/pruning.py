@@ -87,21 +87,26 @@ def materialize_llm_width_pruning(
     n_keep = len(keeps[0])
     assert all(len(k) == n_keep for k in keeps), "2SSP LLM stage-1 keeps a uniform width"
 
+    # Device-side gather: only the [L, n_keep] index array crosses
+    # host->device (host slicing round-trips the full MLP weights over the
+    # relay, docs/tpu_notes.md).
+    idx = jnp.asarray(np.stack(keeps).astype(np.int32))
     blocks = dict(params["blocks"])
+
+    def cols(kernel):  # [L, d, F] keep columns
+        return jnp.take_along_axis(kernel, idx[:, None, :], axis=2)
+
+    def rows(kernel):  # [L, F, d] keep rows
+        return jnp.take_along_axis(kernel, idx[:, :, None], axis=1)
+
     if cfg.is_phi:
-        fc1 = np.asarray(blocks["fc1_kernel"])
-        fc1b = np.asarray(blocks["fc1_bias"])
-        fc2 = np.asarray(blocks["fc2_kernel"])
-        blocks["fc1_kernel"] = jnp.asarray(np.stack([fc1[i][:, keeps[i]] for i in range(L)]))
-        blocks["fc1_bias"] = jnp.asarray(np.stack([fc1b[i][keeps[i]] for i in range(L)]))
-        blocks["fc2_kernel"] = jnp.asarray(np.stack([fc2[i][keeps[i], :] for i in range(L)]))
+        blocks["fc1_kernel"] = cols(blocks["fc1_kernel"])
+        blocks["fc1_bias"] = jnp.take_along_axis(blocks["fc1_bias"], idx, axis=1)
+        blocks["fc2_kernel"] = rows(blocks["fc2_kernel"])
     else:
-        gate = np.asarray(blocks["gate_kernel"])
-        up = np.asarray(blocks["up_kernel"])
-        down = np.asarray(blocks["down_kernel"])
-        blocks["gate_kernel"] = jnp.asarray(np.stack([gate[i][:, keeps[i]] for i in range(L)]))
-        blocks["up_kernel"] = jnp.asarray(np.stack([up[i][:, keeps[i]] for i in range(L)]))
-        blocks["down_kernel"] = jnp.asarray(np.stack([down[i][keeps[i], :] for i in range(L)]))
+        blocks["gate_kernel"] = cols(blocks["gate_kernel"])
+        blocks["up_kernel"] = cols(blocks["up_kernel"])
+        blocks["down_kernel"] = rows(blocks["down_kernel"])
 
     new_params = dict(params)
     new_params["blocks"] = blocks
@@ -235,7 +240,8 @@ def materialize_llm_depth_pruning(
         return params, cfg
     if cfg.pruned_attention_blocks:
         raise ValueError("depth pruning already materialized")
-    keep = [i for i in range(cfg.num_layers) if i not in pruned]
+    keep = jnp.asarray([i for i in range(cfg.num_layers) if i not in pruned],
+                       jnp.int32)
     blocks = dict(params["blocks"])
     # phi's ln1 feeds both branches, so it survives attention removal
     # (reference deletes only q/k/v/dense, src/utilities.py:496-500).
@@ -245,7 +251,7 @@ def materialize_llm_depth_pruning(
         attn_names = ("ln1",) + attn_names
     for name in attn_names:
         if name in blocks:
-            blocks[name] = jnp.asarray(np.asarray(blocks[name])[keep])
+            blocks[name] = jnp.take(blocks[name], keep, axis=0)
     new_params = dict(params)
     new_params["blocks"] = blocks
     return new_params, dataclasses.replace(cfg, pruned_attention_blocks=pruned)

@@ -111,17 +111,18 @@ def materialize_depth_pruning(
     if cfg.pruned_attention_blocks:
         raise ValueError("depth pruning already materialized for this config")
 
-    keep = [i for i in range(cfg.num_layers) if i not in pruned]
+    # Device-side gather: only the tiny keep-index vector crosses host->device
+    # (host slicing round-trips full weights over the relay, docs/tpu_notes.md).
+    keep = jnp.asarray([i for i in range(cfg.num_layers) if i not in pruned],
+                       jnp.int32)
     blocks = dict(params["blocks"])
-    for name in ("qkv_kernel", "qkv_bias", "proj_kernel", "proj_bias"):
+    # ln1 stays full-length in LOGICAL param counts for pruned blocks, but the
+    # materialized forward only reads rows for surviving blocks — so it is
+    # also re-packed to the kept rows to match attn_store_index addressing.
+    for name in ("qkv_kernel", "qkv_bias", "proj_kernel", "proj_bias",
+                 "ln1_scale", "ln1_bias"):
         if name in blocks:
-            blocks[name] = jnp.asarray(np.asarray(blocks[name])[keep])
-    # ln1 stays full-length: logical param counts include it for pruned blocks,
-    # but the materialized forward only reads rows for surviving blocks — so we
-    # also re-pack it to the kept rows to match attn_store_index addressing.
-    for name in ("ln1_scale", "ln1_bias"):
-        if name in blocks:
-            blocks[name] = jnp.asarray(np.asarray(blocks[name])[keep])
+            blocks[name] = jnp.take(blocks[name], keep, axis=0)
 
     new_params = dict(params)
     new_params["blocks"] = blocks

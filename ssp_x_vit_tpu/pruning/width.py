@@ -135,13 +135,19 @@ def materialize_width_pruning(
     cfg: ViTConfig,
     keep_indices: Sequence[np.ndarray],
 ) -> Tuple[Params, ViTConfig]:
-    """Gather kept fc1 rows / fc2 cols into new stacked arrays.
+    """Gather kept fc1 rows / fc2 cols into new stacked arrays, ON DEVICE.
 
     Blocks with fewer kept neurons are zero-padded to the per-run maximum so
     the stacked layout (and the scan/unrolled forwards) keep static shapes.
     Zero fc1 rows + zero bias give GELU(0)=0 activations, and the matching
     zero fc2 columns contribute nothing — padding is mathematically inert.
     Logical widths live in ``cfg.block_intermediate_sizes``.
+
+    The gathers run as jitted ``take_along_axis`` on the weights' own device:
+    only the tiny [L, fmax] index/mask arrays cross host->device. Host-side
+    slicing would round-trip the full weight pytree through the host, which
+    dominates pruning wall-clock on relay-attached TPUs (measured 32.7 s for
+    ViT-B vs 0.5 s of actual search, docs/tpu_notes.md).
     """
     L = cfg.num_layers
     if len(keep_indices) != L:
@@ -149,27 +155,35 @@ def materialize_width_pruning(
     logical = tuple(int(len(k)) for k in keep_indices)
     fmax = max(logical)
 
-    blocks = params["blocks"]
-    fc1_k = np.asarray(blocks["fc1_kernel"])  # [L, d, F]
-    fc1_b = np.asarray(blocks["fc1_bias"]) if "fc1_bias" in blocks else None
-    fc2_k = np.asarray(blocks["fc2_kernel"])  # [L, F, d]
-
-    d = fc1_k.shape[1]
-    new_fc1_k = np.zeros((L, d, fmax), fc1_k.dtype)
-    new_fc1_b = np.zeros((L, fmax), fc1_b.dtype) if fc1_b is not None else None
-    new_fc2_k = np.zeros((L, fmax, fc2_k.shape[2]), fc2_k.dtype)
+    idx = np.zeros((L, fmax), np.int32)
+    mask = np.zeros((L, fmax), np.float32)
     for b, keep in enumerate(keep_indices):
         k = len(keep)
-        new_fc1_k[b, :, :k] = fc1_k[b][:, keep]
-        if new_fc1_b is not None:
-            new_fc1_b[b, :k] = fc1_b[b][keep]
-        new_fc2_k[b, :k, :] = fc2_k[b][keep, :]
+        idx[b, :k] = np.asarray(keep)
+        mask[b, :k] = 1.0
+
+    blocks = params["blocks"]
+
+    @jax.jit
+    def gather(fc1_k, fc1_b, fc2_k, idx, mask):
+        new_fc1_k = jnp.take_along_axis(fc1_k, idx[:, None, :], axis=2)
+        new_fc1_k = new_fc1_k * mask[:, None, :].astype(fc1_k.dtype)
+        new_fc1_b = None
+        if fc1_b is not None:
+            new_fc1_b = jnp.take_along_axis(fc1_b, idx, axis=1) * mask.astype(fc1_b.dtype)
+        new_fc2_k = jnp.take_along_axis(fc2_k, idx[:, :, None], axis=1)
+        new_fc2_k = new_fc2_k * mask[:, :, None].astype(fc2_k.dtype)
+        return new_fc1_k, new_fc1_b, new_fc2_k
+
+    new_fc1_k, new_fc1_b, new_fc2_k = gather(
+        blocks["fc1_kernel"], blocks.get("fc1_bias"), blocks["fc2_kernel"],
+        jnp.asarray(idx), jnp.asarray(mask))
 
     new_blocks = dict(blocks)
-    new_blocks["fc1_kernel"] = jnp.asarray(new_fc1_k)
+    new_blocks["fc1_kernel"] = new_fc1_k
     if new_fc1_b is not None:
-        new_blocks["fc1_bias"] = jnp.asarray(new_fc1_b)
-    new_blocks["fc2_kernel"] = jnp.asarray(new_fc2_k)
+        new_blocks["fc1_bias"] = new_fc1_b
+    new_blocks["fc2_kernel"] = new_fc2_k
 
     new_params = dict(params)
     new_params["blocks"] = new_blocks
