@@ -68,8 +68,12 @@ def _candidate_correct_in_batch(params, pixel_values, labels, attn_gates, neuron
     """attn_gates: [C, num_layers] -> per-candidate correct counts [C]."""
 
     def one(gate):
+        # allow_fused_attn=False: vmap over a pallas SMEM scalar operand is
+        # not batched efficiently; the XLA path vmaps cleanly (one fused
+        # program over the candidate axis).
         logits, _ = vit_forward(params, pixel_values, cfg, attn_gate=gate,
-                                neuron_mask=neuron_mask, compute_dtype=dtype)
+                                neuron_mask=neuron_mask, compute_dtype=dtype,
+                                allow_fused_attn=False)
         preds = jnp.argmax(logits, axis=-1)
         return jnp.sum(preds == labels)
 

@@ -190,20 +190,36 @@ def _block_apply(
     neuron_mask: Optional[jax.Array],
     collect_ffn_stats: bool,
     skip_attention_statically: bool = False,
+    allow_fused_attn: bool = True,
 ):
     """One pre-LN encoder block; gates are scalars (or None = dense)."""
     if not skip_attention_statically:
-        attn_out = multi_head_attention(
-            layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps),
-            bp["qkv_kernel"],
-            bp.get("qkv_bias"),
-            bp["proj_kernel"],
-            bp.get("proj_bias"),
-            cfg.num_heads,
-        )
-        if attn_gate is not None:
-            attn_out = attn_out * attn_gate.astype(attn_out.dtype)
-        x = x + attn_out
+        from ssp_x_vit_tpu.ops.dispatch import use_fused_attn_block
+
+        if allow_fused_attn \
+                and use_fused_attn_block(x.shape, cfg.num_heads,
+                                         ffn_width=bp["fc1_kernel"].shape[-1]) \
+                and bp.get("qkv_bias") is not None \
+                and bp.get("proj_bias") is not None:
+            from ssp_x_vit_tpu.ops.pallas.fused_attn_block import fused_attn_block
+
+            x = fused_attn_block(
+                x, bp["ln1_scale"], bp["ln1_bias"], bp["qkv_kernel"],
+                bp["qkv_bias"], bp["proj_kernel"], bp["proj_bias"],
+                cfg.num_heads, eps=cfg.layernorm_eps,
+                gate=1.0 if attn_gate is None else attn_gate)
+        else:
+            attn_out = multi_head_attention(
+                layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps),
+                bp["qkv_kernel"],
+                bp.get("qkv_bias"),
+                bp["proj_kernel"],
+                bp.get("proj_bias"),
+                cfg.num_heads,
+            )
+            if attn_gate is not None:
+                attn_out = attn_out * attn_gate.astype(attn_out.dtype)
+            x = x + attn_out
 
     mlp_out, stats = ffn_forward(
         layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps),
@@ -231,6 +247,7 @@ def vit_forward(
     collect_ffn_stats: bool = False,
     return_block_outputs: bool = False,
     compute_dtype=jnp.float32,
+    allow_fused_attn: bool = True,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Masked (search-phase) forward over the stacked dense parameters.
 
@@ -271,6 +288,7 @@ def vit_forward(
             attn_gate=ga, mlp_gate=gm,
             neuron_mask=nm,
             collect_ffn_stats=collect_ffn_stats,
+            allow_fused_attn=allow_fused_attn,
         )
         out = {}
         if collect_ffn_stats:

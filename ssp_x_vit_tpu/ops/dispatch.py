@@ -29,6 +29,39 @@ def set_pallas_enabled(enabled: Optional[bool]) -> None:
 FLASH_MIN_SEQ = 1024
 
 
+# Fused LN+QKV+attention+proj+residual ViT block kernel
+# (ops/pallas/fused_attn_block.py). Measured on the v5e chip at ViT-B dims
+# (b=256, s=197, d=768, 12 heads, bf16, scripts/bench_fused_attn_block.py):
+# full XLA branch 7.39 ms vs fused kernel 6.70 ms (1.10x win; GROUP_BATCH
+# sweep: g=1 6.81, g=2 6.70, g>=4 fails to compile). BUT on width-pruned
+# materialized models (FFN below the pallas-FFN threshold, so the FFN runs in
+# XLA) the extra kernel boundary costs more than the fusion saves: 50%-pruned
+# ViT-B 58.3 ms (XLA branch) vs 62.1 ms (fused). Dispatch therefore requires
+# the block's FFN width to be at/above FFN_PALLAS_MIN_WIDTH — the same
+# regime where the FFN itself runs in pallas and no XLA epilogue fusion is
+# lost. SSP_X_VIT_FUSED_ATTN=0/1 overrides. Details in docs/tpu_notes.md.
+FUSED_ATTN_BLOCK_ENABLED = True
+# Shape guards: lane-aligned hidden, MXU-friendly head_dim, batch >= 8.
+FUSED_ATTN_MIN_BATCH = 8
+# Keep in sync with the measured fused-FFN width crossover (docs/tpu_notes.md).
+FFN_PALLAS_MIN_WIDTH = 2048
+
+
+def use_fused_attn_block(x_shape, num_heads: int,
+                         ffn_width: Optional[int] = None) -> bool:
+    env = os.environ.get("SSP_X_VIT_FUSED_ATTN")
+    enabled = FUSED_ATTN_BLOCK_ENABLED if env is None else env not in (
+        "0", "false", "False")
+    if not (enabled and use_pallas()):
+        return False
+    b, s, d = x_shape
+    hd = d // num_heads
+    if ffn_width is not None and ffn_width < FFN_PALLAS_MIN_WIDTH:
+        return False
+    return (d % 128 == 0 and hd % 64 == 0 and b >= FUSED_ATTN_MIN_BATCH
+            and s <= 512)
+
+
 def use_pallas() -> bool:
     """Whether Pallas kernels are available/allowed on this backend.
 

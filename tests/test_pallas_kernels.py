@@ -94,3 +94,56 @@ def test_fused_ffn_grad_matches_reference():
     g_p = jax.grad(loss_pallas)(w1)
     g_r = jax.grad(loss_ref)(w1)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), rtol=1e-3, atol=1e-3)
+
+
+def _attn_branch_reference(x, lns, lnb, wqkv, bqkv, wproj, bproj, heads, eps, gate):
+    from ssp_x_vit_tpu.ops.attention import multi_head_attention
+    from ssp_x_vit_tpu.ops.common import layer_norm
+
+    h = layer_norm(x, lns, lnb, eps)
+    attn = multi_head_attention(h, wqkv, bqkv, wproj, bproj, heads, use_flash=False)
+    return x + gate * attn
+
+
+def test_fused_attn_block_matches_reference():
+    from ssp_x_vit_tpu.ops.pallas.fused_attn_block import fused_attn_block
+
+    rng = np.random.default_rng(3)
+    b, s, d, heads = 4, 197, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.normal(size=(d,)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * d,)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    ref = _attn_branch_reference(x, lns, lnb, wqkv, bqkv, wproj, bproj, heads,
+                                 1e-12, 1.0)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_attn_block(x, lns, lnb, wqkv, bqkv, wproj, bproj, heads,
+                               eps=1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attn_block_gate_zero_is_identity_residual():
+    from ssp_x_vit_tpu.ops.pallas.fused_attn_block import fused_attn_block
+
+    rng = np.random.default_rng(4)
+    b, s, d, heads = 2, 64, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    lns = jnp.ones((d,), jnp.float32)
+    lnb = jnp.zeros((d,), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.zeros((3 * d,), jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+    bproj = jnp.zeros((d,), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out0 = fused_attn_block(x, lns, lnb, wqkv, bqkv, wproj, bproj, heads,
+                                eps=1e-12, gate=0.0)
+        out_half = fused_attn_block(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                    heads, eps=1e-12, gate=0.5)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), rtol=1e-6, atol=1e-6)
+    ref = _attn_branch_reference(x, lns, lnb, wqkv, bqkv, wproj, bproj, heads,
+                                 1e-12, 0.5)
+    np.testing.assert_allclose(np.asarray(out_half), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
