@@ -221,6 +221,27 @@ def _block_apply(
                 attn_out = attn_out * attn_gate.astype(attn_out.dtype)
             x = x + attn_out
 
+    from ssp_x_vit_tpu.ops.dispatch import use_pallas
+
+    f_width = bp["fc1_kernel"].shape[-1]
+    # Same measured crossover as ffn_forward's dispatch (f >= 2048); the block
+    # variant additionally folds LN2 + gated residual into the kernel. The
+    # vmapped candidate-search forward keeps the XLA path (allow_fused_attn
+    # gates BOTH residual-branch fusions — SMEM scalar operands do not vmap
+    # efficiently).
+    if allow_fused_attn and use_pallas() and x.shape[1] >= 64 \
+            and f_width >= 2048 and bp.get("fc1_bias") is not None \
+            and bp.get("fc2_bias") is not None:
+        from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn_block
+
+        x, stats = fused_ffn_block(
+            x, bp["ln2_scale"], bp["ln2_bias"], bp["fc1_kernel"],
+            bp["fc1_bias"], bp["fc2_kernel"], bp["fc2_bias"],
+            neuron_mask=neuron_mask, collect_stats=collect_ffn_stats,
+            eps=cfg.layernorm_eps,
+            gate=1.0 if mlp_gate is None else mlp_gate)
+        return x, stats
+
     mlp_out, stats = ffn_forward(
         layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps),
         bp["fc1_kernel"],

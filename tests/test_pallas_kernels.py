@@ -147,3 +147,77 @@ def test_fused_attn_block_gate_zero_is_identity_residual():
                                  1e-12, 0.5)
     np.testing.assert_allclose(np.asarray(out_half), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ffn_block_matches_reference():
+    from ssp_x_vit_tpu.ops.common import layer_norm
+    from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn_block
+
+    rng = np.random.default_rng(5)
+    b, s, d, f = 2, 197, 64, 256
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.normal(size=(d,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    mask = jnp.asarray((rng.random(f) > 0.3).astype(np.float32))
+
+    y = layer_norm(x, lns, lnb, 1e-12)
+    ref_out, ref_stats = ffn_forward(y, w1, b1, w2, b2, neuron_mask=mask,
+                                     collect_stats=True, use_pallas_kernel=False)
+    ref_full = x + 0.7 * ref_out
+    with pltpu.force_tpu_interpret_mode():
+        out, stats = fused_ffn_block(x, lns, lnb, w1, b1, w2, b2,
+                                     neuron_mask=mask, gate=0.7,
+                                     collect_stats=True, eps=1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_full),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(ref_stats),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ffn_block_gate_zero_is_identity():
+    from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn_block
+
+    rng = np.random.default_rng(6)
+    b, s, d, f = 1, 64, 64, 128
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.1, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out, _ = fused_ffn_block(x, jnp.ones((d,)), jnp.zeros((d,)),
+                                 w1, jnp.zeros((f,)), w2, jnp.zeros((d,)),
+                                 gate=0.0, eps=1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6, atol=1e-6)
+
+
+def test_fused_ffn_block_grad_matches_reference():
+    from ssp_x_vit_tpu.ops.common import layer_norm
+    from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn_block
+
+    rng = np.random.default_rng(7)
+    b, s, d, f = 1, 32, 64, 128
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    lns = jnp.ones((d,), jnp.float32)
+    lnb = jnp.zeros((d,), jnp.float32)
+
+    def loss_fused(x_):
+        with pltpu.force_tpu_interpret_mode():
+            out, _ = fused_ffn_block(x_, lns, lnb, w1, b1, w2, b2, eps=1e-12)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x_):
+        y = layer_norm(x_, lns, lnb, 1e-12)
+        out, _ = ffn_forward(y, w1, b1, w2, b2, use_pallas_kernel=False)
+        return jnp.sum((x_ + out) ** 2)
+
+    g_fused = jax.grad(loss_fused)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
