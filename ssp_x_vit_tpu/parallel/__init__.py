@@ -4,5 +4,21 @@ from ssp_x_vit_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from ssp_x_vit_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    make_pipeline_forward,
+    make_pipeline_train_step,
+    shard_llama_params_pipeline,
+)
+from ssp_x_vit_tpu.parallel.ring_attention import (
+    ring_attention,
+    make_seq_parallel_nll,
+    evaluate_perplexity_seq_parallel,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "make_mesh", "batch_sharding", "replicate", "shard_batch",
+    "make_pipeline_mesh", "make_pipeline_forward", "make_pipeline_train_step",
+    "shard_llama_params_pipeline",
+    "ring_attention", "make_seq_parallel_nll", "evaluate_perplexity_seq_parallel",
+]

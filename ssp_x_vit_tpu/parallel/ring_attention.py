@@ -1,0 +1,188 @@
+"""Ring attention: sequence/context parallelism over the ICI.
+
+Long-context counterpart of the flash kernel (ops/pallas/flash_attention.py):
+the sequence axis is sharded over a ``seq`` mesh axis, each device holds one
+Q chunk, and K/V chunks rotate around the ring with ``lax.ppermute`` while a
+flash-style online softmax accumulates — full attention numerics with s/N
+activation memory per chip and ICI transfers overlapped with chunk compute.
+
+The reference has no long-context machinery at all (single-GPU, s=2048
+windows, src/evaluation.py:24-64); this is the §5.7 long-context subsystem
+of the rebuild. ``make_seq_parallel_nll`` applies it to the llama stack:
+token windows are split over 'seq', every block's attention runs on the
+ring, and the NLL reduction psums over ('data','seq') — the streaming
+perplexity estimator at context lengths no single chip could hold.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, rms_norm
+
+_NEG = -1e30
+
+
+def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
+                   *, n_chunks: int, causal: bool = True) -> jax.Array:
+    """Exact attention over a sequence-sharded ring.
+
+    q/k/v: LOCAL chunks [b, h, s_local, hd]; the global sequence is the
+    concatenation of chunks in mesh-axis order. Returns the local output
+    chunk [b, h, s_local, hd]. Causal masking uses GLOBAL positions: the K/V
+    block held after r rotations originated on device (p - r) mod N.
+    """
+    p = lax.axis_index(axis_name)
+    b, h, sl, hd = q.shape
+    q32 = q.astype(jnp.float32) * (1.0 / math.sqrt(hd))
+    iq = jnp.arange(sl)
+    perm = [(i, (i + 1) % n_chunks) for i in range(n_chunks)]
+
+    m = jnp.full((b, h, sl), _NEG, jnp.float32)
+    l = jnp.zeros((b, h, sl), jnp.float32)
+    acc = jnp.zeros((b, h, sl, hd), jnp.float32)
+
+    def step(carry, r):
+        m, l, acc, k, v = carry
+        src = jnp.mod(p - r, n_chunks)  # origin chunk of the K/V we hold now
+        s_ = jnp.einsum("bhqd,bhkd->bhqk", q32, k.astype(jnp.float32))
+        if causal:
+            qpos = p * sl + iq[:, None]
+            kpos = src * sl + iq[None, :]
+            s_ = jnp.where((qpos >= kpos)[None, None], s_, _NEG)
+        m_new = jnp.maximum(m, jnp.max(s_, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        pexp = jnp.exp(s_ - m_new[..., None])
+        l = l * alpha + jnp.sum(pexp, axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", pexp, v.astype(jnp.float32))
+        k = lax.ppermute(k, axis_name, perm)
+        v = lax.ppermute(v, axis_name, perm)
+        return (m_new, l, acc, k, v), None
+
+    (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k, v), jnp.arange(n_chunks))
+    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+
+
+def _rope_at(q, k, theta: float, positions):
+    """HF half-rotation rope at explicit GLOBAL positions [s_local]."""
+    hd = q.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = jnp.outer(positions.astype(jnp.float32), inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    cos, sin = jnp.cos(emb)[None, None], jnp.sin(emb)[None, None]
+
+    def rot(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([-x2, x1], axis=-1)
+
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    return ((q32 * cos + rot(q32) * sin).astype(q.dtype),
+            (k32 * cos + rot(k32) * sin).astype(k.dtype))
+
+
+def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float32):
+    """Build ``(params, tokens[b, s]) -> per-window NLL sums [b]`` with the
+    sequence axis sharded over mesh axis 'seq' and batch over 'data'.
+
+    Params are replicated (context parallelism: activations are what's big);
+    every attention runs on the ring; the (s-1)-token next-token NLL matches
+    llm/evaluation.py's estimator exactly.
+    """
+    sp = mesh.shape["seq"]
+    if cfg.is_phi:
+        raise ValueError("seq-parallel path covers llama-layout configs")
+
+    def inner(params, tokens):
+        """tokens: [b_local, s] (full windows, replicated over 'seq')."""
+        pidx = lax.axis_index("seq")
+        b, s = tokens.shape
+        sl = s // sp
+        start = pidx * sl
+        tok_local = lax.dynamic_slice_in_dim(tokens, start, sl, axis=1)
+        positions = start + jnp.arange(sl)
+        x = params["embed"].astype(compute_dtype)[tok_local]
+
+        def body(x, bp):
+            nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+            h = rms_norm(x, bp["ln1"], cfg.rms_eps)
+            q = h @ bp["q_kernel"].astype(compute_dtype)
+            k = h @ bp["k_kernel"].astype(compute_dtype)
+            v = h @ bp["v_kernel"].astype(compute_dtype)
+            if "q_bias" in bp:
+                q = q + bp["q_bias"].astype(compute_dtype)
+                k = k + bp["k_bias"].astype(compute_dtype)
+                v = v + bp["v_bias"].astype(compute_dtype)
+            q = q.reshape(b, sl, nq, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
+            q, k = _rope_at(q, k, cfg.rope_theta, positions)
+            if nkv != nq:
+                k = jnp.repeat(k, nq // nkv, axis=1)
+                v = jnp.repeat(v, nq // nkv, axis=1)
+            out = ring_attention(q, k, v, "seq", n_chunks=sp, causal=True)
+            out = out.transpose(0, 2, 1, 3).reshape(b, sl, nq * hd)
+            x = x + out @ bp["o_kernel"].astype(compute_dtype)
+            h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+            g = h2 @ bp["gate_kernel"].astype(compute_dtype)
+            u = h2 @ bp["up_kernel"].astype(compute_dtype)
+            x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
+            return x, None
+
+        x, _ = lax.scan(body, x, params["blocks"])
+        x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+        head = params["lm_head"] if "lm_head" in params else params["embed"].T
+        logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
+
+        # local targets: global positions start+1 .. start+sl (the final
+        # global position has no target — mask it out)
+        tok_pad = jnp.pad(tokens, ((0, 0), (0, 1)))
+        targets = lax.dynamic_slice_in_dim(tok_pad, start + 1, sl, axis=1)
+        valid = (positions < s - 1).astype(jnp.float32)[None, :]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[:, :, None], axis=-1)[..., 0]
+        per_window = jnp.sum(nll * valid, axis=1)          # [b_local]
+        return lax.psum(per_window, "seq")
+
+    def run(params: Params, tokens: jax.Array) -> jax.Array:
+        s = tokens.shape[1]
+        if s % sp:
+            raise ValueError(f"seq_len {s} % seq axis {sp} != 0")
+        mapped = jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), params), P("data", None)),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        return mapped(params, tokens)
+
+    return run
+
+
+def evaluate_perplexity_seq_parallel(params: Params, cfg: LlamaConfig, mesh: Mesh,
+                                     input_ids, *, seq_len: int = 2048) -> float:
+    """Sequence-parallel streaming perplexity (reference estimator,
+    src/evaluation.py:24-64) — windows over 'data', context over 'seq'."""
+    ids = np.asarray(input_ids).reshape(-1)
+    dp = mesh.shape["data"]
+    num_windows = ids.size // seq_len
+    windows = ids[: num_windows * seq_len].reshape(num_windows, seq_len)
+    pad = (-num_windows) % dp
+    if pad:
+        windows = np.concatenate([windows, np.tile(windows[-1:], (pad, 1))])
+    run = jax.jit(make_seq_parallel_nll(mesh, cfg))
+
+    total, count = 0.0, 0
+    for i in range(0, len(windows), dp):
+        valid = min(dp, num_windows - i)
+        batch = jnp.asarray(windows[i : i + dp], jnp.int32)
+        per_window = np.asarray(run(params, batch))        # [dp]
+        total += float(per_window[:valid].sum())
+        count += valid * (seq_len - 1)
+    return float(np.exp(total / max(1, count)))

@@ -75,3 +75,121 @@ def test_vit_tp_numerics(tiny_cfg, tiny_params, tiny_batches):
     assert sharded["blocks"]["qkv_kernel"].sharding.spec == PS(None, None, "model")
     tp = evaluate_top1(sharded, tiny_cfg, [shard_batch(mesh, b) for b in tiny_batches[:2]])
     assert abs(single - tp) < 1e-9
+
+
+# ---------------- pipeline parallelism (parallel/pipeline.py) ----------------
+
+def _pp_cfg():
+    return LlamaConfig(vocab_size=64, hidden_size=32, num_layers=4, num_heads=4,
+                       num_kv_heads=2, intermediate_size=64)
+
+
+def _pp_setup():
+    from ssp_x_vit_tpu.parallel.pipeline import (
+        make_pipeline_mesh, shard_llama_params_pipeline,
+    )
+    cfg = _pp_cfg()
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = make_pipeline_mesh(data=2, pipe=2, model=2)
+    sharded = shard_llama_params_pipeline(params, mesh, cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, cfg.vocab_size)
+    return cfg, params, mesh, sharded, tokens
+
+
+def test_pipeline_forward_matches_single():
+    """dp=2 x pp=2 x tp=2 pipelined logits == plain llama_forward."""
+    from ssp_x_vit_tpu.llm.model import llama_forward
+    from ssp_x_vit_tpu.parallel.pipeline import make_pipeline_forward
+
+    cfg, params, mesh, sharded, tokens = _pp_setup()
+    ref, _ = llama_forward(params, tokens, cfg, compute_dtype=jnp.float32)
+    fwd = make_pipeline_forward(mesh, cfg, num_microbatches=2)
+    out = jax.jit(fwd)(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_pipeline_grads_match_single():
+    """Gradients through the ppermute schedule == single-device gradients
+    (incl. the replicated-embed transpose-psum)."""
+    from ssp_x_vit_tpu.llm.model import llama_forward
+    from ssp_x_vit_tpu.parallel.pipeline import make_pipeline_forward
+
+    cfg, params, mesh, sharded, tokens = _pp_setup()
+
+    def nll(logits, tokens):
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        return -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0].mean()
+
+    def ref_loss(p):
+        logits, _ = llama_forward(p, tokens, cfg, compute_dtype=jnp.float32)
+        return nll(logits, tokens)
+
+    fwd = make_pipeline_forward(mesh, cfg, num_microbatches=2)
+
+    def pipe_loss(p):
+        return nll(fwd(p, tokens), tokens)
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+    l_p, g_p = jax.jit(jax.value_and_grad(pipe_loss))(sharded)
+    assert abs(float(l_ref) - float(l_p)) < 1e-5
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(g_p)}
+    for k, v in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[jax.tree_util.keystr(k)]), np.asarray(v),
+            atol=5e-5, rtol=5e-4, err_msg=jax.tree_util.keystr(k))
+
+
+def test_pipeline_train_step_runs():
+    import optax
+    from ssp_x_vit_tpu.parallel.pipeline import make_pipeline_train_step
+
+    cfg, params, mesh, sharded, tokens = _pp_setup()
+    opt = optax.adamw(1e-3)
+    step = make_pipeline_train_step(mesh, cfg, opt, num_microbatches=2)
+    state = opt.init(sharded)
+    p1, state, loss1 = step(sharded, state, tokens)
+    p2, state, loss2 = step(p1, state, tokens)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert float(loss2) < float(loss1)  # adamw on the same batch must descend
+
+
+# ---------------- ring attention / sequence parallelism ----------------
+
+def test_ring_attention_matches_sdpa():
+    from jax.sharding import Mesh
+    from ssp_x_vit_tpu.ops.attention import sdpa_reference
+    from ssp_x_vit_tpu.parallel.ring_attention import ring_attention
+
+    b, h, s, hd, sp = 2, 4, 32, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, s, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, hd), jnp.float32)
+    ref = sdpa_reference(q, k, v, causal=True)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    ring = jax.shard_map(
+        lambda q, k, v: ring_attention(q, k, v, "seq", n_chunks=sp, causal=True),
+        mesh=mesh, in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False)
+    out = jax.jit(ring)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_seq_parallel_perplexity_matches_single():
+    from jax.sharding import Mesh
+    from ssp_x_vit_tpu.parallel.ring_attention import evaluate_perplexity_seq_parallel
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=48)
+    params = init_llama_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    stream = synthetic_token_stream(64 * 3, cfg.vocab_size, seed=3)  # 3 windows
+    ppl_single = evaluate_perplexity(params, cfg, stream, seq_len=64, enable_tqdm=False)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    ppl_sp = evaluate_perplexity_seq_parallel(params, cfg, mesh, stream, seq_len=64)
+    assert abs(np.log(ppl_sp) - np.log(ppl_single)) < 1e-3
