@@ -84,8 +84,12 @@ def load_model(args):
     if args.model == "tiny-random-phi":
         cfg = LlamaConfig(**TINY_RANDOM, model_type="phi", qkv_bias=True, rotary_dim=8)
         return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
-    raise SystemExit("--model must be a local HF directory, 'tiny-random' or "
-                     f"'tiny-random-phi'; got {args.model}")
+    if args.model == "tiny-random-opt":
+        cfg = LlamaConfig(**TINY_RANDOM, model_type="opt", qkv_bias=True,
+                          tie_embeddings=True, max_position_embeddings=512)
+        return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
+    raise SystemExit("--model must be a local HF directory, 'tiny-random', "
+                     f"'tiny-random-phi' or 'tiny-random-opt'; got {args.model}")
 
 
 def load_corpora(args, cfg):

@@ -21,13 +21,33 @@ from ssp_x_vit_tpu.models.checkpoints import _read_safetensors, _t
 
 def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     mt = d.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2", "phi3", "phi"):
+    if mt not in ("llama", "mistral", "qwen2", "phi3", "phi", "opt"):
         raise ValueError(f"unsupported model_type {mt}")
     heads = d["num_attention_heads"]
     head_dim = d["hidden_size"] // heads
     rotary_dim = None
     if mt == "phi":
         rotary_dim = int(d.get("partial_rotary_factor", 0.4) * head_dim)
+    if mt == "opt":
+        # 125m-class layout only: pre-LN, no embed projection (the 350m
+        # project_in/out variant is out of scope, as in the reference CLI)
+        if not d.get("do_layer_norm_before", True):
+            raise ValueError("post-LN OPT variants unsupported")
+        if d.get("word_embed_proj_dim", d["hidden_size"]) != d["hidden_size"]:
+            raise ValueError("OPT word_embed_proj_dim != hidden_size unsupported")
+        return LlamaConfig(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            num_layers=d["num_hidden_layers"],
+            num_heads=heads,
+            num_kv_heads=heads,
+            intermediate_size=d["ffn_dim"],
+            tie_embeddings=d.get("tie_word_embeddings", True),
+            model_type="opt",
+            qkv_bias=d.get("enable_bias", True),
+            layer_norm_eps=1e-5,
+            max_position_embeddings=d.get("max_position_embeddings", 2048),
+        )
     return LlamaConfig(
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
@@ -63,6 +83,40 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
 
     def stack(fmt, transform=lambda x: x):
         return np.stack([transform(g(fmt.format(i=i))) for i in range(L)])
+
+    if cfg.model_type == "opt":
+        # OPT decoder layout (reference adapters/opt_adapter.py; HF
+        # OPTForCausalLM): sequential pre-LN, learned positions (offset 2),
+        # ReLU fc MLP, tied head.
+        pre = "model.decoder.layers.{i}"
+        blocks = {
+            "ln1": stack(pre + ".self_attn_layer_norm.weight"),
+            "ln1_bias": stack(pre + ".self_attn_layer_norm.bias"),
+            "q_kernel": stack(pre + ".self_attn.q_proj.weight", _t),
+            "q_bias": stack(pre + ".self_attn.q_proj.bias"),
+            "k_kernel": stack(pre + ".self_attn.k_proj.weight", _t),
+            "k_bias": stack(pre + ".self_attn.k_proj.bias"),
+            "v_kernel": stack(pre + ".self_attn.v_proj.weight", _t),
+            "v_bias": stack(pre + ".self_attn.v_proj.bias"),
+            "o_kernel": stack(pre + ".self_attn.out_proj.weight", _t),
+            "o_bias": stack(pre + ".self_attn.out_proj.bias"),
+            "ln2": stack(pre + ".final_layer_norm.weight"),
+            "ln2_bias": stack(pre + ".final_layer_norm.bias"),
+            "fc1_kernel": stack(pre + ".fc1.weight", _t),
+            "fc1_bias": stack(pre + ".fc1.bias"),
+            "fc2_kernel": stack(pre + ".fc2.weight", _t),
+            "fc2_bias": stack(pre + ".fc2.bias"),
+        }
+        params: Params = {
+            "embed": jnp.asarray(g("model.decoder.embed_tokens.weight"), dtype),
+            "pos_embed": jnp.asarray(g("model.decoder.embed_positions.weight"), dtype),
+            "blocks": {k: jnp.asarray(v, dtype) for k, v in blocks.items()},
+            "ln_final": jnp.asarray(g("model.decoder.final_layer_norm.weight"), dtype),
+            "ln_final_bias": jnp.asarray(g("model.decoder.final_layer_norm.bias"), dtype),
+        }
+        if not cfg.tie_embeddings and "lm_head.weight" in sd:
+            params["lm_head"] = jnp.asarray(_t(g("lm_head.weight")), dtype)
+        return params, cfg
 
     if cfg.model_type == "phi":
         # phi-2 layout: parallel block, fc1/fc2 GELU MLP, dense out proj, all

@@ -36,16 +36,24 @@ class LlamaConfig:
     tie_embeddings: bool = False
     # llama | mistral | qwen2 share the pre-RMSNorm SwiGLU block; phi3 maps to
     # the same layout at load time (fused qkv/gate_up split by the loader);
-    # "phi" (phi-2) selects the parallel-residual LayerNorm+GELU block.
+    # "phi" (phi-2) selects the parallel-residual LayerNorm+GELU block;
+    # "opt" the sequential LayerNorm block with learned positions + ReLU MLP
+    # (reference src/slicegpt_utils/adapters/opt_adapter.py).
     model_type: str = "llama"
-    qkv_bias: bool = False     # qwen2/phi use attention biases
+    qkv_bias: bool = False     # qwen2/phi/opt use attention biases
     # phi-2 specifics
     rotary_dim: Optional[int] = None   # partial rotary (e.g. 32 of head_dim 80)
-    layer_norm_eps: float = 1e-5       # phi uses LayerNorm (with bias)
+    layer_norm_eps: float = 1e-5       # phi/opt use LayerNorm (with bias)
+    # opt specifics
+    max_position_embeddings: int = 2048  # learned positional table size
 
     @property
     def is_phi(self) -> bool:
         return self.model_type == "phi"
+
+    @property
+    def is_opt(self) -> bool:
+        return self.model_type == "opt"
     # --- materialized-pruning state ---
     # Uniform kept intermediate size after 2SSP stage-1 (reference sets
     # config.intermediate_size = num_preserve, src/pruning.py:286).
@@ -80,6 +88,38 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
 
     def nrm(key, shape, std=0.02):
         return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    if cfg.is_opt:
+        # OPT-125m-class layout: sequential pre-LN block (do_layer_norm_before
+        # =True), learned positions (offset 2), ReLU fc MLP, tied head
+        # (reference adapters/opt_adapter.py:18-113).
+        params: Params = {
+            "embed": nrm(next(ks), (cfg.vocab_size, d)),
+            "pos_embed": nrm(next(ks), (cfg.max_position_embeddings + 2, d)),
+            "blocks": {
+                "ln1": jnp.ones((L, d), dtype),
+                "ln1_bias": jnp.zeros((L, d), dtype),
+                "q_kernel": nrm(next(ks), (L, d, hq)),
+                "q_bias": jnp.zeros((L, hq), dtype),
+                "k_kernel": nrm(next(ks), (L, d, hkv)),
+                "k_bias": jnp.zeros((L, hkv), dtype),
+                "v_kernel": nrm(next(ks), (L, d, hkv)),
+                "v_bias": jnp.zeros((L, hkv), dtype),
+                "o_kernel": nrm(next(ks), (L, hq, d)),
+                "o_bias": jnp.zeros((L, d), dtype),
+                "ln2": jnp.ones((L, d), dtype),
+                "ln2_bias": jnp.zeros((L, d), dtype),
+                "fc1_kernel": nrm(next(ks), (L, d, f)),
+                "fc1_bias": jnp.zeros((L, f), dtype),
+                "fc2_kernel": nrm(next(ks), (L, f, d)),
+                "fc2_bias": jnp.zeros((L, d), dtype),
+            },
+            "ln_final": jnp.ones((d,), dtype),
+            "ln_final_bias": jnp.zeros((d,), dtype),
+        }
+        if not cfg.tie_embeddings:
+            params["lm_head"] = nrm(next(ks), (d, cfg.vocab_size))
+        return params
 
     if cfg.is_phi:
         params: Params = {
@@ -174,7 +214,9 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
     q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    if cfg.rotary_dim is not None and cfg.rotary_dim < hd:
+    if cfg.is_opt:
+        pass  # OPT uses learned absolute positions at the embedding, no rope
+    elif cfg.rotary_dim is not None and cfg.rotary_dim < hd:
         # phi partial rotary: rotate the first rotary_dim dims, pass the rest
         rd = cfg.rotary_dim
         q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
@@ -205,13 +247,18 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
     return out
 
 
-def _phi_mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
-    """phi-2 MLP: fc1 -> exact GELU -> fc2 (reference prunes fc1 rows/fc2 cols,
-    src/utilities.py:419-422; hooks observe the fc2 input)."""
-    from ssp_x_vit_tpu.ops.common import gelu as _gelu
-
+def _phi_mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq",
+             act="gelu"):
+    """fc1 -> activation -> fc2 MLP (phi-2: exact GELU; OPT: ReLU). The
+    reference prunes fc1 rows/fc2 cols (src/utilities.py:419-422); hooks
+    observe the fc2 input."""
     h = x @ bp["fc1_kernel"].astype(compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
-    h = _gelu(h)
+    if act == "relu":
+        h = jax.nn.relu(h)
+    else:
+        from ssp_x_vit_tpu.ops.common import gelu as _gelu
+
+        h = _gelu(h)
     stats = None
     if collect_stats:
         h32 = h.astype(jnp.float32)
@@ -270,6 +317,10 @@ def llama_forward(
         raise ValueError("use llama_forward_materialized for depth-materialized configs")
     L = cfg.num_layers
     x = params["embed"].astype(compute_dtype)[input_ids]
+    if cfg.is_opt:
+        # learned absolute positions, HF offset of 2 (OPTLearnedPositionalEmbedding)
+        pos = 2 + jnp.arange(input_ids.shape[1])
+        x = x + params["pos_embed"].astype(compute_dtype)[pos][None]
 
     gates_a = attn_gate if attn_gate is not None else jnp.ones((L,), jnp.float32)
     gates_m = mlp_gate if mlp_gate is not None else jnp.ones((L,), jnp.float32)
@@ -295,6 +346,25 @@ def llama_forward(
                 out["block_outputs"] = x
             return x, out
 
+        if cfg.is_opt:
+            # OPT sequential pre-LN block: LN1 -> attn -> residual,
+            # LN2 -> fc MLP (ReLU) -> residual.
+            h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+            attn_out = _attention(h, bp, cfg, compute_dtype)
+            x = x + attn_out * ga.astype(x.dtype)
+            mlp_in = _layer_norm(x, bp["ln2"], bp["ln2_bias"], cfg.layer_norm_eps)
+            mlp_out, stats = _phi_mlp(mlp_in, bp, compute_dtype, nm,
+                                      collect_mlp_stats, mlp_stats_kind, act="relu")
+            if collect_mlp_stats:
+                out["mlp_stats"] = stats
+            if collect_mlp_io_stats:
+                out["mlp_in_stats"] = jnp.sum(jnp.square(mlp_in.astype(jnp.float32)), axis=1)
+                out["mlp_out_stats"] = jnp.sum(jnp.square(mlp_out.astype(jnp.float32)), axis=1)
+            x = x + mlp_out * gm.astype(x.dtype)
+            if return_block_outputs:
+                out["block_outputs"] = x
+            return x, out
+
         attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
         x = x + attn_out * ga.astype(x.dtype)
         mlp_in = rms_norm(x, bp["ln2"], cfg.rms_eps)
@@ -314,7 +384,7 @@ def llama_forward(
 
     x, scanned_out = jax.lax.scan(body, x, (params["blocks"], gates_a, gates_m, nmask))
 
-    if cfg.is_phi:
+    if cfg.is_phi or cfg.is_opt:
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
@@ -337,11 +407,30 @@ def llama_forward_materialized(
     """Unrolled forward for depth-materialized models (attention weights of
     pruned blocks physically absent; cf. vit_forward_materialized)."""
     x = params["embed"].astype(compute_dtype)[input_ids]
+    if cfg.is_opt:
+        pos = 2 + jnp.arange(input_ids.shape[1])
+        x = x + params["pos_embed"].astype(compute_dtype)[pos][None]
     blocks = params["blocks"]
     store = cfg.attn_store_index
 
     for i in range(cfg.num_layers):
         j = store[i]
+        if cfg.is_opt:
+            # attention (incl. its pre-LN) removable; MLP block always present
+            if j is not None:
+                h = _layer_norm(x, blocks["ln1"][j], blocks["ln1_bias"][j],
+                                cfg.layer_norm_eps)
+                bp = {k: blocks[k][j] for k in
+                      ("q_kernel", "q_bias", "k_kernel", "k_bias",
+                       "v_kernel", "v_bias", "o_kernel", "o_bias")}
+                x = x + _attention(h, bp, cfg, compute_dtype)
+            mlp_in = _layer_norm(x, blocks["ln2"][i], blocks["ln2_bias"][i],
+                                 cfg.layer_norm_eps)
+            mp = {k: blocks[k][i] for k in
+                  ("fc1_kernel", "fc1_bias", "fc2_kernel", "fc2_bias")}
+            mlp_out, _ = _phi_mlp(mlp_in, mp, compute_dtype, None, False, act="relu")
+            x = x + mlp_out
+            continue
         if cfg.is_phi:
             # ln1 feeds both branches in phi, so it is indexed by the FULL
             # layer index (never removed with the attention; reference deletes
@@ -369,7 +458,7 @@ def llama_forward_materialized(
         mlp_out, _ = _mlp(rms_norm(x, mp["ln2"], cfg.rms_eps), mp, compute_dtype, None, False)
         x = x + mlp_out
 
-    if cfg.is_phi:
+    if cfg.is_phi or cfg.is_opt:
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)

@@ -41,10 +41,11 @@ def count_main_params(cfg: LlamaConfig) -> Tuple[int, int, int]:
     d, f = cfg.hidden_size, cfg.effective_intermediate
     hq = cfg.num_heads * cfg.head_dim
     hkv = cfg.num_kv_heads * cfg.head_dim
-    if cfg.is_phi:
+    if cfg.is_phi or cfg.is_opt:
         attn = (d * hq + hq) + 2 * (d * hkv + hkv) + (hq * d + d)  # q/k/v/dense+biases
         mlp = (d * f + f) + (f * d + d)                            # fc1/fc2+biases
-        per_block_other = 2 * d                                    # one LayerNorm (scale+bias)
+        # phi: one shared LayerNorm; opt: two LayerNorms (scale+bias each)
+        per_block_other = 4 * d if cfg.is_opt else 2 * d
     else:
         attn = d * hq + 2 * d * hkv + hq * d
         if cfg.qkv_bias:
@@ -99,7 +100,7 @@ def materialize_llm_width_pruning(
     def rows(kernel):  # [L, F, d] keep rows
         return jnp.take_along_axis(kernel, idx[:, :, None], axis=1)
 
-    if cfg.is_phi:
+    if cfg.is_phi or cfg.is_opt:
         blocks["fc1_kernel"] = cols(blocks["fc1_kernel"])
         blocks["fc1_bias"] = jnp.take_along_axis(blocks["fc1_bias"], idx, axis=1)
         blocks["fc2_kernel"] = rows(blocks["fc2_kernel"])
@@ -247,7 +248,9 @@ def materialize_llm_depth_pruning(
     # (reference deletes only q/k/v/dense, src/utilities.py:496-500).
     attn_names = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
                   "q_bias", "k_bias", "v_bias", "o_bias")
-    if not cfg.is_phi:
+    if cfg.is_opt:
+        attn_names = ("ln1", "ln1_bias") + attn_names  # pre-attn LN goes too
+    elif not cfg.is_phi:
         attn_names = ("ln1",) + attn_names
     for name in attn_names:
         if name in blocks:

@@ -122,7 +122,9 @@ def _sliced_attention_phi(h, lp, cfg: LlamaConfig, compute_dtype):
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     rd = cfg.rotary_dim
-    if rd is not None and rd < hd:
+    if cfg.is_opt:
+        pass  # learned absolute positions live in the (rotated) embeddings
+    elif rd is not None and rd < hd:
         q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
         q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
         k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
@@ -151,11 +153,30 @@ def _sliced_block_phi(x, lp, cfg: LlamaConfig, compute_dtype):
     return x @ lp["attn_shortcut"].astype(compute_dtype) + attn_out + mlp_out
 
 
+def _sliced_block_opt(x, lp, cfg: LlamaConfig, compute_dtype):
+    """OPT sequential sliced block: biased attention without rope, ReLU fc
+    MLP, two shortcut matrices (reference adapters/opt_adapter.py
+    CompressedOPTDecoderLayer forward, do_layer_norm_before=True)."""
+    d_orig = cfg.hidden_size
+    attn_out = _sliced_attention_phi(rmsn(x, d_orig), lp, cfg, compute_dtype)
+    x = x @ lp["attn_shortcut"].astype(compute_dtype) + attn_out
+    h = rmsn(x, d_orig)
+    hm = jax.nn.relu(h @ lp["fc1_kernel"].astype(compute_dtype)
+                     + lp["fc1_bias"].astype(compute_dtype))
+    mlp_out = hm @ lp["fc2_kernel"].astype(compute_dtype) + \
+        lp["fc2_bias"].astype(compute_dtype)
+    return x @ lp["mlp_shortcut"].astype(compute_dtype) + mlp_out
+
+
 def sliced_llama_forward(params: Params, input_ids: jax.Array, scfg: SlicedLlamaConfig,
                          *, compute_dtype=jnp.float32) -> jax.Array:
     cfg = scfg.base
-    block = _sliced_block_phi if cfg.is_phi else _sliced_block
+    block = (_sliced_block_phi if cfg.is_phi
+             else _sliced_block_opt if cfg.is_opt else _sliced_block)
     x = params["embed"].astype(compute_dtype)[input_ids]
+    if cfg.is_opt:
+        pos = 2 + jnp.arange(input_ids.shape[1])
+        x = x + params["pos_embed"].astype(compute_dtype)[pos][None]
     for lp in params["layers"]:
         x = block(x, lp, cfg, compute_dtype)
     x = rmsn(x, cfg.hidden_size)
@@ -274,6 +295,156 @@ def fuse_layernorms_phi(params: Params, cfg: LlamaConfig) -> Params:
             "lm_head_bias": head_bias}
 
 
+def fuse_layernorms_opt(params: Params, cfg: LlamaConfig) -> Params:
+    """LayerNorm -> RMSN fusion for OPT's sequential block (reference
+    layernorm_fusion.fuse_modules with should_bake_mean_into_linear=True,
+    adapters/opt_adapter.py):
+
+    - token AND positional embeddings mean-centered per row;
+    - ln1 scale/bias folded into q/k/v; ln2 scale/bias folded into fc1;
+    - mean-subtraction baked into the residual writers (o, fc2): column-
+      centered kernels + mean-centered biases keep the stream zero-mean so
+      scale-free RMSN == the original LayerNorm;
+    - ln_final fused into the (tied) lm head, its bias into a logits bias.
+    """
+    blocks = {k: np.asarray(v, np.float64) for k, v in params["blocks"].items()}
+    for i in range(cfg.num_layers):
+        s1, b1 = blocks["ln1"][i], blocks["ln1_bias"][i]
+        for kn, bn in (("q_kernel", "q_bias"), ("k_kernel", "k_bias"),
+                       ("v_kernel", "v_bias")):
+            blocks[bn][i] = blocks[bn][i] + b1 @ blocks[kn][i]
+            blocks[kn][i] = blocks[kn][i] * s1[:, None]
+        s2, b2 = blocks["ln2"][i], blocks["ln2_bias"][i]
+        blocks["fc1_bias"][i] = blocks["fc1_bias"][i] + b2 @ blocks["fc1_kernel"][i]
+        blocks["fc1_kernel"][i] = blocks["fc1_kernel"][i] * s2[:, None]
+        for kn, bn in (("o_kernel", "o_bias"), ("fc2_kernel", "fc2_bias")):
+            blocks[kn][i] = blocks[kn][i] - blocks[kn][i].mean(axis=1, keepdims=True)
+            blocks[bn][i] = blocks[bn][i] - blocks[bn][i].mean()
+    embed = np.asarray(params["embed"], np.float64)
+    embed = embed - embed.mean(axis=-1, keepdims=True)
+    pos = np.asarray(params["pos_embed"], np.float64)
+    pos = pos - pos.mean(axis=-1, keepdims=True)
+    head = np.asarray(params["lm_head"] if "lm_head" in params
+                      else np.asarray(params["embed"], np.float64).T, np.float64)
+    head_bias = np.asarray(params["ln_final_bias"], np.float64) @ head
+    head = head * np.asarray(params["ln_final"], np.float64)[:, None]
+    return {"embed": embed, "pos_embed": pos, "blocks": blocks,
+            "lm_head": head, "lm_head_bias": head_bias}
+
+
+def slicegpt_opt(
+    params: Params,
+    cfg: LlamaConfig,
+    sparsity: float,
+    calibration: Sequence[np.ndarray],
+    *,
+    final_orientation: str = "random",
+    seed: int = 0,
+    compute_dtype=jnp.float32,
+) -> Tuple[Params, SlicedLlamaConfig]:
+    """SliceGPT for OPT: the sequential two-Q-per-layer flow of ``slicegpt``
+    with LayerNorm fusion, biased projections and rotated positional
+    embeddings (reference rotate.py rotate_and_slice_sequential +
+    adapters/opt_adapter.py)."""
+    d = cfg.hidden_size
+    new_dim = int((1 - sparsity) * d)
+    new_dim -= new_dim % 8
+    print(f"New embedding dimension: {new_dim} "
+          f"(sparsity {100*(1 - new_dim / d):.4f} %)")
+
+    fused = fuse_layernorms_opt(params, cfg)
+    L = cfg.num_layers
+    blocks = fused["blocks"]
+
+    @jax.jit
+    def embed_fn(embed, pos_embed, tokens):
+        x = embed.astype(compute_dtype)[tokens]
+        return x + pos_embed.astype(compute_dtype)[2 + jnp.arange(tokens.shape[1])][None]
+
+    @jax.jit
+    def _attn_to_mlp(lp, x):
+        attn_out = _sliced_attention_phi(rmsn(x, d), lp, cfg, compute_dtype)
+        return x @ lp["attn_shortcut"].astype(compute_dtype) + attn_out
+
+    @jax.jit
+    def _layer_out(lp, x):
+        return _sliced_block_opt(x, lp, cfg, compute_dtype)
+
+    tokens_list = [jnp.asarray(np.asarray(c).reshape(1, -1), jnp.int32)
+                   for c in calibration]
+    embed_dev = jnp.asarray(fused["embed"], compute_dtype)
+    pos_dev = jnp.asarray(fused["pos_embed"], compute_dtype)
+    inps = [np.asarray(embed_fn(embed_dev, pos_dev, t)) for t in tokens_list]
+
+    _, Q = pca_calc(inps)
+    if final_orientation == "random":
+        Q = Q @ random_orthogonal_upper_left(d, new_dim, seed)
+    embed = (fused["embed"] @ Q)[:, :new_dim]
+    pos_embed = (fused["pos_embed"] @ Q)[:, :new_dim]
+
+    sliced_layers: List[Dict[str, Any]] = []
+    for idx in range(L):
+        lp: Dict[str, Any] = {}
+        for name in ("q_kernel", "k_kernel", "v_kernel"):
+            lp[name] = (Q.T @ blocks[name][idx])[:new_dim, :]
+        for name in ("q_bias", "k_bias", "v_bias", "fc1_bias"):
+            lp[name] = blocks[name][idx]
+        lp["attn_shortcut"] = Q.T[:new_dim, :].copy()
+        lp["o_kernel"] = blocks["o_kernel"][idx]
+        lp["o_bias"] = blocks["o_bias"][idx]
+        lp["fc1_kernel"] = blocks["fc1_kernel"][idx]
+        lp["fc2_kernel"] = blocks["fc2_kernel"][idx]
+        lp["fc2_bias"] = blocks["fc2_bias"][idx]
+        lp["mlp_shortcut"] = np.eye(d)  # placeholder until Q2
+
+        inps = [np.asarray(x @ Q, np.float64)[:, :, :new_dim] for x in inps]
+
+        lp_dev = {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()}
+        inps_dev = [jnp.asarray(x, compute_dtype) for x in inps]
+        mlp_ln_inputs = [np.asarray(_attn_to_mlp(lp_dev, x)) for x in inps_dev]
+
+        _, Q2 = pca_calc(mlp_ln_inputs)
+        if final_orientation == "random":
+            Q2 = Q2 @ random_orthogonal_upper_left(Q2.shape[0], new_dim,
+                                                   seed + idx + 1)
+        lp["attn_shortcut"] = lp["attn_shortcut"] @ Q2[:, :new_dim]
+        lp["o_kernel"] = (lp["o_kernel"] @ Q2)[:, :new_dim]
+        lp["o_bias"] = (lp["o_bias"] @ Q2)[:new_dim]
+        lp["mlp_shortcut"] = Q2.T[:new_dim, :].copy()
+        lp["fc1_kernel"] = (Q2.T @ lp["fc1_kernel"])[:new_dim, :]
+
+        lp_dev = {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()}
+        outs = [np.asarray(_layer_out(lp_dev, x)) for x in inps_dev]
+
+        _, Q3 = pca_calc(outs)
+        last = idx == L - 1
+        out_dim = d if last else new_dim  # do_slice_head=False keeps the last full
+        if final_orientation == "random":
+            Q3 = Q3 @ random_orthogonal_upper_left(Q3.shape[0], out_dim,
+                                                   seed + 10_000 + idx)
+        lp["mlp_shortcut"] = (lp["mlp_shortcut"] @ Q3)[:, :out_dim]
+        lp["fc2_kernel"] = (lp["fc2_kernel"] @ Q3)[:, :out_dim]
+        lp["fc2_bias"] = (lp["fc2_bias"] @ Q3)[:out_dim]
+        sliced_layers.append(lp)
+
+        inps = [np.asarray(o, np.float64) for o in outs]
+        Q = Q3
+
+    head = Q.T @ fused["lm_head"]
+    scfg = SlicedLlamaConfig(base=cfg, new_dim=new_dim, do_slice_head=False)
+    sliced_params: Params = {
+        "embed": jnp.asarray(embed, compute_dtype),
+        "pos_embed": jnp.asarray(pos_embed, compute_dtype),
+        "layers": [
+            {k: jnp.asarray(v, compute_dtype) for k, v in lp.items()}
+            for lp in sliced_layers
+        ],
+        "lm_head": jnp.asarray(head, compute_dtype),
+        "lm_head_bias": jnp.asarray(fused["lm_head_bias"], compute_dtype),
+    }
+    return sliced_params, scfg
+
+
 def slicegpt_parallel(
     params: Params,
     cfg: LlamaConfig,
@@ -385,6 +556,10 @@ def slicegpt(
         return slicegpt_parallel(params, cfg, sparsity, calibration,
                                  final_orientation=final_orientation,
                                  seed=seed, compute_dtype=compute_dtype)
+    if cfg.is_opt:
+        return slicegpt_opt(params, cfg, sparsity, calibration,
+                            final_orientation=final_orientation,
+                            seed=seed, compute_dtype=compute_dtype)
     d = cfg.hidden_size
     new_dim = int((1 - sparsity) * d)
     new_dim -= new_dim % 8  # reference src/slicegpt.py:47-49

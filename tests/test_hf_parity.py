@@ -137,3 +137,26 @@ def test_phi3_logits_match_hf(tmp_path):
     hf_logits = hf_model(input_ids=torch.from_numpy(tokens.astype(np.int64))).logits.float().numpy()
     ours, _ = llama_forward(params, jnp.asarray(tokens), cfg, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_opt_logits_match_hf(tmp_path):
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=4, ffn_dim=64,
+                       max_position_embeddings=64, do_layer_norm_before=True,
+                       word_embed_proj_dim=32, tie_word_embeddings=True)
+    torch.manual_seed(0)
+    hf_model = OPTForCausalLM(hf_cfg).eval()
+    hf_model.save_pretrained(tmp_path / "opt")
+
+    from ssp_x_vit_tpu.llm.checkpoints import load_hf_llama
+    from ssp_x_vit_tpu.llm.model import llama_forward
+
+    params, cfg = load_hf_llama(str(tmp_path / "opt"), dtype=jnp.float32)
+    assert cfg.is_opt and cfg.intermediate_size == 64
+
+    tokens = np.arange(24, dtype=np.int32)[None] % 96
+    hf_logits = hf_model(input_ids=torch.from_numpy(tokens.astype(np.int64))).logits.float().numpy()
+    ours, _ = llama_forward(params, jnp.asarray(tokens), cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=5e-4, atol=5e-4)

@@ -100,3 +100,47 @@ def test_phi_sparsity_25_runs_and_shrinks(phi_setup):
     assert sliced["layers"][-1]["fc2_kernel"].shape[1] == PHI.hidden_size
     ppl = evaluate_perplexity_sliced(sliced, scfg, stream, seq_len=128)
     assert np.isfinite(ppl) and ppl > 0
+
+
+OPT = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=3, num_heads=4,
+                  num_kv_heads=4, intermediate_size=64, model_type="opt",
+                  qkv_bias=True, layer_norm_eps=1e-5,
+                  max_position_embeddings=256, tie_embeddings=True)
+
+
+@pytest.fixture(scope="module")
+def opt_setup():
+    params = init_llama_params(jax.random.PRNGKey(5), OPT, dtype=jnp.float32)
+    stream = synthetic_token_stream(2048, OPT.vocab_size, seed=2)
+    calib = get_calibration(stream, 3, seq_len=128)
+    return params, stream, calib
+
+
+def test_opt_rotation_only_is_lossless(opt_setup):
+    """OPT sequential engine: LayerNorm->RMSN fusion (mean baked into the
+    residual writers), rotated positional embeddings, two-Q rotations at 0%
+    sparsity reproduce the dense OPT logits (reference
+    adapters/opt_adapter.py, rotate.py rotate_and_slice_sequential)."""
+    params, stream, calib = opt_setup
+    sliced, scfg = slicegpt(params, OPT, 0.0, calib, final_orientation="pca")
+    assert scfg.new_dim == OPT.hidden_size
+    tokens = jnp.asarray(np.asarray(calib[0]), jnp.int32)
+    dense_logits, _ = llama_forward(params, tokens, OPT, compute_dtype=jnp.float32)
+    sliced_logits = sliced_llama_forward(sliced, tokens, scfg)
+    np.testing.assert_allclose(np.asarray(sliced_logits), np.asarray(dense_logits),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_opt_sparsity_25_runs_and_shrinks(opt_setup):
+    params, stream, calib = opt_setup
+    sliced, scfg = slicegpt(params, OPT, 0.25, calib)
+    assert scfg.new_dim == 24
+    lp = sliced["layers"][0]
+    assert lp["q_kernel"].shape[0] == 24
+    assert lp["fc1_kernel"].shape[0] == 24
+    assert lp["attn_shortcut"].shape == (24, 24)
+    assert lp["mlp_shortcut"].shape == (24, 24)
+    assert sliced["pos_embed"].shape[1] == 24
+    assert sliced["layers"][-1]["fc2_kernel"].shape[1] == OPT.hidden_size
+    ppl = evaluate_perplexity_sliced(sliced, scfg, stream, seq_len=128)
+    assert np.isfinite(ppl) and ppl > 0
