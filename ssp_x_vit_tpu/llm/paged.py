@@ -1,0 +1,272 @@
+"""Paged-KV serving with continuous batching.
+
+Extends llm/serve.py (contiguous per-request caches, shared write position)
+with the vLLM memory model on TPU:
+
+- one physical page pool per layer (``[A, nkv, num_pages, page_size, hd]``),
+  sequences own pages through per-slot page tables;
+- per-sequence independent positions — no left-padding, no shared write
+  position, so requests of different lengths decode in ONE batched step and
+  new requests join as slots free (continuous batching);
+- pages are allocated on demand as a sequence crosses a page boundary and
+  returned to the free list when the request completes — freed memory is
+  immediately reusable by longer later requests (the contiguous cache cannot
+  do this: its ``max_len`` slots are committed per batch for the whole run);
+- page 0 is a reserved trash page: padded prefill positions and inactive
+  slots write there, keeping every jit shape static.
+
+Attention over the paged pool runs through ops/pallas/paged_attention.py
+(scalar-prefetched page-table walks on TPU, jnp gather reference elsewhere).
+Llama-layout models (llama/mistral/qwen2/phi-3-as-llama); greedy decode.
+
+The reference has no serving machinery (generation recomputes the full
+sequence per token, src/evaluation.py:149-184); this is part of the
+rebuild's beyond-reference serving subsystem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, rms_norm
+from ssp_x_vit_tpu.llm.serve import _block_qkv, _final_logits, bucket_prompt_pad
+from ssp_x_vit_tpu.ops.pallas.paged_attention import (
+    paged_attention, paged_cache_write,
+)
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def init_paged_pools(cfg: LlamaConfig, num_pages: int, page_size: int,
+                     dtype=jnp.bfloat16):
+    """[A, nkv, num_pages, page_size, hd] x2 (page 0 reserved as trash)."""
+    if cfg.is_phi or cfg.is_opt or cfg.pruned_attention_blocks:
+        raise ValueError("paged serving covers dense llama-layout models")
+    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _write_many_masked(kp, vp, k_new, v_new, page_table, seq_len):
+    """Prefill write of s consecutive tokens for one sequence; positions
+    >= seq_len are redirected to trash page 0."""
+    s = k_new.shape[0]
+    ps = kp.shape[2]
+    pos = jnp.arange(s)
+    valid = pos < seq_len
+    phys = jnp.where(valid, page_table[pos // ps], 0)
+    off = pos % ps
+    kp = kp.at[:, phys, off].set(jnp.moveaxis(k_new.astype(kp.dtype), 0, 1))
+    vp = vp.at[:, phys, off].set(jnp.moveaxis(v_new.astype(vp.dtype), 0, 1))
+    return kp, vp
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
+                  cfg: LlamaConfig, page_table: jax.Array, seq_len: jax.Array):
+    """One prompt ([1, p_pad] right-padded) -> pools filled, logits at the
+    last valid position [V]. One compile per prompt bucket."""
+    compute_dtype = k_pools.dtype
+    _, p_pad = tokens.shape
+    x = params["embed"].astype(compute_dtype)[tokens]
+    positions = jnp.arange(p_pad)[None]
+
+    def body(x, scanned):
+        bp, kp, vp = scanned
+        h = rms_norm(x, bp["ln1"], cfg.rms_eps)
+        q, k, v = _block_qkv(h, bp, cfg, positions, compute_dtype)
+        kp, vp = _write_many_masked(kp, vp, k[0], v[0], page_table, seq_len)
+        rep = cfg.num_heads // cfg.num_kv_heads
+        kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
+        vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kf,
+                            preferred_element_type=jnp.float32) / cfg.head_dim**0.5
+        row = jnp.arange(p_pad)[:, None]
+        col = jnp.arange(p_pad)[None, :]
+        mask = (col <= row) & (col < seq_len)
+        logits = jnp.where(mask[None, None], logits, _NEG_INF)
+        w = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, vf)
+        attn = attn.reshape(1, p_pad, -1) @ bp["o_kernel"].astype(compute_dtype)
+        if "o_bias" in bp:
+            attn = attn + bp["o_bias"].astype(compute_dtype)
+        x = x + attn
+        h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+        g = h2 @ bp["gate_kernel"].astype(compute_dtype)
+        u = h2 @ bp["up_kernel"].astype(compute_dtype)
+        x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
+        return x, (kp, vp)
+
+    x, (k_pools, v_pools) = jax.lax.scan(body, x, (params["blocks"], k_pools, v_pools))
+    last = jax.lax.dynamic_slice_in_dim(x, jnp.maximum(seq_len - 1, 0), 1, axis=1)
+    logits = _final_logits(params, last, cfg, compute_dtype)[0, 0]
+    return logits, k_pools, v_pools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_decode_step(params: Params, tokens: jax.Array, k_pools, v_pools,
+                      cfg: LlamaConfig, page_tables: jax.Array,
+                      seq_lens: jax.Array):
+    """One decode step for ALL slots: tokens [b] at per-sequence positions
+    ``seq_lens`` (each sequence's own length — no shared write position).
+    Returns (logits [b, V], pools)."""
+    compute_dtype = k_pools.dtype
+    b = tokens.shape[0]
+    x = params["embed"].astype(compute_dtype)[tokens][:, None]   # [b, 1, d]
+    positions = seq_lens[:, None]                                 # rope per-seq
+
+    def body(x, scanned):
+        bp, kp, vp = scanned
+        h = rms_norm(x, bp["ln1"], cfg.rms_eps)
+        q, k, v = _block_qkv(h, bp, cfg, positions, compute_dtype)
+        kp, vp = paged_cache_write(kp, vp, k[:, 0], v[:, 0], page_tables, seq_lens)
+        attn = paged_attention(q[:, 0], kp, vp, page_tables, seq_lens + 1)
+        attn = attn.reshape(b, 1, -1) @ bp["o_kernel"].astype(compute_dtype)
+        if "o_bias" in bp:
+            attn = attn + bp["o_bias"].astype(compute_dtype)
+        x = x + attn
+        h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+        g = h2 @ bp["gate_kernel"].astype(compute_dtype)
+        u = h2 @ bp["up_kernel"].astype(compute_dtype)
+        x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
+        return x, (kp, vp)
+
+    x, (k_pools, v_pools) = jax.lax.scan(body, x, (params["blocks"], k_pools, v_pools))
+    return _final_logits(params, x, cfg, compute_dtype)[:, 0], k_pools, v_pools
+
+
+@dataclasses.dataclass
+class _Slot:
+    active: bool = False
+    request_id: int = -1
+    pages: List[int] = dataclasses.field(default_factory=list)
+    length: int = 0                      # tokens in cache
+    last_token: int = 0
+    generated: List[int] = dataclasses.field(default_factory=list)
+    prompt: List[int] = dataclasses.field(default_factory=list)
+    budget: int = 0
+    eos: Optional[int] = None
+
+
+class PagedServer:
+    """Continuous-batching greedy server over the paged pools.
+
+    ``max_batch`` slots decode together each ``step()``; ``add_request``
+    prefills into freshly allocated pages and joins the next step. Completed
+    requests free their pages immediately. Raises if the pool cannot cover a
+    request's worst case at admit time (simple admission control)."""
+
+    def __init__(self, params: Params, cfg: LlamaConfig, *, max_batch: int = 4,
+                 num_pages: int = 128, page_size: int = 64,
+                 max_context: int = 1024, cache_dtype=jnp.bfloat16):
+        self.params, self.cfg = params, cfg
+        self.page_size = page_size
+        self.max_pages_per_seq = -(-max_context // page_size)
+        self.k_pools, self.v_pools = init_paged_pools(
+            cfg, num_pages, page_size, cache_dtype)
+        self.free_pages = list(range(num_pages - 1, 0, -1))  # page 0 = trash
+        self.slots = [_Slot() for _ in range(max_batch)]
+        self._next_id = 0
+        self.finished: Dict[int, np.ndarray] = {}
+
+    # ---------------- admission ----------------
+
+    def add_request(self, prompt, max_new_tokens: int = 32,
+                    eos_token_id: Optional[int] = None) -> int:
+        prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
+        slot = next((s for s in self.slots if not s.active), None)
+        if slot is None:
+            raise RuntimeError("no free slot")
+        worst = -(-(len(prompt) + max_new_tokens) // self.page_size)
+        if worst > self.max_pages_per_seq:
+            raise ValueError("request exceeds max_context")
+        if worst > len(self.free_pages):
+            raise RuntimeError("page pool exhausted")
+
+        n0 = -(-len(prompt) // self.page_size)
+        pages = [self.free_pages.pop() for _ in range(n0)]
+        pt = np.zeros((self.max_pages_per_seq,), np.int32)
+        pt[: len(pages)] = pages
+
+        p_pad = min(bucket_prompt_pad(len(prompt)),
+                    self.max_pages_per_seq * self.page_size)
+        toks = np.zeros((1, p_pad), np.int32)
+        toks[0, : len(prompt)] = prompt
+        logits, self.k_pools, self.v_pools = paged_prefill(
+            self.params, jnp.asarray(toks), self.k_pools, self.v_pools,
+            self.cfg, jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
+        first = int(np.argmax(np.asarray(logits)))
+
+        slot.active = True
+        slot.request_id = self._next_id
+        self._next_id += 1
+        slot.pages = pages
+        slot.length = len(prompt)
+        slot.prompt = prompt
+        slot.generated = [first]
+        slot.last_token = first
+        slot.budget = max_new_tokens
+        slot.eos = eos_token_id
+        if eos_token_id is not None and first == eos_token_id:
+            self._finish(slot)
+        elif len(slot.generated) >= slot.budget:
+            self._finish(slot)
+        return slot.request_id
+
+    # ---------------- decode loop ----------------
+
+    def _ensure_page(self, slot: _Slot):
+        need = slot.length // self.page_size  # page for the slot being written
+        if need >= len(slot.pages):
+            if not self.free_pages:
+                raise RuntimeError("page pool exhausted mid-decode")
+            slot.pages.append(self.free_pages.pop())
+
+    def _finish(self, slot: _Slot):
+        self.finished[slot.request_id] = np.asarray(
+            slot.prompt + slot.generated, np.int32)
+        self.free_pages.extend(slot.pages)
+        slot.active = False
+        slot.pages = []
+
+    def step(self) -> bool:
+        """One batched decode step; returns False when no slot is active."""
+        if not any(s.active for s in self.slots):
+            return False
+        b = len(self.slots)
+        tokens = np.zeros((b,), np.int32)
+        pts = np.zeros((b, self.max_pages_per_seq), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                continue  # trash-page writes, masked output
+            self._ensure_page(s)
+            tokens[i] = s.last_token
+            pts[i, : len(s.pages)] = s.pages
+            lens[i] = s.length
+
+        logits, self.k_pools, self.v_pools = paged_decode_step(
+            self.params, jnp.asarray(tokens), self.k_pools, self.v_pools,
+            self.cfg, jnp.asarray(pts), jnp.asarray(lens))
+        nxt = np.argmax(np.asarray(logits), axis=-1)
+
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            s.length += 1          # the token just written
+            tok = int(nxt[i])
+            s.generated.append(tok)
+            s.last_token = tok
+            if (s.eos is not None and tok == s.eos) or len(s.generated) >= s.budget:
+                self._finish(s)
+        return True
+
+    def run(self) -> Dict[int, np.ndarray]:
+        while self.step():
+            pass
+        return self.finished

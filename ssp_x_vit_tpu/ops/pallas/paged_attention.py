@@ -1,0 +1,188 @@
+"""Paged decode attention: KV cache in fixed-size pages + page tables.
+
+The serving path's contiguous cache (llm/serve.py) allocates ``max_len`` slots
+per sequence up front and forces all sequences in a batch onto one shared
+write position (left-padding). Paged attention removes both constraints —
+the vLLM design, TPU-native:
+
+- K/V live in a physical page pool ``[nkv, num_pages, page_size, hd]``
+  (per layer); a sequence owns an arbitrary set of pages via its row of the
+  ``page_table [b, pages_per_seq]``.
+- The decode kernel walks a sequence's pages with the page table in SMEM
+  (``PrefetchScalarGridSpec`` scalar prefetch drives the K/V BlockSpec
+  index_map — the DMA engine fetches exactly the pages the sequence owns),
+  accumulating a flash-style online softmax across pages.
+- Per-sequence lengths are independent: continuous batching admits/evicts
+  requests without repadding or recompiling (llm/paged.py).
+
+Grid: (batch, kv_head, page). The page axis is innermost/sequential, so the
+softmax state (m, l, acc) lives in VMEM scratch across page steps; the
+GQA query group for one kv head ([group, hd]) stays resident.
+
+The reference has no serving machinery at all; this extends the rebuild's
+beyond-reference serve path (COVERAGE.md). jnp reference + pallas kernel
+share one contract, dispatch-gated like every other kernel here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens):
+    """Exact softmax over the paged cache (jnp; CPU/test path).
+
+    q: [b, nq, hd] one query token per sequence;
+    k_pages/v_pages: [nkv, P, ps, hd]; page_table: [b, mp] int32 (entries for
+    unused logical pages must be valid indices, e.g. 0); seq_lens: [b] valid
+    cached tokens per sequence. Returns [b, nq, hd].
+    """
+    b, nq, hd = q.shape
+    nkv, _, ps, _ = k_pages.shape
+    mp = page_table.shape[1]
+    rep = nq // nkv
+    k = jnp.moveaxis(k_pages[:, page_table], 0, 1).reshape(b, nkv, mp * ps, hd)
+    v = jnp.moveaxis(v_pages[:, page_table], 0, 1).reshape(b, nkv, mp * ps, hd)
+    qh = q.reshape(b, nkv, rep, hd).astype(jnp.float32) * (1.0 / hd**0.5)
+    scores = jnp.einsum("bkrd,bksd->bkrs", qh, k.astype(jnp.float32))
+    pos = jnp.arange(mp * ps)
+    mask = pos[None, None, None, :] < seq_lens[:, None, None, None]
+    scores = jnp.where(mask, scores, _NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkrs,bksd->bkrd", w, v.astype(jnp.float32))
+    return out.reshape(b, nq, hd).astype(q.dtype)
+
+
+def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_s, l_s, acc_s, *, ps: int, mp: int, scale: float):
+    i = pl.program_id(0)       # batch (sequence)
+    j = pl.program_id(2)       # page step (innermost -> scratch carries)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, _NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    seq_len = len_ref[i]
+
+    @pl.when(j * ps < seq_len)
+    def _step():
+        q = q_ref[0, 0].astype(jnp.float32)       # [group, hd]
+        k = k_ref[0, 0]                           # [ps, hd]
+        s = jax.lax.dot_general(
+            q * scale, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [group, ps]
+        kpos = j * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < seq_len, s, _NEG_INF)
+        m_prev, l_prev = m_s[...], l_s[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)        # [group, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                            # [group, ps]
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [group, hd]
+        acc_s[...] = acc_s[...] * alpha + pv
+        m_s[...] = m_new
+
+    @pl.when(j == mp - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
+
+
+def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens):
+    """Pallas TPU paged decode attention; contract == the jnp reference."""
+    b, nq, hd = q.shape
+    nkv, num_pages, ps, _ = k_pages.shape
+    mp = page_table.shape[1]
+    rep = nq // nkv
+    scale = 1.0 / hd**0.5
+    qh = q.reshape(b, nkv, rep, hd)
+
+    grid = (b, nkv, mp)
+    kernel = functools.partial(_paged_kernel, ps=ps, mp=mp, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda i, h, j, pt, ln: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ps, hd), lambda i, h, j, pt, ln: (h, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ps, hd), lambda i, h, j, pt, ln: (h, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, h, j, pt, ln: (i, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rep, 1), jnp.float32),    # m
+            pltpu.VMEM((rep, 1), jnp.float32),    # l
+            pltpu.VMEM((rep, hd), jnp.float32),   # acc
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nq * mp * ps * hd,
+            bytes_accessed=2 * b * nkv * mp * ps * hd * k_pages.dtype.itemsize,
+            transcendentals=b * nq * mp * ps,
+        ),
+    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh, k_pages, v_pages)
+    return out.reshape(b, nq, hd)
+
+
+def paged_attention(q, k_pages, v_pages, page_table, seq_lens):
+    """Dispatch: pallas on TPU, jnp reference elsewhere."""
+    from ssp_x_vit_tpu.ops.dispatch import use_pallas
+
+    if use_pallas():
+        return paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens)
+    return paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens)
+
+
+def paged_cache_write(k_pages, v_pages, k_new, v_new, page_table, positions):
+    """Write one token's K/V per sequence into its page.
+
+    k_new/v_new: [b, nkv, hd]; positions [b] = logical slot being written
+    (== current seq_len). Returns updated pools. Functional (donation-safe
+    under jit).
+    """
+    b = positions.shape[0]
+    ps = k_pages.shape[2]
+    page = positions // ps
+    off = positions % ps
+    phys = page_table[jnp.arange(b), page]                     # [b]
+    k_pages = k_pages.at[:, phys, off].set(
+        jnp.moveaxis(k_new.astype(k_pages.dtype), 0, 1))
+    v_pages = v_pages.at[:, phys, off].set(
+        jnp.moveaxis(v_new.astype(v_pages.dtype), 0, 1))
+    return k_pages, v_pages
+
+
+def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start):
+    """Write s consecutive tokens (prefill) for ONE sequence.
+
+    k_new/v_new: [s, nkv, hd]; page_table: [mp] this sequence's pages;
+    start: first logical slot. Returns updated pools.
+    """
+    s = k_new.shape[0]
+    ps = k_pages.shape[2]
+    pos = start + jnp.arange(s)
+    phys = page_table[pos // ps]                               # [s]
+    off = pos % ps
+    k_pages = k_pages.at[:, phys, off].set(
+        jnp.moveaxis(k_new.astype(k_pages.dtype), 0, 1))
+    v_pages = v_pages.at[:, phys, off].set(
+        jnp.moveaxis(v_new.astype(v_pages.dtype), 0, 1))
+    return k_pages, v_pages

@@ -1,0 +1,115 @@
+"""Paged KV cache: attention parity, continuous-batching server correctness,
+page allocation/reuse (ops/pallas/paged_attention.py, llm/paged.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
+from ssp_x_vit_tpu.ops.pallas.paged_attention import (
+    paged_attention_reference, paged_cache_write,
+)
+from ssp_x_vit_tpu.llm.paged import PagedServer
+from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+CFG = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=3, num_heads=4,
+                  num_kv_heads=2, intermediate_size=64)
+
+
+def test_paged_attention_matches_dense():
+    """Paged gather attention over shuffled pages == contiguous softmax
+    attention, for ragged per-sequence lengths."""
+    b, nq, nkv, hd, ps, mp, P = 3, 4, 2, 8, 4, 4, 16
+    rng = np.random.default_rng(0)
+    seq_lens = np.asarray([5, 16, 1], np.int32)
+    q = rng.normal(size=(b, nq, hd)).astype(np.float32)
+    kc = rng.normal(size=(b, nkv, mp * ps, hd)).astype(np.float32)
+    vc = rng.normal(size=(b, nkv, mp * ps, hd)).astype(np.float32)
+
+    # scatter the contiguous caches into a shuffled page pool
+    k_pages = np.zeros((nkv, P, ps, hd), np.float32)
+    v_pages = np.zeros((nkv, P, ps, hd), np.float32)
+    pt = np.zeros((b, mp), np.int32)
+    free = list(range(1, P))
+    rng.shuffle(free)
+    for i in range(b):
+        for j in range(mp):
+            pg = free.pop()
+            pt[i, j] = pg
+            k_pages[:, pg] = kc[i, :, j * ps:(j + 1) * ps]
+            v_pages[:, pg] = vc[i, :, j * ps:(j + 1) * ps]
+
+    out = paged_attention_reference(jnp.asarray(q), jnp.asarray(k_pages),
+                                    jnp.asarray(v_pages), jnp.asarray(pt),
+                                    jnp.asarray(seq_lens))
+    # dense reference per sequence
+    rep = nq // nkv
+    for i in range(b):
+        L = int(seq_lens[i])
+        kf = np.repeat(kc[i][:, :L], rep, axis=0)   # [nq, L, hd]
+        vf = np.repeat(vc[i][:, :L], rep, axis=0)
+        sc = np.einsum("hd,hld->hl", q[i] / np.sqrt(hd), kf)
+        w = np.exp(sc - sc.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        ref = np.einsum("hl,hld->hd", w, vf)
+        np.testing.assert_allclose(np.asarray(out[i]), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_paged_cache_write_roundtrip():
+    b, nkv, hd, ps, P, mp = 2, 2, 8, 4, 8, 2
+    kp = jnp.zeros((nkv, P, ps, hd))
+    vp = jnp.zeros((nkv, P, ps, hd))
+    pt = jnp.asarray([[3, 5], [1, 0]], jnp.int32)
+    pos = jnp.asarray([5, 2], jnp.int32)   # seq0 -> page 5 off 1; seq1 -> page 1 off 2
+    k_new = jnp.arange(b * nkv * hd, dtype=jnp.float32).reshape(b, nkv, hd)
+    kp, vp = paged_cache_write(kp, vp, k_new, k_new * 2, pt, pos)
+    np.testing.assert_allclose(np.asarray(kp[:, 5, 1]), np.asarray(k_new[0]))
+    np.testing.assert_allclose(np.asarray(kp[:, 1, 2]), np.asarray(k_new[1]))
+    np.testing.assert_allclose(np.asarray(vp[:, 1, 2]), np.asarray(k_new[1] * 2))
+    assert float(jnp.abs(kp[:, 0]).sum()) == 0.0  # untouched pages stay zero
+
+
+@pytest.fixture(scope="module")
+def model():
+    return init_llama_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32), CFG
+
+
+def test_paged_server_matches_contiguous(model):
+    """Greedy paged decode == the contiguous-cache scan decode, for a batch
+    of different-length prompts admitted together."""
+    params, cfg = model
+    prompts = [np.arange(5) % 64 + 1, np.arange(11) % 64 + 1, np.asarray([7, 9])]
+    budgets = [8, 8, 8]
+
+    srv = PagedServer(params, cfg, max_batch=4, num_pages=32, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32)
+    ids = [srv.add_request(p, max_new_tokens=nb) for p, nb in zip(prompts, budgets)]
+    outs = srv.run()
+
+    for p, nb, rid in zip(prompts, budgets, ids):
+        ref = generate_kv_scan(params, cfg, np.asarray(p, np.int32),
+                               max_length=len(p) + nb, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(outs[rid], np.asarray(ref))
+
+
+def test_paged_server_continuous_batching_and_reuse(model):
+    """A request admitted mid-flight decodes correctly, and completed
+    requests' pages return to the pool."""
+    params, cfg = model
+    srv = PagedServer(params, cfg, max_batch=2, num_pages=24, page_size=4,
+                      max_context=48, cache_dtype=jnp.float32)
+    free0 = len(srv.free_pages)
+    a = srv.add_request(np.asarray([3, 5, 8]), max_new_tokens=10)
+    for _ in range(4):
+        srv.step()
+    b = srv.add_request(np.asarray([2, 4, 6, 8, 10]), max_new_tokens=6)
+    srv.run()
+
+    assert len(srv.free_pages) == free0  # all pages returned
+    ref_a = generate_kv_scan(params, cfg, np.asarray([3, 5, 8], np.int32),
+                             max_length=13, cache_dtype=jnp.float32)
+    ref_b = generate_kv_scan(params, cfg, np.asarray([2, 4, 6, 8, 10], np.int32),
+                             max_length=11, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(srv.finished[a], np.asarray(ref_a))
+    np.testing.assert_array_equal(srv.finished[b], np.asarray(ref_b))
