@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssp_x_vit_tpu.ops.pallas.paged_attention import (
-    paged_attention_pallas, paged_attention_reference,
+    _paged_pallas_perhead, paged_attention_pallas, paged_attention_reference,
 )
 
 
@@ -50,16 +50,19 @@ def main():
         lens = jnp.asarray(rng.integers(ps, mp * ps, size=(b,)), jnp.int32)
 
         ref = jax.jit(paged_attention_reference)(q, kp, vp, pt, lens)
-        out = jax.jit(paged_attention_pallas)(q, kp, vp, pt, lens)
-        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
-        status = "OK " if err < tol else "FAIL"
-        ok &= err < tol
-        print(f"[{status}] paged b{b} nq{nq}/{nkv} hd{hd} ps{ps} mp{mp}: "
-              f"max_abs_err={err:.3e}")
+        for name, fn in (("grouped", paged_attention_pallas),
+                         ("perhead", _paged_pallas_perhead)):
+            out = jax.jit(fn)(q, kp, vp, pt, lens)
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+            status = "OK " if err < tol else "FAIL"
+            ok &= err < tol
+            print(f"[{status}] paged/{name} b{b} nq{nq}/{nkv} hd{hd} ps{ps} mp{mp}: "
+                  f"max_abs_err={err:.3e}")
         t_ref = _bench(jax.jit(paged_attention_reference), q, kp, vp, pt, lens)
-        t_pl = _bench(jax.jit(paged_attention_pallas), q, kp, vp, pt, lens)
-        print(f"       latency: gather-ref={t_ref*1e3:.3f}ms pallas={t_pl*1e3:.3f}ms "
-              f"({t_ref/t_pl:.2f}x)")
+        t_g = _bench(jax.jit(paged_attention_pallas), q, kp, vp, pt, lens)
+        t_p = _bench(jax.jit(_paged_pallas_perhead), q, kp, vp, pt, lens)
+        print(f"       latency: gather-ref={t_ref*1e3:.3f}ms grouped={t_g*1e3:.3f}ms "
+              f"perhead={t_p*1e3:.3f}ms")
 
     print("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)

@@ -108,13 +108,9 @@ def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
     return logits, k_pools, v_pools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
-def paged_decode_step(params: Params, tokens: jax.Array, k_pools, v_pools,
-                      cfg: LlamaConfig, page_tables: jax.Array,
-                      seq_lens: jax.Array):
-    """One decode step for ALL slots: tokens [b] at per-sequence positions
-    ``seq_lens`` (each sequence's own length — no shared write position).
-    Returns (logits [b, V], pools)."""
+def _paged_decode_body(params: Params, tokens: jax.Array, k_pools, v_pools,
+                       cfg: LlamaConfig, page_tables: jax.Array,
+                       seq_lens: jax.Array):
     compute_dtype = k_pools.dtype
     b = tokens.shape[0]
     x = params["embed"].astype(compute_dtype)[tokens][:, None]   # [b, 1, d]
@@ -138,6 +134,85 @@ def paged_decode_step(params: Params, tokens: jax.Array, k_pools, v_pools,
 
     x, (k_pools, v_pools) = jax.lax.scan(body, x, (params["blocks"], k_pools, v_pools))
     return _final_logits(params, x, cfg, compute_dtype)[:, 0], k_pools, v_pools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_decode_step(params: Params, tokens: jax.Array, k_pools, v_pools,
+                      cfg: LlamaConfig, page_tables: jax.Array,
+                      seq_lens: jax.Array):
+    """One decode step for ALL slots: tokens [b] at per-sequence positions
+    ``seq_lens`` (each sequence's own length — no shared write position).
+    Returns (logits [b, V], pools)."""
+    return _paged_decode_body(params, tokens, k_pools, v_pools, cfg,
+                              page_tables, seq_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"),
+                   donate_argnums=(2, 3))
+def paged_decode_scan(params: Params, first_tokens: jax.Array, k_pools, v_pools,
+                      cfg: LlamaConfig, page_tables: jax.Array,
+                      seq_lens: jax.Array, num_steps: int):
+    """``num_steps`` greedy paged decode steps entirely on device (token
+    feedback inside lax.scan) — ONE dispatch for the whole generation, the
+    paged counterpart of serve.decode_scan. Page tables are fixed for the
+    scan, so the caller must pre-own enough pages to cover
+    ``seq_lens + num_steps`` (PagedServer.generate does). Returns
+    (tokens [num_steps, b], pools)."""
+    def step(carry, _):
+        tok, kp, vp, lens = carry
+        logits, kp, vp = _paged_decode_body(params, tok, kp, vp, cfg,
+                                            page_tables, lens)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, kp, vp, lens + 1), nxt
+
+    (_, k_pools, v_pools, _), toks = jax.lax.scan(
+        step, (first_tokens, k_pools, v_pools, seq_lens), None, length=num_steps)
+    return toks, k_pools, v_pools
+
+
+def paged_generate(params: Params, cfg: LlamaConfig, prompts, *,
+                   max_new_tokens: int = 32, eos_token_id: Optional[int] = None,
+                   page_size: int = 64, cache_dtype=jnp.bfloat16):
+    """Bulk paged generation: prefill each prompt into its pages, then ONE
+    on-device scan for the whole batch (greedy). Different prompt lengths
+    decode at their own positions — no left padding. Returns a list of
+    per-prompt token arrays (prompt + generation, trimmed at eos)."""
+    prompts = [np.asarray(p).reshape(-1).astype(np.int32) for p in prompts]
+    b = len(prompts)
+    mp = max(-(-(len(p) + max_new_tokens + 1) // page_size) for p in prompts)
+    counts = [-(-(len(p) + max_new_tokens + 1) // page_size) for p in prompts]
+    num_pages = 1 + sum(counts)
+    k_pools, v_pools = init_paged_pools(cfg, num_pages, page_size, cache_dtype)
+
+    pts = np.zeros((b, mp), np.int32)
+    nxt_page = 1
+    for i, c in enumerate(counts):
+        pts[i, :c] = np.arange(nxt_page, nxt_page + c)
+        nxt_page += c
+
+    firsts = np.zeros((b,), np.int32)
+    for i, p in enumerate(prompts):
+        p_pad = min(bucket_prompt_pad(len(p)), mp * page_size)
+        toks = np.zeros((1, p_pad), np.int32)
+        toks[0, : len(p)] = p
+        logits, k_pools, v_pools = paged_prefill(
+            params, jnp.asarray(toks), k_pools, v_pools, cfg,
+            jnp.asarray(pts[i]), jnp.asarray(len(p), jnp.int32))
+        firsts[i] = int(np.argmax(np.asarray(logits)))
+
+    lens = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    toks, _, _ = paged_decode_scan(
+        params, jnp.asarray(firsts), k_pools, v_pools, cfg,
+        jnp.asarray(pts), lens, max_new_tokens - 1)
+    gen = np.concatenate([firsts[None], np.asarray(toks)], axis=0)  # [N, b]
+
+    outs = []
+    for i, p in enumerate(prompts):
+        seq = gen[:, i].tolist()
+        if eos_token_id is not None and eos_token_id in seq:
+            seq = seq[: seq.index(eos_token_id) + 1]
+        outs.append(np.asarray(p.tolist() + seq, np.int32))
+    return outs
 
 
 @dataclasses.dataclass

@@ -99,8 +99,113 @@ def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
+def _paged_kernel_grouped(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
+                          m_s, l_s, acc_s, *, ps: int, mp: int, nkv: int,
+                          rep: int, scale: float):
+    """All kv heads of one (sequence, page) step in ONE program — 16x fewer
+    program launches than the per-head grid; decode pages are tiny, so
+    program/DMA overhead dominates (same reasoning as the multihead flash
+    kernel, flash_attention.py:70)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, _NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    seq_len = len_ref[i]
+
+    @pl.when(j * ps < seq_len)
+    def _step():
+        kpos1 = j * ps + jax.lax.broadcasted_iota(jnp.int32, (rep, ps), 1)
+
+        def head_body(h, _):
+            q = q_ref[0, h].astype(jnp.float32)           # [rep, hd]
+            k = k_ref[h, 0]                               # [ps, hd]
+            s = jax.lax.dot_general(
+                q * scale, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [rep, ps]
+            s = jnp.where(kpos1 < seq_len, s, _NEG_INF)
+            sl = pl.ds(h * rep, rep)
+            m_prev, l_prev = m_s[sl], l_s[sl]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_s[sl] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[h, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_s[sl] = acc_s[sl] * alpha + pv
+            m_s[sl] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, nkv, head_body, 0)
+
+    @pl.when(j == mp - 1)
+    def _finish():
+        o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens):
+    b, nq, hd = q.shape
+    nkv, num_pages, ps, _ = k_pages.shape
+    mp = page_table.shape[1]
+    rep = nq // nkv
+    scale = 1.0 / hd**0.5
+    qh = q.reshape(b, nkv, rep, hd)
+
+    kernel = functools.partial(_paged_kernel_grouped, ps=ps, mp=mp, nkv=nkv,
+                               rep=rep, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, mp),
+        in_specs=[
+            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nq, 1), jnp.float32),
+            pltpu.VMEM((nq, 1), jnp.float32),
+            pltpu.VMEM((nq, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nq * mp * ps * hd,
+            bytes_accessed=2 * b * nkv * mp * ps * hd * k_pages.dtype.itemsize,
+            transcendentals=b * nq * mp * ps,
+        ),
+    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh, k_pages, v_pages)
+    return out
+
+
+# Grouped-program VMEM budget: k+v blocks double-buffered + q/out.
+_GROUPED_VMEM_LIMIT = 12 * 1024 * 1024
+
+
 def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens):
     """Pallas TPU paged decode attention; contract == the jnp reference."""
+    b, nq, hd = q.shape
+    nkv, _, ps, _ = k_pages.shape
+    grouped_vmem = 2 * 2 * nkv * ps * hd * k_pages.dtype.itemsize
+    if grouped_vmem <= _GROUPED_VMEM_LIMIT:
+        return _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens)
+    return _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens)
+
+
+def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens):
+    """Per-(sequence, kv head, page) grid — fallback for huge pages."""
     b, nq, hd = q.shape
     nkv, num_pages, ps, _ = k_pages.shape
     mp = page_table.shape[1]

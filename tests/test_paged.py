@@ -113,3 +113,17 @@ def test_paged_server_continuous_batching_and_reuse(model):
                              max_length=11, cache_dtype=jnp.float32)
     np.testing.assert_array_equal(srv.finished[a], np.asarray(ref_a))
     np.testing.assert_array_equal(srv.finished[b], np.asarray(ref_b))
+
+
+def test_paged_generate_scan_matches_contiguous(model):
+    """Bulk paged scan generation (one dispatch) == contiguous scan decode."""
+    from ssp_x_vit_tpu.llm.paged import paged_generate
+
+    params, cfg = model
+    prompts = [np.arange(7) % 64 + 1, np.asarray([4, 2]), np.arange(13) % 64 + 1]
+    outs = paged_generate(params, cfg, prompts, max_new_tokens=9,
+                          page_size=4, cache_dtype=jnp.float32)
+    for p, out in zip(prompts, outs):
+        ref = generate_kv_scan(params, cfg, np.asarray(p, np.int32),
+                               max_length=len(p) + 9, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(out, np.asarray(ref))
