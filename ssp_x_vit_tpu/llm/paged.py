@@ -17,7 +17,9 @@ with the vLLM memory model on TPU:
 
 Attention over the paged pool runs through ops/pallas/paged_attention.py
 (scalar-prefetched page-table walks on TPU, jnp gather reference elsewhere).
-Llama-layout models (llama/mistral/qwen2/phi-3-as-llama); greedy decode.
+Covers llama-layout models (llama/mistral/qwen2/phi-3-as-llama), phi-2's
+parallel block, and width/depth-materialized pruned models (pool rows only
+for surviving attention layers, cf. serve._run_layers); greedy decode.
 
 The reference has no serving machinery (generation recomputes the full
 sequence per token, src/evaluation.py:149-184); this is part of the
@@ -34,8 +36,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, rms_norm
-from ssp_x_vit_tpu.llm.serve import _block_qkv, _final_logits, bucket_prompt_pad
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _layer_norm, rms_norm
+from ssp_x_vit_tpu.llm.serve import (
+    _LLAMA_ATTN_KEYS, _block_qkv, _final_logits, bucket_prompt_pad,
+    num_attn_layers,
+)
 from ssp_x_vit_tpu.ops.pallas.paged_attention import (
     paged_attention, paged_cache_write,
 )
@@ -45,10 +50,12 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def init_paged_pools(cfg: LlamaConfig, num_pages: int, page_size: int,
                      dtype=jnp.bfloat16):
-    """[A, nkv, num_pages, page_size, hd] x2 (page 0 reserved as trash)."""
-    if cfg.is_phi or cfg.is_opt or cfg.pruned_attention_blocks:
-        raise ValueError("paged serving covers dense llama-layout models")
-    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    """[A, nkv, num_pages, page_size, hd] x2 (page 0 reserved as trash); one
+    pool row per SURVIVING attention layer (depth-pruned blocks hold none)."""
+    if cfg.is_opt:
+        raise ValueError("paged serving covers llama-layout and phi models")
+    shape = (num_attn_layers(cfg), cfg.num_kv_heads, num_pages, page_size,
+             cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -66,21 +73,63 @@ def _write_many_masked(kp, vp, k_new, v_new, page_table, seq_len):
     return kp, vp
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
-def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
-                  cfg: LlamaConfig, page_table: jax.Array, seq_len: jax.Array):
-    """One prompt ([1, p_pad] right-padded) -> pools filled, logits at the
-    last valid position [V]. One compile per prompt bucket."""
-    compute_dtype = k_pools.dtype
-    _, p_pad = tokens.shape
-    x = params["embed"].astype(compute_dtype)[tokens]
-    positions = jnp.arange(p_pad)[None]
+def _mlp_branch(h2, bp, cfg: LlamaConfig, compute_dtype):
+    if cfg.is_phi:
+        from ssp_x_vit_tpu.ops.common import gelu
 
-    def body(x, scanned):
-        bp, kp, vp = scanned
-        h = rms_norm(x, bp["ln1"], cfg.rms_eps)
+        hm = h2 @ bp["fc1_kernel"].astype(compute_dtype) + \
+            bp["fc1_bias"].astype(compute_dtype)
+        return gelu(hm) @ bp["fc2_kernel"].astype(compute_dtype) + \
+            bp["fc2_bias"].astype(compute_dtype)
+    g = h2 @ bp["gate_kernel"].astype(compute_dtype)
+    u = h2 @ bp["up_kernel"].astype(compute_dtype)
+    return (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
+
+
+def _o_proj(attn, bp, compute_dtype):
+    out = attn @ bp["o_kernel"].astype(compute_dtype)
+    if "o_bias" in bp:
+        out = out + bp["o_bias"].astype(compute_dtype)
+    return out
+
+
+def _paged_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_tables, seq_lens,
+                 compute_dtype, has_attn=True):
+    """One decode-step layer over the paged cache (mirrors serve._layer_step:
+    llama sequential / phi parallel / attention physically absent)."""
+    b = x.shape[0]
+
+    def attend(h):
+        q, k, v = _block_qkv(h, bp, cfg, seq_lens[:, None], compute_dtype)
+        kp, vp = paged_cache_write(kp_l, vp_l, k[:, 0], v[:, 0],
+                                   page_tables, seq_lens)
+        attn = paged_attention(q[:, 0], kp, vp, page_tables, seq_lens + 1)
+        return _o_proj(attn.reshape(b, 1, -1), bp, compute_dtype), kp, vp
+
+    if cfg.is_phi:
+        h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+        delta = jnp.zeros_like(x)
+        if has_attn:
+            delta, kp_l, vp_l = attend(h)
+        return x + delta + _mlp_branch(h, bp, cfg, compute_dtype), kp_l, vp_l
+
+    if has_attn:
+        attn, kp_l, vp_l = attend(rms_norm(x, bp["ln1"], cfg.rms_eps))
+        x = x + attn
+    h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+    return x + _mlp_branch(h2, bp, cfg, compute_dtype), kp_l, vp_l
+
+
+def _prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table, seq_len,
+                   compute_dtype, has_attn=True):
+    """One prefill layer ([1, p_pad] full-sequence causal attention +
+    masked page writes)."""
+    _, p_pad, _ = x.shape
+
+    def attend(h):
+        positions = jnp.arange(p_pad)[None]
         q, k, v = _block_qkv(h, bp, cfg, positions, compute_dtype)
-        kp, vp = _write_many_masked(kp, vp, k[0], v[0], page_table, seq_len)
+        kp, vp = _write_many_masked(kp_l, vp_l, k[0], v[0], page_table, seq_len)
         rep = cfg.num_heads // cfg.num_kv_heads
         kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
         vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
@@ -91,18 +140,70 @@ def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
         mask = (col <= row) & (col < seq_len)
         logits = jnp.where(mask[None, None], logits, _NEG_INF)
         w = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", w, vf)
-        attn = attn.reshape(1, p_pad, -1) @ bp["o_kernel"].astype(compute_dtype)
-        if "o_bias" in bp:
-            attn = attn + bp["o_bias"].astype(compute_dtype)
-        x = x + attn
-        h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-        g = h2 @ bp["gate_kernel"].astype(compute_dtype)
-        u = h2 @ bp["up_kernel"].astype(compute_dtype)
-        x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
-        return x, (kp, vp)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, vf).reshape(1, p_pad, -1)
+        return _o_proj(attn, bp, compute_dtype), kp, vp
 
-    x, (k_pools, v_pools) = jax.lax.scan(body, x, (params["blocks"], k_pools, v_pools))
+    if cfg.is_phi:
+        h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+        delta = jnp.zeros_like(x)
+        if has_attn:
+            delta, kp_l, vp_l = attend(h)
+        return x + delta + _mlp_branch(h, bp, cfg, compute_dtype), kp_l, vp_l
+
+    if has_attn:
+        attn, kp_l, vp_l = attend(rms_norm(x, bp["ln1"], cfg.rms_eps))
+        x = x + attn
+    h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+    return x + _mlp_branch(h2, bp, cfg, compute_dtype), kp_l, vp_l
+
+
+def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
+                      table, lens):
+    """Dense models scan the stacked pytree; depth-materialized models unroll
+    with attn_store_index (cf. serve._run_layers)."""
+    compute_dtype = k_pools.dtype
+    blocks = params["blocks"]
+    if not cfg.pruned_attention_blocks:
+        def body(x, scanned):
+            bp, kp, vp = scanned
+            x, kp, vp = layer_fn(x, bp, kp, vp, cfg, table, lens, compute_dtype)
+            return x, (kp, vp)
+
+        x, (k_pools, v_pools) = jax.lax.scan(body, x, (blocks, k_pools, v_pools))
+        return x, k_pools, v_pools
+
+    store = cfg.attn_store_index
+    attn_keys = set(_LLAMA_ATTN_KEYS) - ({"ln1"} if cfg.is_phi else set())
+    for i in range(cfg.num_layers):
+        j = store[i]
+        bp = {}
+        for kname, val in blocks.items():
+            if kname in attn_keys:
+                if j is None:
+                    continue
+                bp[kname] = val[j]
+            else:
+                bp[kname] = val[i]
+        if j is None:
+            x, _, _ = layer_fn(x, bp, None, None, cfg, table, lens,
+                               compute_dtype, has_attn=False)
+        else:
+            x, kl, vl = layer_fn(x, bp, k_pools[j], v_pools[j], cfg, table,
+                                 lens, compute_dtype)
+            k_pools = k_pools.at[j].set(kl)
+            v_pools = v_pools.at[j].set(vl)
+    return x, k_pools, v_pools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
+                  cfg: LlamaConfig, page_table: jax.Array, seq_len: jax.Array):
+    """One prompt ([1, p_pad] right-padded) -> pools filled, logits at the
+    last valid position [V]. One compile per prompt bucket."""
+    compute_dtype = k_pools.dtype
+    x = params["embed"].astype(compute_dtype)[tokens]
+    x, k_pools, v_pools = _run_paged_layers(
+        _prefill_layer, params, x, k_pools, v_pools, cfg, page_table, seq_len)
     last = jax.lax.dynamic_slice_in_dim(x, jnp.maximum(seq_len - 1, 0), 1, axis=1)
     logits = _final_logits(params, last, cfg, compute_dtype)[0, 0]
     return logits, k_pools, v_pools
@@ -112,27 +213,9 @@ def _paged_decode_body(params: Params, tokens: jax.Array, k_pools, v_pools,
                        cfg: LlamaConfig, page_tables: jax.Array,
                        seq_lens: jax.Array):
     compute_dtype = k_pools.dtype
-    b = tokens.shape[0]
     x = params["embed"].astype(compute_dtype)[tokens][:, None]   # [b, 1, d]
-    positions = seq_lens[:, None]                                 # rope per-seq
-
-    def body(x, scanned):
-        bp, kp, vp = scanned
-        h = rms_norm(x, bp["ln1"], cfg.rms_eps)
-        q, k, v = _block_qkv(h, bp, cfg, positions, compute_dtype)
-        kp, vp = paged_cache_write(kp, vp, k[:, 0], v[:, 0], page_tables, seq_lens)
-        attn = paged_attention(q[:, 0], kp, vp, page_tables, seq_lens + 1)
-        attn = attn.reshape(b, 1, -1) @ bp["o_kernel"].astype(compute_dtype)
-        if "o_bias" in bp:
-            attn = attn + bp["o_bias"].astype(compute_dtype)
-        x = x + attn
-        h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-        g = h2 @ bp["gate_kernel"].astype(compute_dtype)
-        u = h2 @ bp["up_kernel"].astype(compute_dtype)
-        x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
-        return x, (kp, vp)
-
-    x, (k_pools, v_pools) = jax.lax.scan(body, x, (params["blocks"], k_pools, v_pools))
+    x, k_pools, v_pools = _run_paged_layers(
+        _paged_layer, params, x, k_pools, v_pools, cfg, page_tables, seq_lens)
     return _final_logits(params, x, cfg, compute_dtype)[:, 0], k_pools, v_pools
 
 

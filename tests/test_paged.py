@@ -127,3 +127,41 @@ def test_paged_generate_scan_matches_contiguous(model):
         ref = generate_kv_scan(params, cfg, np.asarray(p, np.int32),
                                max_length=len(p) + 9, cache_dtype=jnp.float32)
         np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_paged_generate_phi(model):
+    """phi-2 parallel block through the paged path == contiguous decode."""
+    phi = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=3, num_heads=4,
+                      num_kv_heads=4, intermediate_size=64, model_type="phi",
+                      rotary_dim=4, qkv_bias=True)
+    params = init_llama_params(jax.random.PRNGKey(3), phi, dtype=jnp.float32)
+    from ssp_x_vit_tpu.llm.paged import paged_generate
+
+    prompts = [np.arange(6) % 64 + 1, np.asarray([9, 3, 5])]
+    outs = paged_generate(params, phi, prompts, max_new_tokens=7,
+                          page_size=4, cache_dtype=jnp.float32)
+    for p, out in zip(prompts, outs):
+        ref = generate_kv_scan(params, phi, np.asarray(p, np.int32),
+                               max_length=len(p) + 7, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_paged_generate_pruned(model):
+    """Depth+width materialized pruned model through the paged path ==
+    contiguous decode (pool rows only for surviving attention)."""
+    from ssp_x_vit_tpu.llm import pruning as P
+    from ssp_x_vit_tpu.llm.paged import paged_generate
+
+    params, cfg = model
+    keep = [np.sort(np.random.default_rng(i).permutation(cfg.intermediate_size)[:32])
+            for i in range(cfg.num_layers)]
+    mp_, mc = P.materialize_llm_width_pruning(params, cfg, keep)
+    mp_, mc = P.materialize_llm_depth_pruning(mp_, mc, [1])
+
+    prompts = [np.arange(5) % 64 + 1, np.asarray([11, 2, 4, 8])]
+    outs = paged_generate(mp_, mc, prompts, max_new_tokens=6,
+                          page_size=4, cache_dtype=jnp.float32)
+    for p, out in zip(prompts, outs):
+        ref = generate_kv_scan(mp_, mc, np.asarray(p, np.int32),
+                               max_length=len(p) + 6, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(out, np.asarray(ref))
