@@ -98,9 +98,9 @@ def load_corpora(args, cfg):
 
     if not args.synthetic_data and os.path.isdir(args.model):
         try:
-            from transformers import AutoTokenizer
+            from ssp_x_vit_tpu.llm.tokenizer import load_tokenizer
 
-            tok = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+            tok = load_tokenizer(args.model)
             base = "./data" if args.local_datasets else None
             wik = D.load_wikitext2(base and f"{base}/wikitext2")
             c4v = D.load_c4(base and f"{base}/c4_val", split="validation")
