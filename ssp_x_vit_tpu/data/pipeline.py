@@ -92,6 +92,44 @@ class DataPipeline:
             out.append(b)
         return out
 
+    def iter_prefetch(self, size: int = 2) -> Iterator[dict]:
+        """Iterate with background prefetch (see ``prefetch``)."""
+        return prefetch(iter(self), size=size)
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run an iterator in a background thread, ``size`` items ahead.
+
+    Host-side batch assembly (native gather, numpy staging) and the H2D
+    transfer dispatch overlap with device compute on the consumer side —
+    the streaming counterpart of materializing ``batches()`` up front.
+    Exceptions from the producer re-raise at the consumption point.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+    sentinel = object()
+    errors: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            errors.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
 
 def synthetic_dataset(
     num_samples: int,

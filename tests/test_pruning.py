@@ -112,3 +112,31 @@ def test_interface_heuristic_mode(tiny_cfg, tiny_params):
     L = tiny_cfg.num_layers
     expected = [(i if i < L / 2 else L - i) for i in range(L)]
     np.testing.assert_allclose(np.asarray(att), expected)
+
+
+def test_prefetch_matches_sync_iteration(tiny_batches):
+    """Background-prefetched pipeline yields identical batches in order,
+    and producer exceptions surface at the consumer."""
+    import numpy as np
+    import pytest
+    from ssp_x_vit_tpu.data import DataPipeline, synthetic_dataset
+    from ssp_x_vit_tpu.data.pipeline import prefetch
+
+    imgs, labels = synthetic_dataset(40, 4, image_size=32, seed=7)
+    pipe = DataPipeline(imgs, labels, img_size=32, batch_size=16)
+    sync = pipe.batches()
+    pre = list(pipe.iter_prefetch(size=3))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(np.asarray(a["pixel_values"]),
+                                      np.asarray(b["pixel_values"]))
+        np.testing.assert_array_equal(np.asarray(a["labels"]), np.asarray(b["labels"]))
+
+    def boom():
+        yield sync[0]
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom(), size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
