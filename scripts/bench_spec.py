@@ -1,0 +1,83 @@
+"""Self-speculative decoding benchmark on the TPU chip (b=1 latency case).
+
+Dense greedy via serve.generate_kv_scan vs speculative_generate with:
+- draft = the dense model itself (acceptance ~1 -> the mechanical upper
+  bound of the draft/verify pipeline), and
+- draft = the 37.5% 2SSP-pruned materialization (on RANDOM weights its
+  proposals rarely match the dense argmax, so this is the acceptance~0
+  lower bound; trained checkpoints sit between the two — the 2SSP paper's
+  point is that pruned/dense agreement stays high).
+
+  python scripts/bench_spec.py [--max-length 256] [--k 6]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-length", type=int, default=256)
+    ap.add_argument("--prompt-len", type=int, default=32)
+    ap.add_argument("--k", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
+    from ssp_x_vit_tpu.llm.pruning import (
+        materialize_llm_depth_pruning, materialize_llm_width_pruning,
+    )
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+    from ssp_x_vit_tpu.llm.speculative import speculative_generate
+
+    cfg = LlamaConfig(vocab_size=32000, hidden_size=2048, num_layers=16,
+                      num_heads=16, num_kv_heads=16, intermediate_size=5632)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    keep = np.stack([np.sort(np.random.default_rng(i).permutation(
+        cfg.intermediate_size)[:3520]) for i in range(cfg.num_layers)])
+    pp, pc = materialize_llm_width_pruning(params, cfg, keep)
+    pp, pc = materialize_llm_depth_pruning(pp, pc, [3, 7, 11])
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, args.prompt_len).astype(np.int32)
+    M, K = args.max_length, args.k
+    gen = M - args.prompt_len
+    results = {"max_length": M, "k": K, "backend": jax.default_backend()}
+
+    def timed(fn, reps=2):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    secs, _ = timed(lambda: generate_kv_scan(params, cfg, prompt, max_length=M))
+    results["dense_tok_s"] = round(gen / secs, 1)
+
+    secs, out = timed(lambda: speculative_generate(
+        params, cfg, params, cfg, prompt, max_length=M, k=K))
+    results["spec_self_draft_tok_s"] = round(gen / secs, 1)
+    results["spec_self_draft_acceptance"] = round(out[1]["acceptance_rate"], 3)
+
+    secs, out = timed(lambda: speculative_generate(
+        params, cfg, pp, pc, prompt, max_length=M, k=K))
+    results["spec_pruned_draft_tok_s"] = round(gen / secs, 1)
+    results["spec_pruned_draft_acceptance"] = round(out[1]["acceptance_rate"], 3)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
