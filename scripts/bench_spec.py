@@ -8,7 +8,14 @@ Dense greedy via serve.generate_kv_scan vs speculative_generate with:
   lower bound; trained checkpoints sit between the two — the 2SSP paper's
   point is that pruned/dense agreement stays high).
 
-  python scripts/bench_spec.py [--max-length 256] [--k 6]
+  python scripts/bench_spec.py [--max-length 256] [--k 6] [--cache-dtype f32]
+
+NOTE (measured, docs/tpu_notes.md): at bf16 the self-draft acceptance on
+RANDOM weights collapses (~0.16) because random-init logits have near-tied
+argmax margins (~0.03) comparable to bf16 rounding, and the draft's 1-token
+decode matmul and the verifier's (k+1)-token extend matmul round differently.
+--cache-dtype f32 restores the mechanical ~1.0 acceptance. Trained
+checkpoints have wide argmax margins, so bf16 is the production setting.
 """
 
 import argparse
@@ -27,10 +34,18 @@ def main():
     ap.add_argument("--max-length", type=int, default=256)
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--k", type=int, default=6)
+    ap.add_argument("--cache-dtype", choices=("bf16", "f32"), default="bf16")
+    ap.add_argument("--matmul-precision", default=None,
+                    choices=("default", "high", "highest"),
+                    help="TPU MXU internal precision (default bf16 passes)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    cdt = jnp.bfloat16 if args.cache_dtype == "bf16" else jnp.float32
 
     from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
     from ssp_x_vit_tpu.llm.pruning import (
@@ -52,7 +67,9 @@ def main():
     prompt = rng.integers(0, cfg.vocab_size, args.prompt_len).astype(np.int32)
     M, K = args.max_length, args.k
     gen = M - args.prompt_len
-    results = {"max_length": M, "k": K, "backend": jax.default_backend()}
+    results = {"max_length": M, "k": K, "backend": jax.default_backend(),
+               "cache_dtype": args.cache_dtype,
+               "matmul_precision": args.matmul_precision or "default"}
 
     def timed(fn, reps=2):
         fn()
@@ -63,16 +80,17 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, out
 
-    secs, _ = timed(lambda: generate_kv_scan(params, cfg, prompt, max_length=M))
+    secs, _ = timed(lambda: generate_kv_scan(params, cfg, prompt, max_length=M,
+                                             cache_dtype=cdt))
     results["dense_tok_s"] = round(gen / secs, 1)
 
     secs, out = timed(lambda: speculative_generate(
-        params, cfg, params, cfg, prompt, max_length=M, k=K))
+        params, cfg, params, cfg, prompt, max_length=M, k=K, cache_dtype=cdt))
     results["spec_self_draft_tok_s"] = round(gen / secs, 1)
     results["spec_self_draft_acceptance"] = round(out[1]["acceptance_rate"], 3)
 
     secs, out = timed(lambda: speculative_generate(
-        params, cfg, pp, pc, prompt, max_length=M, k=K))
+        params, cfg, pp, pc, prompt, max_length=M, k=K, cache_dtype=cdt))
     results["spec_pruned_draft_tok_s"] = round(gen / secs, 1)
     results["spec_pruned_draft_acceptance"] = round(out[1]["acceptance_rate"], 3)
 

@@ -11,8 +11,10 @@ own next token are accepted.
 TPU-native shape: the entire propose/verify/accept loop runs on device in a
 ``lax.while_loop`` (static shapes; accepted counts are traced scalars; stale
 cache slots are overwritten before any query can attend to them, because
-causal masking only exposes keys at positions <= the query). One dispatch
-per generation, like serve.decode_scan — no per-round host trips.
+causal masking only exposes keys at positions <= the query — plus one
+explicit repair write per round for the fully-accepted case, see draft_k).
+One dispatch per generation, like serve.decode_scan — no per-round host
+trips.
 
 The reference has no serving machinery at all; this composes the rebuild's
 serve path with its pruning outputs. b=1 streams (the latency-bound case
@@ -54,17 +56,20 @@ def _extend_body(params, tokens, cache_k, cache_v, cfg: LlamaConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("dense_cfg", "draft_cfg", "k", "max_steps"),
-    donate_argnums=(3, 4, 5, 6),
+    donate_argnums=(4, 5, 6, 7),
 )
 def spec_decode_scan(dense_params: Params, draft_params: Params,
-                     first_token: jax.Array, dense_ck, dense_cv,
+                     first_token: jax.Array, prev_token: jax.Array,
+                     dense_ck, dense_cv,
                      draft_ck, draft_cv, dense_cfg: LlamaConfig,
                      draft_cfg: LlamaConfig, start_pos: jax.Array,
                      k: int, max_steps: int):
     """Generate ``max_steps`` greedy tokens via draft-k/verify-1 rounds,
     entirely on device. ``first_token`` [1] is the dense model's greedy token
-    after prefill (already part of the output), positions start at
-    ``start_pos`` for BOTH caches (same prompt prefilled into each).
+    after prefill (already part of the output), ``prev_token`` [1] is the last
+    PROMPT token (sequence index ``start_pos - 1``; each draft round re-writes
+    that cache slot, see draft_k), positions start at ``start_pos`` for BOTH
+    caches (same prompt prefilled into each).
 
     Returns (tokens [max_steps + k + 1] int32 — first ``max_steps`` valid,
     rounds, accepted_draft_tokens)."""
@@ -72,7 +77,18 @@ def spec_decode_scan(dense_params: Params, draft_params: Params,
     cap = max_steps + k + 1
     out0 = jnp.zeros((cap,), jnp.int32).at[0].set(first_token[0])
 
-    def draft_k(tok, ck, cv, pos):
+    def draft_k(prev, tok, ck, cv, pos):
+        """Propose k tokens. The FIRST step is a 2-token extend over
+        [prev@pos-1, tok@pos]: re-writing pos-1 repairs the draft-cache hole
+        left by a fully-accepted round (the k-th draft's KV is never written
+        during drafting, and after m == k the next round would otherwise start
+        PAST that slot, leaving a permanent zero-KV hole that degrades every
+        later proposal — found as a 0.16 self-draft acceptance on TPU)."""
+        pair = jnp.concatenate([prev, tok])[None]              # [1, 2]
+        lg2, ck, cv = _extend_body(draft_params, pair, ck, cv, draft_cfg,
+                                   pos - 1)
+        d0 = jnp.argmax(lg2[:, 1], axis=-1).astype(jnp.int32)  # [1]
+
         def dstep(carry, _):
             t, ck, cv, p = carry
             logits, ck, cv = _decode_body(draft_params, t, ck, cv, draft_cfg,
@@ -80,18 +96,18 @@ def spec_decode_scan(dense_params: Params, draft_params: Params,
             nt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nt, ck, cv, p + 1), nt[0]
 
-        (_, ck, cv, _), drafts = jax.lax.scan(
-            dstep, (tok, ck, cv, pos), None, length=k)
-        return drafts, ck, cv      # drafts [k]
+        (_, ck, cv, _), rest = jax.lax.scan(
+            dstep, (d0, ck, cv, pos + 1), None, length=k - 1)
+        return jnp.concatenate([d0, rest]), ck, cv             # drafts [k]
 
     def cond(c):
         return c[0] < 1 + max_steps
 
     def body(c):
-        (n_out, nxt, dck, dcv, fck, fcv, pos, out, rounds, accepted) = c
-        drafts, fck_d, fcv_d = draft_k(nxt, fck, fcv, pos)
-        window = jnp.concatenate([nxt, drafts])[None]          # [1, k+1]
-        logits, dck, dcv = _extend_body(dense_params, window, dck, dcv,
+        (n_out, prev, nxt, dck, dcv, fck, fcv, pos, out, rounds, accepted) = c
+        drafts, fck_d, fcv_d = draft_k(prev, nxt, fck, fcv, pos)
+        window = jnp.concatenate([nxt, drafts])                # [k+1]
+        logits, dck, dcv = _extend_body(dense_params, window[None], dck, dcv,
                                         dense_cfg, pos)
         ys = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [k+1]
         match = drafts == ys[:k]
@@ -99,13 +115,14 @@ def spec_decode_scan(dense_params: Params, draft_params: Params,
         acc = jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)]).at[m].set(ys[m])
         out = jax.lax.dynamic_update_slice(out, acc, (n_out,))
         n_acc = m + 1
-        return (n_out + n_acc, ys[m][None], dck, dcv, fck_d, fcv_d,
-                pos + n_acc, out, rounds + 1, accepted + m)
+        # token at sequence index (pos + n_acc) - 1 — next round's `prev`
+        return (n_out + n_acc, window[m][None], ys[m][None], dck, dcv,
+                fck_d, fcv_d, pos + n_acc, out, rounds + 1, accepted + m)
 
-    init = (jnp.asarray(1, jnp.int32), first_token, dense_ck, dense_cv,
-            draft_ck, draft_cv, start_pos, out0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32))
-    (n_out, _, _, _, _, _, _, out, rounds, accepted) = jax.lax.while_loop(
+    init = (jnp.asarray(1, jnp.int32), prev_token, first_token,
+            dense_ck, dense_cv, draft_ck, draft_cv, start_pos, out0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    (n_out, _, _, _, _, _, _, _, out, rounds, accepted) = jax.lax.while_loop(
         cond, body, init)
     return out, rounds, accepted
 
@@ -138,7 +155,8 @@ def speculative_generate(
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)     # [1]
 
     out, rounds, accepted = spec_decode_scan(
-        dense_params, draft_params, first, dck, dcv, fck, fcv,
+        dense_params, draft_params, first,
+        jnp.asarray(prompt[:, -1]), dck, dcv, fck, fcv,
         dense_cfg, draft_cfg, jnp.asarray(p, jnp.int32), k, max_steps - 1)
     gen = np.asarray(out)[:max_steps].tolist()
     if eos_token_id is not None and eos_token_id in gen:
