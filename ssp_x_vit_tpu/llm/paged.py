@@ -37,8 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _layer_norm, rms_norm
+from ssp_x_vit_tpu.llm import serve as _serve
 from ssp_x_vit_tpu.llm.serve import (
-    _LLAMA_ATTN_KEYS, _block_qkv, _final_logits, bucket_prompt_pad,
+    _LLAMA_ATTN_KEYS, _block_qkv, _final_logits, _mm, bucket_prompt_pad,
     num_attn_layers,
 )
 from ssp_x_vit_tpu.ops.pallas.paged_attention import (
@@ -77,17 +78,17 @@ def _mlp_branch(h2, bp, cfg: LlamaConfig, compute_dtype):
     if cfg.is_phi:
         from ssp_x_vit_tpu.ops.common import gelu
 
-        hm = h2 @ bp["fc1_kernel"].astype(compute_dtype) + \
+        hm = _mm(h2, bp, "fc1_kernel", compute_dtype) + \
             bp["fc1_bias"].astype(compute_dtype)
-        return gelu(hm) @ bp["fc2_kernel"].astype(compute_dtype) + \
+        return _mm(gelu(hm), bp, "fc2_kernel", compute_dtype) + \
             bp["fc2_bias"].astype(compute_dtype)
-    g = h2 @ bp["gate_kernel"].astype(compute_dtype)
-    u = h2 @ bp["up_kernel"].astype(compute_dtype)
-    return (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
+    g = _mm(h2, bp, "gate_kernel", compute_dtype)
+    u = _mm(h2, bp, "up_kernel", compute_dtype)
+    return _mm(jax.nn.silu(g) * u, bp, "down_kernel", compute_dtype)
 
 
 def _o_proj(attn, bp, compute_dtype):
-    out = attn @ bp["o_kernel"].astype(compute_dtype)
+    out = _mm(attn, bp, "o_kernel", compute_dtype)
     if "o_bias" in bp:
         out = out + bp["o_bias"].astype(compute_dtype)
     return out
@@ -178,7 +179,7 @@ def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
         j = store[i]
         bp = {}
         for kname, val in blocks.items():
-            if kname in attn_keys:
+            if _serve._base_key(kname) in attn_keys:
                 if j is None:
                     continue
                 bp[kname] = val[j]

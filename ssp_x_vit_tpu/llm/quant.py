@@ -1,0 +1,86 @@
+"""Weight-only int8 quantization for the LLM serving path.
+
+Decode is HBM-bandwidth-bound (one token's activations vs every weight
+matrix per step), so halving weight bytes is worth up to 2x decode
+throughput on TPU. TPU-native recipe:
+
+- symmetric per-output-channel int8: ``w ~= w_q * scale[out]`` with
+  ``scale = max|w[:, out]| / 127`` (zero-point-free keeps the matmul a pure
+  dot; per-OUTPUT-channel scales commute with the contraction),
+- the scale is applied to the matmul OUTPUT, never to the weight:
+  ``(x @ w_q.astype(bf16)) * scale``. The only weight-side op is the
+  int8->bf16 convert, which XLA fuses into the dot's operand load (no
+  dequantized copy of the weight ever exists in HBM), and the per-channel
+  multiply fuses into the dot's epilogue.
+- norms, biases, embeddings stay bf16/f32 (they are O(d), not O(d^2));
+  the embedding gather reads only the looked-up rows so quantizing it
+  saves nothing per step. A TIED lm_head (``embed.T``) therefore also
+  stays unquantized; an untied ``lm_head`` is quantized.
+
+The quantized pytree keeps the stacked-[L, ...] layout, so the serving
+path's ``lax.scan`` over layers, the speculative-decoding loop and the
+paged continuous-batching engine all work unchanged — ``serve._mm``
+dispatches on the presence of ``<name>_q``.
+
+The reference framework has no quantized inference (pruning is its only
+compression axis); this composes with it: a 2SSP-pruned model quantizes
+the same way (materialized arrays are plain stacked pytrees).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params
+
+# 2-D projection kernels worth quantizing: [.., d_in, d_out] with the scale
+# over the LAST axis. Biases/norms are skipped; per-key presence is optional
+# (llama layout has gate/up/down, phi layout fc1/fc2 + biases).
+QUANT_KEYS = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
+              "gate_kernel", "up_kernel", "down_kernel",
+              "fc1_kernel", "fc2_kernel")
+
+
+def quantize_weight_int8(w) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8. ``w`` [..., d_in, d_out] (leading
+    stacked-layer axes fine); returns (w_q int8 same shape, scale f32 with
+    the d_in axis reduced away)."""
+    w = jnp.asarray(w)
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    w_q = jnp.round(w.astype(jnp.float32) / scale[..., None, :])
+    return jnp.clip(w_q, -127, 127).astype(jnp.int8), scale
+
+
+def dequantize_weight(w_q, scale, dtype=jnp.float32):
+    return (w_q.astype(jnp.float32) * scale[..., None, :]).astype(dtype)
+
+
+def quantize_llm_params_int8(params: Params, cfg: LlamaConfig) -> Params:
+    """Return a serving pytree where every projection kernel ``k`` is
+    replaced by ``k + "_q"`` (int8) and ``k + "_scale"`` (f32 per-out-channel).
+    Original bf16 kernels are dropped (that's the point: no double storage).
+    Works on dense, width-pruned and depth-materialized stacked pytrees."""
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    blocks = {}
+    for k, v in params["blocks"].items():
+        if k in QUANT_KEYS:
+            w_q, scale = quantize_weight_int8(v)
+            blocks[k + "_q"] = w_q
+            blocks[k + "_scale"] = scale
+        else:
+            blocks[k] = v
+    out["blocks"] = blocks
+    if "lm_head" in out:  # untied head only; tied embed.T stays bf16
+        w_q, scale = quantize_weight_int8(out.pop("lm_head"))
+        out["lm_head_q"], out["lm_head_scale"] = w_q, scale
+    return out
+
+
+def quantized_param_bytes(params: Params) -> int:
+    """Actual serving-weight footprint in bytes (int8 + scales + the rest)."""
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))

@@ -43,6 +43,18 @@ def bucket_prompt_pad(n: int, buckets: Sequence[int] = PROMPT_BUCKETS) -> int:
     return -(-n // 128) * 128
 
 
+def _mm(x, bp, name, compute_dtype):
+    """Projection matmul, transparently handling weight-only int8 params
+    (llm/quant.py): the per-output-channel scale is applied to the OUTPUT so
+    the weight-side graph is just an int8->bf16 convert, which XLA fuses into
+    the dot's operand load — no dequantized weight copy in HBM."""
+    w_q = bp.get(name + "_q")
+    if w_q is None:
+        return x @ bp[name].astype(compute_dtype)
+    return (x @ w_q.astype(compute_dtype)) * \
+        bp[name + "_scale"].astype(compute_dtype)
+
+
 def _rope_at(q, k, positions, theta, rotary_dim: Optional[int] = None):
     """Rotary embedding at per-sequence positions. q/k: [b, s, h, hd];
     positions [b, s]. ``rotary_dim`` rotates only the first dims (phi-2)."""
@@ -78,9 +90,9 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
 def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
     """positions: [b, s] per-sequence rotary positions."""
     b, s, _ = x.shape
-    q = x @ bp["q_kernel"].astype(compute_dtype)
-    k = x @ bp["k_kernel"].astype(compute_dtype)
-    v = x @ bp["v_kernel"].astype(compute_dtype)
+    q = _mm(x, bp, "q_kernel", compute_dtype)
+    k = _mm(x, bp, "k_kernel", compute_dtype)
+    v = _mm(x, bp, "v_kernel", compute_dtype)
     if "q_bias" in bp:
         q = q + bp["q_bias"].astype(compute_dtype)
         k = k + bp["k_bias"].astype(compute_dtype)
@@ -133,12 +145,12 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
             q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
             ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
             attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
-            delta = attn @ bp["o_kernel"].astype(compute_dtype) + \
+            delta = _mm(attn, bp, "o_kernel", compute_dtype) + \
                 bp["o_bias"].astype(compute_dtype)
         from ssp_x_vit_tpu.ops.common import gelu
 
-        hm = h @ bp["fc1_kernel"].astype(compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
-        mlp = gelu(hm) @ bp["fc2_kernel"].astype(compute_dtype) + \
+        hm = _mm(h, bp, "fc1_kernel", compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
+        mlp = _mm(gelu(hm), bp, "fc2_kernel", compute_dtype) + \
             bp["fc2_bias"].astype(compute_dtype)
         return x + delta + mlp, ck_l, cv_l
 
@@ -147,18 +159,27 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
         q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
         ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
         attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
-        attn = attn @ bp["o_kernel"].astype(compute_dtype)
+        attn = _mm(attn, bp, "o_kernel", compute_dtype)
         if "o_bias" in bp:
             attn = attn + bp["o_bias"].astype(compute_dtype)
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-    g = h2 @ bp["gate_kernel"].astype(compute_dtype)
-    u = h2 @ bp["up_kernel"].astype(compute_dtype)
-    return x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype), ck_l, cv_l
+    g = _mm(h2, bp, "gate_kernel", compute_dtype)
+    u = _mm(h2, bp, "up_kernel", compute_dtype)
+    return x + _mm(jax.nn.silu(g) * u, bp, "down_kernel", compute_dtype), ck_l, cv_l
 
 
 _LLAMA_ATTN_KEYS = ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
                     "q_bias", "k_bias", "v_bias", "o_bias")
+
+
+def _base_key(k: str) -> str:
+    """Strip the int8-quantization suffixes so quantized pytrees route through
+    the same attention/MLP key split (``q_kernel_q`` -> ``q_kernel``)."""
+    for suf in ("_q", "_scale"):
+        if k.endswith(suf):
+            return k[: -len(suf)]
+    return k
 
 
 def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
@@ -186,7 +207,7 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
         j = store[i]
         bp = {}
         for k, v in blocks.items():
-            if k in attn_keys:
+            if _base_key(k) in attn_keys:
                 if j is None:
                     continue
                 bp[k] = v[j]
@@ -207,6 +228,12 @@ def _final_logits(params, x, cfg: LlamaConfig, compute_dtype):
                         cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+    if "lm_head_q" in params:
+        logits = (x @ params["lm_head_q"].astype(compute_dtype)).astype(
+            jnp.float32) * params["lm_head_scale"]
+        if "lm_head_bias" in params:
+            logits = logits + params["lm_head_bias"].astype(jnp.float32)
+        return logits
     head = params.get("lm_head", None)
     if head is None:
         head = params["embed"].T

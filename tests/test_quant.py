@@ -1,0 +1,139 @@
+"""Weight-only int8 serving (llm/quant.py + serve._mm dispatch).
+
+The reference has no quantized inference; this is rebuild-native serving
+infrastructure, so the tests are self-consistency: quantization error bounds,
+quantized-vs-dequantized path equivalence, and end-to-end generation across
+dense / pruned / phi layouts and the paged engine.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
+from ssp_x_vit_tpu.llm.quant import (
+    dequantize_weight, quantize_llm_params_int8, quantize_weight_int8,
+    quantized_param_bytes,
+)
+from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+CFG = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=3, num_heads=4,
+                  num_kv_heads=2, intermediate_size=64)
+
+
+@pytest.fixture(scope="module")
+def llm():
+    return init_llama_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32), CFG
+
+
+def test_quantize_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(1), (5, 48, 64), jnp.float32) * 3.0
+    w_q, scale = quantize_weight_int8(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (5, 64)
+    err = np.abs(np.asarray(dequantize_weight(w_q, scale)) - np.asarray(w))
+    # symmetric round-to-nearest: per-element error <= scale/2 per out-channel
+    assert (err <= np.asarray(scale)[:, None, :] * 0.5 + 1e-7).all()
+    # scales recover the per-channel absmax at the +/-127 grid ends
+    np.testing.assert_allclose(
+        np.asarray(scale) * 127.0,
+        np.abs(np.asarray(w)).max(axis=-2), rtol=1e-6)
+
+
+def test_quantized_generation_matches_dequantized(llm):
+    """int8-in-graph (scale on the OUTPUT) must equal running the serving
+    path on host-dequantized weights: per-output-channel scales commute with
+    the contraction, so both compute the same function."""
+    params, cfg = llm
+    qp = quantize_llm_params_int8(params, cfg)
+
+    deq = {k: v for k, v in qp.items() if k != "blocks"}
+    deq["blocks"] = {}
+    for k, v in qp["blocks"].items():
+        if k.endswith("_q"):
+            deq["blocks"][k[:-2]] = dequantize_weight(
+                v, qp["blocks"][k[:-2] + "_scale"], jnp.float32)
+        elif not k.endswith("_scale"):
+            deq["blocks"][k] = v
+
+    prompt = np.asarray([5, 9, 2, 7], np.int32)
+    out_q = generate_kv_scan(qp, cfg, prompt, max_length=16,
+                             cache_dtype=jnp.float32)
+    out_d = generate_kv_scan(deq, cfg, prompt, max_length=16,
+                             cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out_q, out_d)
+
+
+def test_quantized_logits_close_to_dense(llm):
+    params, cfg = llm
+    qp = quantize_llm_params_int8(params, cfg)
+    from ssp_x_vit_tpu.llm.serve import init_cache, prefill
+
+    toks = np.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], np.int32)
+    pad0 = jnp.zeros((1,), jnp.int32)
+    ck, cv = init_cache(cfg, 1, 8, jnp.float32)
+    dense_logits, _, _ = prefill(params, jnp.asarray(toks), ck, cv, cfg, pad0)
+    ck, cv = init_cache(cfg, 1, 8, jnp.float32)
+    q_logits, _, _ = prefill(qp, jnp.asarray(toks), ck, cv, cfg, pad0)
+    d, q = np.asarray(dense_logits[0]), np.asarray(q_logits[0])
+    rel = np.linalg.norm(q - d) / np.linalg.norm(d)
+    assert rel < 0.15, rel
+    corr = np.corrcoef(d, q)[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_quantized_pruned_model_generates(llm):
+    """Depth-materialized + width-pruned pytrees quantize and serve through
+    the UNROLLED layer path (serve._base_key maps q-suffixed names)."""
+    params, cfg = llm
+    from ssp_x_vit_tpu.llm import pruning as P
+
+    keep = [np.sort(np.random.default_rng(i).permutation(
+        cfg.intermediate_size)[:32]) for i in range(cfg.num_layers)]
+    pp, pc = P.materialize_llm_width_pruning(params, cfg, keep)
+    pp, pc = P.materialize_llm_depth_pruning(pp, pc, [1])
+    qp = quantize_llm_params_int8(pp, pc)
+
+    prompt = np.asarray([1, 2, 3], np.int32)
+    ref = generate_kv_scan(pp, pc, prompt, max_length=12, cache_dtype=jnp.float32)
+    out = generate_kv_scan(qp, pc, prompt, max_length=12, cache_dtype=jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(out[:3], prompt)
+
+
+def test_quantized_phi_layout_generates():
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=4, intermediate_size=64, model_type="phi",
+                      qkv_bias=True, rotary_dim=4)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    qp = quantize_llm_params_int8(params, cfg)
+    assert "fc1_kernel_q" in qp["blocks"] and "q_bias" in qp["blocks"]
+    out = generate_kv_scan(qp, cfg, np.asarray([4, 8], np.int32),
+                           max_length=10, cache_dtype=jnp.float32)
+    assert out.shape == (10,)
+
+
+def test_quantized_paged_engine(llm):
+    """The paged continuous-batching path serves int8 pytrees too (its
+    matmuls route through serve._mm)."""
+    params, cfg = llm
+    from ssp_x_vit_tpu.llm.paged import paged_generate
+
+    qp = quantize_llm_params_int8(params, cfg)
+    out_q = paged_generate(qp, cfg, [[5, 9, 2], [7, 7]], max_new_tokens=6,
+                           page_size=8, cache_dtype=jnp.float32)
+    out_c = generate_kv_scan(qp, cfg, [[5, 9, 2], [7, 7]], max_length=9,
+                             cache_dtype=jnp.float32)
+    # paged vs contiguous on the SAME quantized weights: identical greedy
+    np.testing.assert_array_equal(out_q[0], out_c[0])
+    np.testing.assert_array_equal(out_q[1][:8], out_c[1][:8])
+
+
+def test_quantized_bytes_roughly_halved(llm):
+    params, cfg = llm
+    bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    qp = quantize_llm_params_int8(bf16, cfg)
+    # projection kernels dominate asymptotically; on this tiny config just
+    # check the quantized tree is strictly smaller and kernels are int8
+    assert quantized_param_bytes(qp) < quantized_param_bytes(bf16)
+    assert qp["blocks"]["q_kernel_q"].dtype == jnp.int8
