@@ -44,7 +44,8 @@ def main():
         materialize_llm_depth_pruning, materialize_llm_width_pruning,
     )
     from ssp_x_vit_tpu.llm.quant import (
-        quantize_llm_params_int8, quantized_param_bytes,
+        quantize_llm_params_int4, quantize_llm_params_int8,
+        quantized_param_bytes,
     )
     from ssp_x_vit_tpu.llm.serve import generate_kv_scan
 
@@ -59,6 +60,7 @@ def main():
 
     qp = quantize_llm_params_int8(params, cfg)
     qpp = quantize_llm_params_int8(pp, pc)
+    qp4 = quantize_llm_params_int4(params, cfg)
 
     rng = np.random.default_rng(0)
     P, M = args.prompt_len, args.max_length
@@ -67,6 +69,7 @@ def main():
         "prompt_len": P, "max_length": M, "backend": jax.default_backend(),
         "bf16_gib": round(quantized_param_bytes(params) / 2**30, 3),
         "int8_gib": round(quantized_param_bytes(qp) / 2**30, 3),
+        "int4_gib": round(quantized_param_bytes(qp4) / 2**30, 3),
     }
 
     def run(tag, p, c, batch):
@@ -79,6 +82,7 @@ def main():
 
     run("dense_bf16_b1_tok_s", params, cfg, 1)
     run("dense_int8_b1_tok_s", qp, cfg, 1)
+    run("dense_int4_b1_tok_s", qp4, cfg, 1)
     run("dense_bf16_b8_tok_s", params, cfg, 8)
     run("dense_int8_b8_tok_s", qp, cfg, 8)
     run("pruned_bf16_b1_tok_s", pp, pc, 1)

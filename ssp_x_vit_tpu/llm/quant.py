@@ -79,6 +79,37 @@ def quantize_llm_params_int8(params: Params, cfg: LlamaConfig) -> Params:
     return out
 
 
+def quantize_llm_params_int4(params: Params, cfg: LlamaConfig) -> Params:
+    """int4 variant: projection kernels become ``k + "_q4"`` (packed
+    [K/2, N] int8 nibbles, ops/pallas/quant_matmul.pack_int4 layout) +
+    ``k + "_scale"``. Serving dispatches to the pallas quant4 kernel
+    (serve._mm) — XLA cannot fuse through the nibble packing. lm_head stays
+    int8: the 15-level absmax grid is coarse, and keeping the head at int8
+    is the standard accuracy/size tradeoff (head bytes are a small fraction
+    of the stream)."""
+    from ssp_x_vit_tpu.ops.pallas.quant_matmul import quantize_weight_int4
+
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    blocks = {}
+    for k, v in params["blocks"].items():
+        if k in QUANT_KEYS:
+            if v.ndim == 3:  # stacked [L, K, N]
+                import jax as _jax
+
+                w_p, scale = _jax.vmap(quantize_weight_int4)(v)
+            else:
+                w_p, scale = quantize_weight_int4(v)
+            blocks[k + "_q4"] = w_p
+            blocks[k + "_scale"] = scale
+        else:
+            blocks[k] = v
+    out["blocks"] = blocks
+    if "lm_head" in out:
+        w_q, scale = quantize_weight_int8(out.pop("lm_head"))
+        out["lm_head_q"], out["lm_head_scale"] = w_q, scale
+    return out
+
+
 def quantized_param_bytes(params: Params) -> int:
     """Actual serving-weight footprint in bytes (int8 + scales + the rest)."""
     import jax

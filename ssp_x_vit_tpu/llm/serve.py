@@ -44,15 +44,24 @@ def bucket_prompt_pad(n: int, buckets: Sequence[int] = PROMPT_BUCKETS) -> int:
 
 
 def _mm(x, bp, name, compute_dtype):
-    """Projection matmul, transparently handling weight-only int8 params
+    """Projection matmul, transparently handling weight-only int8/int4 params
     (llm/quant.py): the per-output-channel scale is applied to the OUTPUT so
-    the weight-side graph is just an int8->bf16 convert, which XLA fuses into
-    the dot's operand load — no dequantized weight copy in HBM."""
+    the int8 weight-side graph is just an int8->bf16 convert, which XLA fuses
+    into the dot's operand load — no dequantized weight copy in HBM. int4
+    (packed nibbles) goes through the pallas kernel: XLA cannot fuse through
+    the packing."""
     w_q = bp.get(name + "_q")
-    if w_q is None:
-        return x @ bp[name].astype(compute_dtype)
-    return (x @ w_q.astype(compute_dtype)) * \
-        bp[name + "_scale"].astype(compute_dtype)
+    if w_q is not None:
+        return (x @ w_q.astype(compute_dtype)) * \
+            bp[name + "_scale"].astype(compute_dtype)
+    w_p = bp.get(name + "_q4")
+    if w_p is not None:
+        from ssp_x_vit_tpu.ops.dispatch import use_pallas
+        from ssp_x_vit_tpu.ops.pallas.quant_matmul import quant4_matmul
+
+        return quant4_matmul(x, w_p, bp[name + "_scale"],
+                             interpret=not use_pallas())
+    return x @ bp[name].astype(compute_dtype)
 
 
 def _rope_at(q, k, positions, theta, rotary_dim: Optional[int] = None):
@@ -174,9 +183,9 @@ _LLAMA_ATTN_KEYS = ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
 
 
 def _base_key(k: str) -> str:
-    """Strip the int8-quantization suffixes so quantized pytrees route through
+    """Strip the quantization suffixes so quantized pytrees route through
     the same attention/MLP key split (``q_kernel_q`` -> ``q_kernel``)."""
-    for suf in ("_q", "_scale"):
+    for suf in ("_q4", "_q", "_scale"):
         if k.endswith(suf):
             return k[: -len(suf)]
     return k

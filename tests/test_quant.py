@@ -137,3 +137,70 @@ def test_quantized_bytes_roughly_halved(llm):
     # check the quantized tree is strictly smaller and kernels are int8
     assert quantized_param_bytes(qp) < quantized_param_bytes(bf16)
     assert qp["blocks"]["q_kernel_q"].dtype == jnp.int8
+
+
+def test_quant_matmul_kernel_interpret():
+    """Pallas int8/int4 kernels (interpret mode) match the epilogue-scale
+    contract exactly — same math serve._mm dispatches to on TPU."""
+    from ssp_x_vit_tpu.ops.pallas.quant_matmul import (
+        pack_int4, quant4_matmul, quant_matmul, quantize_weight_int4,
+        unpack_int4,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 384)), jnp.float32)
+
+    wq, s = quantize_weight_int8(w)
+    ref = (x @ wq.astype(jnp.float32)) * s
+    np.testing.assert_allclose(np.asarray(quant_matmul(x, wq, s, interpret=True)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+    q4 = jnp.asarray(rng.integers(-8, 8, size=(256, 384)), jnp.int8)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(pack_int4(q4))),
+                                  np.asarray(q4))
+    wp, s4 = quantize_weight_int4(w)
+    ref4 = (x @ unpack_int4(wp).astype(jnp.float32)) * s4
+    np.testing.assert_allclose(np.asarray(quant4_matmul(x, wp, s4, interpret=True)),
+                               np.asarray(ref4), rtol=1e-5, atol=1e-4)
+
+
+def test_int4_quantization_error_bound():
+    from ssp_x_vit_tpu.ops.pallas.quant_matmul import (
+        quantize_weight_int4, unpack_int4,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 128), jnp.float32)
+    wp, s = quantize_weight_int4(w)
+    deq = np.asarray(unpack_int4(wp), np.float32) * np.asarray(s)[None, :]
+    err = np.abs(deq - np.asarray(w))
+    assert (err <= np.asarray(s)[None, :] * 0.5 + 1e-7).all()
+
+
+def test_int4_generation_matches_unpacked(llm):
+    """int4 serving pytree (pallas kernel in interpret mode on CPU) equals
+    generation on the host-unpacked dequantized weights."""
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int4
+    from ssp_x_vit_tpu.ops.pallas.quant_matmul import unpack_int4
+
+    params, cfg = llm
+    qp4 = quantize_llm_params_int4(params, cfg)
+
+    deq = {k: v for k, v in qp4.items() if k != "blocks"}
+    if "lm_head_q" in deq:  # int8 head -> dequantize for the reference run
+        deq["lm_head"] = dequantize_weight(
+            deq.pop("lm_head_q"), deq.pop("lm_head_scale"), jnp.float32)
+    deq["blocks"] = {}
+    for k, v in qp4["blocks"].items():
+        if k.endswith("_q4"):
+            w = jax.vmap(unpack_int4)(v).astype(jnp.float32)
+            deq["blocks"][k[:-3]] = w * qp4["blocks"][k[:-3] + "_scale"][:, None, :]
+        elif not k.endswith("_scale"):
+            deq["blocks"][k] = v
+
+    prompt = np.asarray([5, 9, 2, 7], np.int32)
+    out_q = generate_kv_scan(qp4, cfg, prompt, max_length=12,
+                             cache_dtype=jnp.float32)
+    out_d = generate_kv_scan(deq, cfg, prompt, max_length=12,
+                             cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out_q, out_d)

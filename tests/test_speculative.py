@@ -73,3 +73,20 @@ def test_spec_eos_trimming(models):
                                   max_length=20, k=3, eos_token_id=eos,
                                   cache_dtype=jnp.float32)
     np.testing.assert_array_equal(out, np.asarray(ref_trim))
+
+
+def test_spec_phi_layout():
+    """phi-2 parallel-residual models work as target AND draft (speculative
+    reuses serve's layer step, which handles the phi branch)."""
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=3,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64,
+                      model_type="phi", qkv_bias=True, rotary_dim=4)
+    params = init_llama_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    prompt = np.asarray([2, 4, 6, 8], np.int32)
+    ref = generate_kv_scan(params, cfg, prompt, max_length=20,
+                           cache_dtype=jnp.float32)
+    out, stats = speculative_generate(params, cfg, params, cfg, prompt,
+                                      max_length=20, k=3,
+                                      cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+    assert stats["acceptance_rate"] > 0.99
