@@ -92,8 +92,23 @@ def num_attn_layers(cfg: LlamaConfig) -> int:
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """KV cache [A, b, max_len, nkv, hd] x2. ``dtype=jnp.int8`` selects the
+    QUANTIZED cache: each array becomes a pytree {"q": int8 codes,
+    "s": f32 per-token-per-head scales [A, b, max_len, nkv]} — jit, scan,
+    donation and the layer loops handle the dict transparently. Compute stays
+    bf16; only the cache bytes (the long-context HBM stream) halve."""
     shape = (num_attn_layers(cfg), batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if dtype == jnp.int8:
+        def mk():
+            return {"q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.ones(shape[:-1], jnp.float32)}
+        return mk(), mk()
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def cache_compute_dtype(ck):
+    """Activation dtype implied by a cache leaf (int8 caches compute bf16)."""
+    return jnp.bfloat16 if isinstance(ck, dict) else ck.dtype
 
 
 def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
@@ -115,23 +130,56 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
 
 def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig):
     """q [b, s_q, h, hd] over cached k/v [b, max_len, nkv, hd]; query at global
-    index g attends keys with pad_len[i] <= key_index <= g (left-pad masked)."""
+    index g attends keys with pad_len[i] <= key_index <= g (left-pad masked).
+
+    int8 caches ({"q","s"} pytrees): per-token-per-head scales commute with
+    the hd contraction, so they fold into epilogues — key scales multiply the
+    LOGITS, value scales fold into the softmax weights before the v-einsum.
+    The einsum operands stay a bare int8->bf16 convert (fusable)."""
     b, s_q, h, hd = q.shape
     rep = cfg.num_heads // cfg.num_kv_heads
-    k = jnp.repeat(ck, rep, axis=2) if rep > 1 else ck
-    v = jnp.repeat(cv, rep, axis=2) if rep > 1 else cv
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    quant = isinstance(ck, dict)
+    k_raw, v_raw = (ck["q"], cv["q"]) if quant else (ck, cv)
+    k = jnp.repeat(k_raw, rep, axis=2) if rep > 1 else k_raw
+    v = jnp.repeat(v_raw, rep, axis=2) if rep > 1 else v_raw
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    if quant:
+        ks = jnp.repeat(ck["s"], rep, axis=2) if rep > 1 else ck["s"]
+        logits = logits * ks.transpose(0, 2, 1)[:, :, None, :]
     logits = logits / (hd ** 0.5)
     key_idx = jnp.arange(k.shape[1])                     # [max_len]
     causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
     valid = key_idx[None, None, :] >= pad_lens[:, None, None]
     mask = (causal & valid)[:, None]                     # [b, 1, s_q, max_len]
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s_q, h * hd)
+    w = jax.nn.softmax(logits, axis=-1)
+    if quant:
+        vs = jnp.repeat(cv["s"], rep, axis=2) if rep > 1 else cv["s"]
+        w = w * vs.transpose(0, 2, 1)[:, :, None, :]
+    w = w.astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(q.dtype)).reshape(
+        b, s_q, h * hd)
+
+
+def _quantize_kv(t):
+    """[b, s, nkv, hd] -> (int8 codes, f32 per-(token, head) scales)."""
+    a = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1)
+    s = jnp.where(a > 0, a / 127.0, 1.0)
+    codes = jnp.clip(jnp.round(t.astype(jnp.float32) / s[..., None]),
+                     -127, 127).astype(jnp.int8)
+    return codes, s
 
 
 def _write_cache(ck_l, cv_l, k, v, write_pos):
+    if isinstance(ck_l, dict):
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        ck_l = {"q": jax.lax.dynamic_update_slice(ck_l["q"], kq, (0, write_pos, 0, 0)),
+                "s": jax.lax.dynamic_update_slice(ck_l["s"], ks, (0, write_pos, 0))}
+        cv_l = {"q": jax.lax.dynamic_update_slice(cv_l["q"], vq, (0, write_pos, 0, 0)),
+                "s": jax.lax.dynamic_update_slice(cv_l["s"], vs, (0, write_pos, 0))}
+        return ck_l, cv_l
     ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype),
                                         (0, write_pos, 0, 0))
     cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype),
@@ -225,9 +273,11 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
         if j is None:
             x, _, _ = _layer_step(x, bp, None, None, cfg, has_attn=False, **kw)
         else:
-            x, ck_l, cv_l = _layer_step(x, bp, cache_k[j], cache_v[j], cfg, **kw)
-            cache_k = cache_k.at[j].set(ck_l)
-            cache_v = cache_v.at[j].set(cv_l)
+            x, ck_l, cv_l = _layer_step(
+                x, bp, jax.tree.map(lambda a: a[j], cache_k),
+                jax.tree.map(lambda a: a[j], cache_v), cfg, **kw)
+            cache_k = jax.tree.map(lambda a, al: a.at[j].set(al), cache_k, ck_l)
+            cache_v = jax.tree.map(lambda a, al: a.at[j].set(al), cache_v, cv_l)
     return x, cache_k, cache_v
 
 
@@ -258,7 +308,7 @@ def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfi
     """Run LEFT-padded prompts ([b, p_pad]) through the model, filling the
     cache; ``pad_lens [b]`` = p_pad - prompt_len per sequence. Returns
     (logits at the last position [b, V], cache_k, cache_v)."""
-    compute_dtype = cache_k.dtype
+    compute_dtype = cache_compute_dtype(cache_k)
     b, p_pad = tokens.shape
     x = params["embed"].astype(compute_dtype)[tokens]
     idx = jnp.arange(p_pad)
@@ -273,7 +323,7 @@ def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfi
 
 def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
                  cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array):
-    compute_dtype = cache_k.dtype
+    compute_dtype = cache_compute_dtype(cache_k)
     b = token.shape[0]
     x = params["embed"].astype(compute_dtype)[token][:, None, :]  # [b, 1, d]
     global_positions = jnp.broadcast_to(pos[None, None], (b, 1))

@@ -32,7 +32,8 @@ import numpy as np
 
 from ssp_x_vit_tpu.llm.model import LlamaConfig, Params
 from ssp_x_vit_tpu.llm.serve import (
-    _decode_body, _final_logits, _run_layers, init_cache, prefill,
+    _decode_body, _final_logits, _run_layers,
+    cache_compute_dtype as serve_cache_dtype, init_cache, prefill,
 )
 
 
@@ -40,7 +41,7 @@ def _extend_body(params, tokens, cache_k, cache_v, cfg: LlamaConfig,
                  write_pos):
     """Multi-token cached forward: tokens [1, w] at global positions
     ``write_pos + arange(w)``; returns logits at ALL w positions [1, w, V]."""
-    compute_dtype = cache_k.dtype
+    compute_dtype = serve_cache_dtype(cache_k)
     b, w = tokens.shape
     x = params["embed"].astype(compute_dtype)[tokens]
     idx = write_pos + jnp.arange(w)
