@@ -438,19 +438,26 @@ def generate_kv_scan(
     temperature: float = 0.0,
     top_k: Optional[int] = None,
     rng: Optional[jax.Array] = None,
+    cache_factory=None,
 ):
     """Whole-generation-on-device decoding: prefill + ONE scan dispatch (no
     per-token host round trips). Batched: ``input_ids`` may be one prompt or a
     list of prompts of different lengths (left-padded to a shared bucket).
     Returns a list of per-sequence token arrays (prompt + generation, trimmed
-    at eos); a single 1-D prompt returns a single array."""
+    at eos); a single 1-D prompt returns a single array.
+
+    ``cache_factory`` (same signature as init_cache) lets callers place the
+    cache — e.g. tensor-parallel head sharding over a mesh
+    (parallel.llm_sharding.tp_cache_factory); computation follows the
+    params/cache shardings through the jitted prefill/decode."""
     single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
         not isinstance(input_ids, np.ndarray) and input_ids
         and isinstance(input_ids[0], (int, np.integer)))
     tokens, pad_lens, lens, p_pad = _prepare_prompts(input_ids, max_length)
     b = tokens.shape[0]
     num_steps = max_length - int(lens.min()) - 1
-    cache_k, cache_v = init_cache(cfg, b, p_pad + max(num_steps, 0) + 1, cache_dtype)
+    factory = cache_factory if cache_factory is not None else init_cache
+    cache_k, cache_v = factory(cfg, b, p_pad + max(num_steps, 0) + 1, cache_dtype)
     logits, cache_k, cache_v = prefill(
         params, jnp.asarray(tokens), cache_k, cache_v, cfg, jnp.asarray(pad_lens))
     if temperature <= 0.0:

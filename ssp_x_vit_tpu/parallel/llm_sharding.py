@@ -49,14 +49,113 @@ def llama_param_specs(cfg: LlamaConfig) -> Dict[str, Any]:
     return specs
 
 
+# Megatron split: column-parallel producers of the head/intermediate dim,
+# row-parallel consumers (their sharded-contraction output psums back).
+_COL = frozenset({"q_kernel", "k_kernel", "v_kernel", "gate_kernel",
+                  "up_kernel", "fc1_kernel"})
+_ROW = frozenset({"o_kernel", "down_kernel", "fc2_kernel"})
+_COL_BIAS = frozenset({"q_bias", "k_bias", "v_bias", "fc1_bias"})
+
+
+def _block_key_spec(key: str, ndim: int):
+    """PartitionSpec for one stacked block-param leaf, including the
+    quantized-name variants (<k>_q int8, <k>_q4 packed int4, <k>_scale).
+
+    int4 + row-parallel is the one unsupported combination: the split-half
+    nibble packing interleaves global K rows, so sharding the packed K axis
+    would pair rows from different shards — those weights stay replicated
+    (correct, XLA all-gathers their sharded input; memory-suboptimal)."""
+    base, kind = key, "plain"
+    if key.endswith("_q4"):
+        base, kind = key[:-3], "q4"
+    elif key.endswith("_q"):
+        base, kind = key[:-2], "q"
+    elif key.endswith("_scale"):
+        base, kind = key[:-6], "scale"
+    if base in _COL:
+        return P(None, "model") if kind == "scale" else P(None, None, "model")
+    if base in _ROW:
+        if kind == "q4":
+            return P(None, None, None)
+        return P(None, None) if kind == "scale" else P(None, "model", None)
+    if base in _COL_BIAS:
+        return P(None, "model")
+    return P(*([None] * ndim))  # norms, o/fc2 bias, anything replicated
+
+
+def _top_key_spec(key: str, ndim: int):
+    if key in ("lm_head", "lm_head_q"):
+        return P(None, "model")
+    if key in ("lm_head_scale", "lm_head_bias"):
+        return P("model")
+    return P(*([None] * ndim))
+
+
+def llm_param_specs_like(params: Params) -> Dict[str, Any]:
+    """Spec pytree built from the ACTUAL param structure — covers dense,
+    2SSP-materialized, phi/OPT layouts and int8/int4-quantized pytrees."""
+    specs: Dict[str, Any] = {}
+    for k, v in params.items():
+        if k == "blocks":
+            specs["blocks"] = {bk: _block_key_spec(bk, bv.ndim)
+                               for bk, bv in v.items()}
+        else:
+            specs[k] = _top_key_spec(k, v.ndim)
+    return specs
+
+
 def shard_llama_params(params: Params, mesh: Mesh, cfg: LlamaConfig) -> Params:
-    specs = llama_param_specs(cfg)
+    specs = llm_param_specs_like(params)
 
     def place(spec, leaf):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, specs, params,
                         is_leaf=lambda x: isinstance(x, P))
+
+
+# ---------------- tensor-parallel serving ----------------
+
+def shard_llm_cache(mesh: Mesh, cache):
+    """Shard a serve.init_cache product over KV heads ('model' axis).
+    Handles both bf16 arrays [A, b, len, nkv, hd] and int8 cache pytrees
+    ({"q": 5-d codes, "s": 4-d scales})."""
+    def put(x):
+        spec = (P(None, None, None, "model", None) if x.ndim == 5
+                else P(None, None, None, "model"))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, cache)
+
+
+def tp_cache_factory(mesh: Mesh):
+    """serve.init_cache-compatible factory placing caches head-sharded; pass
+    as ``generate_kv_scan(..., cache_factory=tp_cache_factory(mesh))``."""
+    from ssp_x_vit_tpu.llm.serve import init_cache
+
+    def factory(cfg, batch, max_len, dtype):
+        if cfg.num_kv_heads % mesh.shape["model"]:
+            raise ValueError(
+                f"num_kv_heads {cfg.num_kv_heads} not divisible by model-axis "
+                f"size {mesh.shape['model']}")
+        ck, cv = init_cache(cfg, batch, max_len, dtype)
+        return shard_llm_cache(mesh, ck), shard_llm_cache(mesh, cv)
+
+    return factory
+
+
+def tp_generate_kv_scan(params: Params, cfg: LlamaConfig, mesh: Mesh,
+                        input_ids, **kw):
+    """Tensor-parallel serving: megatron-sharded params (shard_llama_params)
+    + head-sharded KV cache; attention is head-local, the o/down row-parallel
+    matmuls psum over ICI, logits are vocab-sharded. One code path with
+    single-chip serving — GSPMD compiles the collectives from the shardings
+    (serve.generate_kv_scan's jits follow their argument placements)."""
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    sharded = shard_llama_params(params, mesh, cfg)
+    return generate_kv_scan(sharded, cfg, input_ids,
+                            cache_factory=tp_cache_factory(mesh), **kw)
 
 
 def sharded_window_nll_fn(mesh: Mesh, cfg: LlamaConfig):

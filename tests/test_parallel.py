@@ -193,3 +193,65 @@ def test_seq_parallel_perplexity_matches_single():
     mesh = Mesh(devs, ("data", "seq"))
     ppl_sp = evaluate_perplexity_seq_parallel(params, cfg, mesh, stream, seq_len=64)
     assert abs(np.log(ppl_sp) - np.log(ppl_single)) < 1e-3
+
+
+# ---------------- tensor-parallel serving (round 2) ----------------
+
+def test_tp_serving_matches_single_device():
+    """Head-sharded KV cache + megatron params: tp=4 greedy generation equals
+    the single-device serve path token-for-token (f32)."""
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+    from ssp_x_vit_tpu.parallel.llm_sharding import tp_generate_kv_scan
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    prompt = np.asarray([3, 5, 7, 11], np.int32)
+    single = generate_kv_scan(params, cfg, prompt, max_length=16,
+                              cache_dtype=jnp.float32)
+    mesh = make_mesh(model=4)
+    tp = tp_generate_kv_scan(params, cfg, mesh, prompt, max_length=16,
+                             cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(tp))
+
+
+def test_tp_serving_gqa_and_batched():
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+    from ssp_x_vit_tpu.parallel.llm_sharding import tp_generate_kv_scan
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=48)
+    params = init_llama_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    mesh = make_mesh(model=2)  # nkv=2 over model=2; data axis unused
+    single = generate_kv_scan(params, cfg, [[1, 2, 3], [9, 8]],
+                              max_length=12, cache_dtype=jnp.float32)
+    tp = tp_generate_kv_scan(params, cfg, mesh, [[1, 2, 3], [9, 8]],
+                             max_length=12, cache_dtype=jnp.float32)
+    for s, t in zip(single, tp):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(t))
+
+
+def test_tp_serving_full_int8():
+    """TP serving with int8 WEIGHTS and int8 KV cache: quantized spec rules
+    (<k>_q/<k>_scale) shard correctly and the dict cache shards over heads."""
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int8
+    from ssp_x_vit_tpu.parallel.llm_sharding import (
+        llm_param_specs_like, tp_generate_kv_scan,
+    )
+    from jax.sharding import PartitionSpec as PS
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64)
+    params = init_llama_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    qp = quantize_llm_params_int8(params, cfg)
+    specs = llm_param_specs_like(qp)
+    assert specs["blocks"]["q_kernel_q"] == PS(None, None, "model")
+    assert specs["blocks"]["q_kernel_scale"] == PS(None, "model")
+    assert specs["blocks"]["down_kernel_scale"] == PS(None, None)
+
+    mesh = make_mesh(model=4)
+    prompt = np.asarray([4, 8, 15, 16], np.int32)
+    out = tp_generate_kv_scan(qp, cfg, mesh, prompt, max_length=14,
+                              cache_dtype=jnp.int8)
+    assert out.shape == (14,)
+    np.testing.assert_array_equal(np.asarray(out)[:4], prompt)
