@@ -199,13 +199,33 @@ def _rope(q: jax.Array, k: jax.Array, theta: float) -> Tuple[jax.Array, jax.Arra
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 
+def _mm(x, bp, name, compute_dtype):
+    """Projection matmul, transparently handling weight-only int8/int4 params
+    (llm/quant.py) so the EVALUATION paths (perplexity, zeroshot, lm-eval)
+    measure quantized models too. int8: epilogue per-out-channel scale (the
+    weight-side graph is a convert XLA fuses into the dot). int4: pallas
+    dequant kernel (packed nibbles are opaque to XLA)."""
+    w_q = bp.get(name + "_q")
+    if w_q is not None:
+        return (x @ w_q.astype(compute_dtype)) * \
+            bp[name + "_scale"].astype(compute_dtype)
+    w_p = bp.get(name + "_q4")
+    if w_p is not None:
+        from ssp_x_vit_tpu.ops.dispatch import use_pallas
+        from ssp_x_vit_tpu.ops.pallas.quant_matmul import quant4_matmul
+
+        return quant4_matmul(x, w_p, bp[name + "_scale"],
+                             interpret=not use_pallas())
+    return x @ bp[name].astype(compute_dtype)
+
+
 def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
     b, s, d = x.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = x @ bp["q_kernel"].astype(compute_dtype)
-    k = x @ bp["k_kernel"].astype(compute_dtype)
-    v = x @ bp["v_kernel"].astype(compute_dtype)
+    q = _mm(x, bp, "q_kernel", compute_dtype)
+    k = _mm(x, bp, "k_kernel", compute_dtype)
+    v = _mm(x, bp, "v_kernel", compute_dtype)
     if "q_bias" in bp:
         q = q + bp["q_bias"].astype(compute_dtype)
         k = k + bp["k_bias"].astype(compute_dtype)
@@ -241,7 +261,7 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
         out = sdpa_reference(q, k, v, causal=True)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
-    out = out @ bp["o_kernel"].astype(compute_dtype)
+    out = _mm(out, bp, "o_kernel", compute_dtype)
     if "o_bias" in bp:
         out = out + bp["o_bias"].astype(compute_dtype)
     return out
@@ -252,7 +272,7 @@ def _phi_mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq
     """fc1 -> activation -> fc2 MLP (phi-2: exact GELU; OPT: ReLU). The
     reference prunes fc1 rows/fc2 cols (src/utilities.py:419-422); hooks
     observe the fc2 input."""
-    h = x @ bp["fc1_kernel"].astype(compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
+    h = _mm(x, bp, "fc1_kernel", compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
     if act == "relu":
         h = jax.nn.relu(h)
     else:
@@ -265,7 +285,7 @@ def _phi_mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq
         stats = jnp.sum(jnp.square(h32) if stats_kind == "sumsq" else jnp.abs(h32), axis=1)
     if neuron_mask is not None:
         h = h * neuron_mask.astype(h.dtype)
-    return h @ bp["fc2_kernel"].astype(compute_dtype) + bp["fc2_bias"].astype(compute_dtype), stats
+    return _mm(h, bp, "fc2_kernel", compute_dtype) + bp["fc2_bias"].astype(compute_dtype), stats
 
 
 def _layer_norm(x, scale, bias, eps):
@@ -277,8 +297,8 @@ def _layer_norm(x, scale, bias, eps):
 
 
 def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
-    g = x @ bp["gate_kernel"].astype(compute_dtype)
-    u = x @ bp["up_kernel"].astype(compute_dtype)
+    g = _mm(x, bp, "gate_kernel", compute_dtype)
+    u = _mm(x, bp, "up_kernel", compute_dtype)
     h = jax.nn.silu(g) * u  # the down_proj input the reference hooks observe
     stats = None
     if collect_stats:
@@ -288,7 +308,7 @@ def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
         stats = jnp.sum(jnp.square(h32) if stats_kind == "sumsq" else jnp.abs(h32), axis=1)
     if neuron_mask is not None:
         h = h * neuron_mask.astype(h.dtype)
-    return h @ bp["down_kernel"].astype(compute_dtype), stats
+    return _mm(h, bp, "down_kernel", compute_dtype), stats
 
 
 def llama_forward(
@@ -388,10 +408,14 @@ def llama_forward(
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    head = params.get("lm_head", None)
-    if head is None:
-        head = params["embed"].T
-    logits = x @ head.astype(compute_dtype)
+    if "lm_head_q" in params:
+        logits = (x @ params["lm_head_q"].astype(compute_dtype)) * \
+            params["lm_head_scale"].astype(compute_dtype)
+    else:
+        head = params.get("lm_head", None)
+        if head is None:
+            head = params["embed"].T
+        logits = x @ head.astype(compute_dtype)
     if "lm_head_bias" in params:
         logits = logits + params["lm_head_bias"].astype(compute_dtype)
     return logits.astype(jnp.float32), dict(scanned_out)

@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _layer_norm, rms_norm
+from ssp_x_vit_tpu.llm.model import (
+    LlamaConfig, Params, _layer_norm, _mm, rms_norm,
+)
 
 PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
@@ -41,27 +43,6 @@ def bucket_prompt_pad(n: int, buckets: Sequence[int] = PROMPT_BUCKETS) -> int:
         if n <= b:
             return b
     return -(-n // 128) * 128
-
-
-def _mm(x, bp, name, compute_dtype):
-    """Projection matmul, transparently handling weight-only int8/int4 params
-    (llm/quant.py): the per-output-channel scale is applied to the OUTPUT so
-    the int8 weight-side graph is just an int8->bf16 convert, which XLA fuses
-    into the dot's operand load — no dequantized weight copy in HBM. int4
-    (packed nibbles) goes through the pallas kernel: XLA cannot fuse through
-    the packing."""
-    w_q = bp.get(name + "_q")
-    if w_q is not None:
-        return (x @ w_q.astype(compute_dtype)) * \
-            bp[name + "_scale"].astype(compute_dtype)
-    w_p = bp.get(name + "_q4")
-    if w_p is not None:
-        from ssp_x_vit_tpu.ops.dispatch import use_pallas
-        from ssp_x_vit_tpu.ops.pallas.quant_matmul import quant4_matmul
-
-        return quant4_matmul(x, w_p, bp[name + "_scale"],
-                             interpret=not use_pallas())
-    return x @ bp[name].astype(compute_dtype)
 
 
 def _rope_at(q, k, positions, theta, rotary_dim: Optional[int] = None):

@@ -204,3 +204,26 @@ def test_int4_generation_matches_unpacked(llm):
     out_d = generate_kv_scan(deq, cfg, prompt, max_length=12,
                              cache_dtype=jnp.float32)
     np.testing.assert_array_equal(out_q, out_d)
+
+
+def test_quantized_perplexity_evaluation(llm):
+    """The evaluation path (llama_forward -> evaluate_perplexity) measures
+    quantized pytrees directly — int8 ppl must sit near dense ppl, so the
+    framework can REPORT the accuracy cost of quantization, not just its
+    speed."""
+    from ssp_x_vit_tpu.llm.datasets import synthetic_token_stream
+    from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
+
+    params, cfg = llm
+    stream = synthetic_token_stream(64 * 3, cfg.vocab_size, seed=0)
+    dense = evaluate_perplexity(params, cfg, stream, seq_len=64,
+                                enable_tqdm=False)
+    q8 = evaluate_perplexity(quantize_llm_params_int8(params, cfg), cfg,
+                             stream, seq_len=64, enable_tqdm=False)
+    assert abs(np.log(q8) - np.log(dense)) < 0.05, (dense, q8)
+
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int4
+
+    q4 = evaluate_perplexity(quantize_llm_params_int4(params, cfg), cfg,
+                             stream, seq_len=64, enable_tqdm=False)
+    assert abs(np.log(q4) - np.log(dense)) < 0.5, (dense, q4)
