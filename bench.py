@@ -85,6 +85,15 @@ def main():
         with open(loop_json) as f:
             detail["pruning_loop_b16_224"] = json.load(f)
 
+    # LLM serving headlines (recorded measurements; scripts/bench_serve.py
+    # and friends re-measure them — each takes 10-30 min of TPU compiles, so
+    # bench.py quotes the committed JSON rather than re-running).
+    serve_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "docs", "serving_bench.json")
+    if os.path.exists(serve_json):
+        with open(serve_json) as f:
+            detail["llm_serving"] = json.load(f)
+
     if with_pruned:
         # 50%-global-sparsity 2SSP-materialized model (plan K/t, weight-L1
         # importance — random weights, architecture is what matters here).

@@ -200,23 +200,12 @@ def _rope(q: jax.Array, k: jax.Array, theta: float) -> Tuple[jax.Array, jax.Arra
 
 
 def _mm(x, bp, name, compute_dtype):
-    """Projection matmul, transparently handling weight-only int8/int4 params
-    (llm/quant.py) so the EVALUATION paths (perplexity, zeroshot, lm-eval)
-    measure quantized models too. int8: epilogue per-out-channel scale (the
-    weight-side graph is a convert XLA fuses into the dot). int4: pallas
-    dequant kernel (packed nibbles are opaque to XLA)."""
-    w_q = bp.get(name + "_q")
-    if w_q is not None:
-        return (x @ w_q.astype(compute_dtype)) * \
-            bp[name + "_scale"].astype(compute_dtype)
-    w_p = bp.get(name + "_q4")
-    if w_p is not None:
-        from ssp_x_vit_tpu.ops.dispatch import use_pallas
-        from ssp_x_vit_tpu.ops.pallas.quant_matmul import quant4_matmul
+    """Quantization-aware projection matmul (ops.common.mm_quant) so the
+    EVALUATION paths (perplexity, zeroshot, lm-eval) and the serving paths
+    share one dispatch for int8/int4 pytrees (llm/quant.py)."""
+    from ssp_x_vit_tpu.ops.common import mm_quant
 
-        return quant4_matmul(x, w_p, bp[name + "_scale"],
-                             interpret=not use_pallas())
-    return x @ bp[name].astype(compute_dtype)
+    return mm_quant(x, bp, name, compute_dtype)
 
 
 def _attention(x, bp, cfg: LlamaConfig, compute_dtype):

@@ -164,20 +164,72 @@ def init_head_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Param
 
 
 def apply_head(head: Params, cfg: ViTConfig, cls_repr: jax.Array) -> jax.Array:
+    from ssp_x_vit_tpu.ops.common import mm_quant
+
+    dt = cls_repr.dtype
     if cfg.head_type == "linear":
-        return cls_repr @ head["kernel"].astype(cls_repr.dtype) + head["bias"].astype(cls_repr.dtype)
-    h = cls_repr @ head["w0"].astype(cls_repr.dtype)
-    h = gelu(h)
-    return h @ head["w2"].astype(cls_repr.dtype) + head["b2"].astype(cls_repr.dtype)
+        return mm_quant(cls_repr, head, "kernel", dt) + head["bias"].astype(dt)
+    h = gelu(mm_quant(cls_repr, head, "w0", dt))
+    return mm_quant(h, head, "w2", dt) + head["b2"].astype(dt)
 
 
 def embed(params: Params, cfg: ViTConfig, pixel_values: jax.Array, dtype) -> jax.Array:
     """pixel_values [batch, H, W, C] -> embedded tokens [batch, seq, hidden]."""
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
-    x = x @ params["patch_embed"]["kernel"].astype(dtype) + params["patch_embed"]["bias"].astype(dtype)
+    from ssp_x_vit_tpu.ops.common import mm_quant
+
+    x = mm_quant(x, params["patch_embed"], "kernel", dtype) + \
+        params["patch_embed"]["bias"].astype(dtype)
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (x.shape[0], 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
     return x + params["pos_embed"].astype(dtype)
+
+
+def _block_apply_quantized(
+    x, bp, cfg, *, attn_gate, mlp_gate, neuron_mask, collect_ffn_stats,
+    skip_attention_statically=False,
+):
+    """int8/int4-weight block (models/quant.py pytrees): same math as the
+    XLA branch with every projection routed through ops.common.mm_quant;
+    the fused pallas kernels are bypassed (they take raw bf16 arrays)."""
+    from ssp_x_vit_tpu.ops.attention import sdpa_reference
+    from ssp_x_vit_tpu.ops.common import mm_quant
+
+    dt = x.dtype
+    if not skip_attention_statically:
+        h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
+        qkv = mm_quant(h, bp, "qkv_kernel", dt)
+        if bp.get("qkv_bias") is not None:
+            qkv = qkv + bp["qkv_bias"].astype(dt)
+        b, sq, _ = x.shape
+        hd = cfg.hidden_size // cfg.num_heads
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (t.reshape(b, sq, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+                   for t in (q, k, v))
+        attn = sdpa_reference(q, k, v).transpose(0, 2, 1, 3).reshape(b, sq, -1)
+        attn = mm_quant(attn, bp, "proj_kernel", dt)
+        if bp.get("proj_bias") is not None:
+            attn = attn + bp["proj_bias"].astype(dt)
+        if attn_gate is not None:
+            attn = attn * attn_gate.astype(dt)
+        x = x + attn
+
+    h2 = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], cfg.layernorm_eps)
+    hm = mm_quant(h2, bp, "fc1_kernel", dt)
+    if bp.get("fc1_bias") is not None:
+        hm = hm + bp["fc1_bias"].astype(dt)
+    hm = gelu(hm)
+    stats = None
+    if collect_ffn_stats:
+        stats = jnp.sum(jnp.square(hm.astype(jnp.float32)), axis=1)
+    if neuron_mask is not None:
+        hm = hm * neuron_mask.astype(dt)
+    mlp = mm_quant(hm, bp, "fc2_kernel", dt)
+    if bp.get("fc2_bias") is not None:
+        mlp = mlp + bp["fc2_bias"].astype(dt)
+    if mlp_gate is not None:
+        mlp = mlp * mlp_gate.astype(dt)
+    return x + mlp, stats
 
 
 def _block_apply(
@@ -193,6 +245,11 @@ def _block_apply(
     allow_fused_attn: bool = True,
 ):
     """One pre-LN encoder block; gates are scalars (or None = dense)."""
+    if "fc1_kernel" not in bp:  # quantized pytree (models/quant.py)
+        return _block_apply_quantized(
+            x, bp, cfg, attn_gate=attn_gate, mlp_gate=mlp_gate,
+            neuron_mask=neuron_mask, collect_ffn_stats=collect_ffn_stats,
+            skip_attention_statically=skip_attention_statically)
     if not skip_attention_statically:
         from ssp_x_vit_tpu.ops.dispatch import use_fused_attn_block
 
@@ -345,23 +402,29 @@ def vit_forward_materialized(
 
     for i in range(cfg.num_layers):
         j = store[i]
+        def _pick(bp, base, idx):
+            # copy whichever storage variant exists (plain / _q / _q4 +_scale)
+            for suf in ("", "_q", "_q4", "_scale"):
+                if base + suf in blocks:
+                    bp[base + suf] = blocks[base + suf][idx]
+
         bp = {
             "ln2_scale": blocks["ln2_scale"][i],
             "ln2_bias": blocks["ln2_bias"][i],
-            "fc1_kernel": blocks["fc1_kernel"][i],
             "fc1_bias": blocks["fc1_bias"][i] if "fc1_bias" in blocks else None,
-            "fc2_kernel": blocks["fc2_kernel"][i],
             "fc2_bias": blocks["fc2_bias"][i] if "fc2_bias" in blocks else None,
         }
+        _pick(bp, "fc1_kernel", i)
+        _pick(bp, "fc2_kernel", i)
         if j is not None:
             bp.update(
                 ln1_scale=blocks["ln1_scale"][j],
-                ln1_bias=blocks["ln1_bias"][j],
-                qkv_kernel=blocks["qkv_kernel"][j],
+                ln1_bias=blocks["ln1_bias"][j] ,
                 qkv_bias=blocks["qkv_bias"][j] if "qkv_bias" in blocks else None,
-                proj_kernel=blocks["proj_kernel"][j],
                 proj_bias=blocks["proj_bias"][j] if "proj_bias" in blocks else None,
             )
+            _pick(bp, "qkv_kernel", j)
+            _pick(bp, "proj_kernel", j)
         x, _ = _block_apply(
             x, bp, cfg,
             attn_gate=None, mlp_gate=None, neuron_mask=None,

@@ -56,3 +56,23 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
     # Conv2d weight layout (out, C, P, P) flattened over (C, P, P).
     x = x.transpose(0, 1, 3, 5, 2, 4)
     return x.reshape(b, gh * gw, c * p * p)
+
+
+def mm_quant(x, bp, name, compute_dtype):
+    """Generic projection matmul over a param dict, transparently handling
+    weight-only quantized entries (llm/quant.py, models/quant.py):
+    ``<name>_q`` int8 with per-out-channel ``<name>_scale`` applied in the
+    epilogue (the weight-side graph is a convert XLA fuses into the dot);
+    ``<name>_q4`` packed-int4 via the pallas dequant kernel."""
+    w_q = bp.get(name + "_q")
+    if w_q is not None:
+        return (x @ w_q.astype(compute_dtype)) * \
+            bp[name + "_scale"].astype(compute_dtype)
+    w_p = bp.get(name + "_q4")
+    if w_p is not None:
+        from ssp_x_vit_tpu.ops.dispatch import use_pallas
+        from ssp_x_vit_tpu.ops.pallas.quant_matmul import quant4_matmul
+
+        return quant4_matmul(x, w_p, bp[name + "_scale"],
+                             interpret=not use_pallas())
+    return x @ bp[name].astype(compute_dtype)
