@@ -68,6 +68,20 @@ def main():
     res["pruned50_int8_b1_ms"] = round(measure_latency_scan(fwd_mat, px1, qp2, iters=20), 3)
     res["int8_b1_speedup"] = round(res["dense_bf16_b1_ms"] / res["dense_int8_b1_ms"], 2)
     res["vs_reference_mps_43.6ms"] = round(43.6 / res["dense_int8_b1_ms"], 1)
+
+    # W8A8: native int8 MXU (activations quantized per token, opt-in mode)
+    from ssp_x_vit_tpu.ops import dispatch
+
+    dispatch.set_w8a8_enabled(True)
+    try:
+        res["dense_w8a8_b256_ms"] = round(
+            measure_latency_scan(fwd, px256, qp, iters=10), 2)
+        res["dense_w8a8_b1_ms"] = round(
+            measure_latency_scan(fwd, px1, qp, iters=20), 3)
+    finally:
+        dispatch.set_w8a8_enabled(None)
+    res["w8a8_b256_speedup"] = round(
+        res["dense_bf16_b256_ms"] / res["dense_w8a8_b256_ms"], 2)
     print(json.dumps(res))
 
 

@@ -66,6 +66,10 @@ def mm_quant(x, bp, name, compute_dtype):
     ``<name>_q4`` packed-int4 via the pallas dequant kernel."""
     w_q = bp.get(name + "_q")
     if w_q is not None:
+        from ssp_x_vit_tpu.ops.dispatch import use_w8a8
+
+        if use_w8a8():
+            return w8a8_matmul(x, w_q, bp[name + "_scale"], compute_dtype)
         return (x @ w_q.astype(compute_dtype)) * \
             bp[name + "_scale"].astype(compute_dtype)
     w_p = bp.get(name + "_q4")
@@ -76,3 +80,21 @@ def mm_quant(x, bp, name, compute_dtype):
         return quant4_matmul(x, w_p, bp[name + "_scale"],
                              interpret=not use_pallas())
     return x @ bp[name].astype(compute_dtype)
+
+
+def w8a8_matmul(x, w_q, w_scale, compute_dtype):
+    """Native int8-MXU matmul with DYNAMIC per-token activation quantization:
+    ``y = (round(x/sx) @ w_q) * sx * sw`` with sx = absmax(x, -1)/127.
+    int8 x int8 -> int32 runs at ~1.3x the bf16 MXU rate on this chip
+    (measured, docs/tpu_notes.md); the quant/dequant epilogues fuse on the
+    VPU. Opt-in via dispatch.set_w8a8_enabled — activation quantization is
+    lossy (unlike the weight-only epilogue-scale path)."""
+    import jax as _jax
+
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(ax > 0, ax / 127.0, 1.0)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    acc = _jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    return (acc * sx * w_scale.astype(jnp.float32)).astype(compute_dtype)

@@ -74,3 +74,25 @@ def use_pallas() -> bool:
     if env is not None:
         return env not in ("0", "false", "False")
     return jax.default_backend() == "tpu"
+
+
+# ---------------- W8A8 (native int8 MXU) inference mode ----------------
+# v5e's MXU runs int8 x int8 -> int32 at ~2x the bf16 rate (measured on this
+# chip: 132.8 TOPS vs 103.4 TF/s on a ViT-shaped matmul with per-iteration
+# activation perturbation — docs/tpu_notes.md). Opt-in because activations
+# are quantized dynamically (per-token scales): accuracy differs from the
+# weight-only path. Enable via set_w8a8_enabled(True) or SSP_X_VIT_W8A8=1;
+# applies wherever a weight-only-int8 pytree flows through mm_quant.
+_W8A8: Optional[bool] = None
+
+
+def set_w8a8_enabled(enabled: Optional[bool]) -> None:
+    """Force W8A8 activation quantization on/off; None restores env/default."""
+    global _W8A8
+    _W8A8 = enabled
+
+
+def use_w8a8() -> bool:
+    if _W8A8 is not None:
+        return _W8A8
+    return os.environ.get("SSP_X_VIT_W8A8") in ("1", "true", "True")

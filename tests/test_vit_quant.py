@@ -98,3 +98,39 @@ def test_vit_quantized_top1_eval(vit):
     dense = evaluate_top1(params, cfg, batches)
     quant = evaluate_top1(qp, cfg, batches)
     assert abs(dense - quant) < 0.25  # random weights: both near chance
+
+
+def test_w8a8_mode(vit):
+    """Opt-in W8A8: same int8 pytree, activations quantized per-token, the
+    dot runs int8 x int8 -> int32 on the MXU. Logits stay close to dense."""
+    from ssp_x_vit_tpu.ops import dispatch
+
+    params, cfg = vit
+    qp = quantize_vit_params_int8(params, cfg)
+    pixels = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 3), jnp.float32)
+    dense, _ = vit_forward(params, pixels, cfg, compute_dtype=jnp.float32)
+    dispatch.set_w8a8_enabled(True)
+    try:
+        wl, _ = vit_forward(qp, pixels, cfg, compute_dtype=jnp.float32)
+    finally:
+        dispatch.set_w8a8_enabled(None)
+    d, w = np.asarray(dense), np.asarray(wl)
+    rel = np.linalg.norm(w - d) / np.linalg.norm(d)
+    assert rel < 0.15, rel
+
+
+def test_w8a8_matmul_reference():
+    from ssp_x_vit_tpu.llm.quant import quantize_weight_int8
+    from ssp_x_vit_tpu.ops.common import w8a8_matmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+    wq, sw = quantize_weight_int8(w)
+    out = w8a8_matmul(x, wq, sw, jnp.float32)
+
+    ax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    sx = np.where(ax > 0, ax / 127.0, 1.0)
+    xq = np.clip(np.round(np.asarray(x) / sx), -127, 127)
+    ref = (xq @ np.asarray(wq, np.float64)) * sx * np.asarray(sw)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
