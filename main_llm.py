@@ -58,6 +58,12 @@ def parse_args():
     parser.add_argument('--num-calibration-2ssp', type=int, default=32)
     parser.add_argument('--evopress-generations', type=int, default=None,
                         help="Override EvoPress generation count (for smoke runs)")
+    parser.add_argument('--quantize', type=str, default='none',
+                        choices=('none', 'int8', 'int4'),
+                        help='weight-only quantization applied to every '
+                             'evaluated model (llm/quant.py; int8 = per-'
+                             'channel epilogue scales, int4 = packed pallas '
+                             'kernel). Composes with any pruning method.')
     parser.add_argument('--backend', type=str, default='default',
                         choices=['default', 'cpu', 'tpu'])
     parser.add_argument('--logging', type=str, default='INFO',
@@ -149,6 +155,15 @@ def main():
     def run_evals(p, c, attn_gate=None, mlp_gate=None):
         from ssp_x_vit_tpu.llm.slicegpt import SlicedLlamaConfig, evaluate_perplexity_sliced
 
+        if args.quantize != 'none' and not isinstance(c, SlicedLlamaConfig):
+            from ssp_x_vit_tpu.llm.quant import (
+                quantize_llm_params_int4, quantize_llm_params_int8,
+            )
+
+            q = (quantize_llm_params_int8 if args.quantize == 'int8'
+                 else quantize_llm_params_int4)
+            p = q(p, c)
+            logging.info(f"Evaluating {args.quantize}-quantized weights")
         if isinstance(c, SlicedLlamaConfig):
             if args.evaluate_perplexity or args.main_table_results:
                 ppl = evaluate_perplexity_sliced(p, c, wikitext_ids, seq_len=args.seq_len)

@@ -410,6 +410,18 @@ def llama_forward(
     return logits.astype(jnp.float32), dict(scanned_out)
 
 
+def _pick_variants(blocks, bases, idx):
+    """Per-layer param dict copying whichever storage variant each base key
+    has (plain / _q int8 / _q4 packed int4, + _scale) — quantized pytrees
+    flow through the materialized forwards unchanged."""
+    bp = {}
+    for base in bases:
+        for suf in ("", "_q", "_q4", "_scale"):
+            if base + suf in blocks:
+                bp[base + suf] = blocks[base + suf][idx]
+    return bp
+
+
 def llama_forward_materialized(
     params: Params,
     input_ids: jax.Array,
@@ -433,14 +445,15 @@ def llama_forward_materialized(
             if j is not None:
                 h = _layer_norm(x, blocks["ln1"][j], blocks["ln1_bias"][j],
                                 cfg.layer_norm_eps)
-                bp = {k: blocks[k][j] for k in
-                      ("q_kernel", "q_bias", "k_kernel", "k_bias",
-                       "v_kernel", "v_bias", "o_kernel", "o_bias")}
+                bp = _pick_variants(blocks, ("q_kernel", "k_kernel",
+                                             "v_kernel", "o_kernel"), j)
+                for k in ("q_bias", "k_bias", "v_bias", "o_bias"):
+                    bp[k] = blocks[k][j]
                 x = x + _attention(h, bp, cfg, compute_dtype)
             mlp_in = _layer_norm(x, blocks["ln2"][i], blocks["ln2_bias"][i],
                                  cfg.layer_norm_eps)
-            mp = {k: blocks[k][i] for k in
-                  ("fc1_kernel", "fc1_bias", "fc2_kernel", "fc2_bias")}
+            mp = _pick_variants(blocks, ("fc1_kernel", "fc2_kernel"), i)
+            mp["fc1_bias"], mp["fc2_bias"] = blocks["fc1_bias"][i], blocks["fc2_bias"][i]
             mlp_out, _ = _phi_mlp(mlp_in, mp, compute_dtype, None, False, act="relu")
             x = x + mlp_out
             continue
@@ -451,23 +464,28 @@ def llama_forward_materialized(
             h = _layer_norm(x, blocks["ln1"][i], blocks["ln1_bias"][i], cfg.layer_norm_eps)
             delta = jnp.zeros_like(x)
             if j is not None:
-                bp = {k: blocks[k][j] for k in
-                      ("q_kernel", "q_bias", "k_kernel", "k_bias",
-                       "v_kernel", "v_bias", "o_kernel", "o_bias") if k in blocks}
+                bp = _pick_variants(blocks, ("q_kernel", "k_kernel",
+                                             "v_kernel", "o_kernel"), j)
+                for k in ("q_bias", "k_bias", "v_bias", "o_bias"):
+                    if k in blocks:
+                        bp[k] = blocks[k][j]
                 delta = _attention(h, bp, cfg, compute_dtype)
-            mp = {k: blocks[k][i] for k in
-                  ("fc1_kernel", "fc1_bias", "fc2_kernel", "fc2_bias")}
+            mp = _pick_variants(blocks, ("fc1_kernel", "fc2_kernel"), i)
+            mp["fc1_bias"], mp["fc2_bias"] = blocks["fc1_bias"][i], blocks["fc2_bias"][i]
             mlp_out, _ = _phi_mlp(h, mp, compute_dtype, None, False)
             x = x + delta + mlp_out
             continue
         if j is not None:
-            bp = {k: blocks[k][j] for k in ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel")
-                  if k in blocks}
+            bp = _pick_variants(blocks, ("q_kernel", "k_kernel",
+                                         "v_kernel", "o_kernel"), j)
+            bp["ln1"] = blocks["ln1"][j]
             for k in ("q_bias", "k_bias", "v_bias"):
                 if k in blocks:
                     bp[k] = blocks[k][j]
             x = x + _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
-        mp = {k: blocks[k][i] for k in ("ln2", "gate_kernel", "up_kernel", "down_kernel")}
+        mp = _pick_variants(blocks, ("gate_kernel", "up_kernel",
+                                     "down_kernel"), i)
+        mp["ln2"] = blocks["ln2"][i]
         mlp_out, _ = _mlp(rms_norm(x, mp["ln2"], cfg.rms_eps), mp, compute_dtype, None, False)
         x = x + mlp_out
 
@@ -475,10 +493,14 @@ def llama_forward_materialized(
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    head = params.get("lm_head", None)
-    if head is None:
-        head = params["embed"].T
-    logits = x @ head.astype(compute_dtype)
+    if "lm_head_q" in params:
+        logits = (x @ params["lm_head_q"].astype(compute_dtype)) * \
+            params["lm_head_scale"].astype(compute_dtype)
+    else:
+        head = params.get("lm_head", None)
+        if head is None:
+            head = params["embed"].T
+        logits = x @ head.astype(compute_dtype)
     if "lm_head_bias" in params:
         logits = logits + params["lm_head_bias"].astype(compute_dtype)
     return logits.astype(jnp.float32)

@@ -227,3 +227,23 @@ def test_quantized_perplexity_evaluation(llm):
     q4 = evaluate_perplexity(quantize_llm_params_int4(params, cfg), cfg,
                              stream, seq_len=64, enable_tqdm=False)
     assert abs(np.log(q4) - np.log(dense)) < 0.5, (dense, q4)
+
+
+def test_quantized_materialized_full_forward(llm):
+    """llama_forward_materialized (depth-pruned unrolled path) accepts
+    quantized pytrees — the CLI's --quantize composes with 2SSP output."""
+    from ssp_x_vit_tpu.llm import pruning as P
+    from ssp_x_vit_tpu.llm.model import llama_forward_materialized
+
+    params, cfg = llm
+    keep = [np.sort(np.random.default_rng(i).permutation(
+        cfg.intermediate_size)[:32]) for i in range(cfg.num_layers)]
+    pp, pc = P.materialize_llm_width_pruning(params, cfg, keep)
+    pp, pc = P.materialize_llm_depth_pruning(pp, pc, [1])
+    qp = quantize_llm_params_int8(pp, pc)
+    toks = jnp.asarray(np.random.default_rng(0).integers(1, 90, (2, 12)))
+    ref = llama_forward_materialized(pp, toks, pc, compute_dtype=jnp.float32)
+    out = llama_forward_materialized(qp, toks, pc, compute_dtype=jnp.float32)
+    d, q = np.asarray(ref), np.asarray(out)
+    rel = np.linalg.norm(q - d) / np.linalg.norm(d)
+    assert rel < 0.1, rel
