@@ -40,7 +40,7 @@ from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _layer_norm, rms_norm
 from ssp_x_vit_tpu.llm import serve as _serve
 from ssp_x_vit_tpu.llm.serve import (
     _LLAMA_ATTN_KEYS, _block_qkv, _final_logits, _mm, bucket_prompt_pad,
-    num_attn_layers,
+    cache_compute_dtype, num_attn_layers,
 )
 from ssp_x_vit_tpu.ops.pallas.paged_attention import (
     paged_attention, paged_cache_write,
@@ -57,21 +57,31 @@ def init_paged_pools(cfg: LlamaConfig, num_pages: int, page_size: int,
         raise ValueError("paged serving covers llama-layout and phi models")
     shape = (num_attn_layers(cfg), cfg.num_kv_heads, num_pages, page_size,
              cfg.head_dim)
+    if dtype == jnp.int8:
+        # quantized pools: int8 codes + f32 per-token-per-head scales
+        # (cf. serve.init_cache); the page-walk kernel folds the scales in
+        # its score/weight epilogues so page bytes HALVE.
+        def mk():
+            return {"q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.ones(shape[:-1], jnp.float32)}
+        return mk(), mk()
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def _write_many_masked(kp, vp, k_new, v_new, page_table, seq_len):
     """Prefill write of s consecutive tokens for one sequence; positions
     >= seq_len are redirected to trash page 0."""
+    from ssp_x_vit_tpu.ops.pallas.paged_attention import (
+        _page_size_of, _pool_write,
+    )
+
     s = k_new.shape[0]
-    ps = kp.shape[2]
+    ps = _page_size_of(kp)
     pos = jnp.arange(s)
     valid = pos < seq_len
     phys = jnp.where(valid, page_table[pos // ps], 0)
     off = pos % ps
-    kp = kp.at[:, phys, off].set(jnp.moveaxis(k_new.astype(kp.dtype), 0, 1))
-    vp = vp.at[:, phys, off].set(jnp.moveaxis(v_new.astype(vp.dtype), 0, 1))
-    return kp, vp
+    return _pool_write(kp, k_new, phys, off), _pool_write(vp, v_new, phys, off)
 
 
 def _mlp_branch(h2, bp, cfg: LlamaConfig, compute_dtype):
@@ -162,7 +172,7 @@ def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
                       table, lens):
     """Dense models scan the stacked pytree; depth-materialized models unroll
     with attn_store_index (cf. serve._run_layers)."""
-    compute_dtype = k_pools.dtype
+    compute_dtype = cache_compute_dtype(k_pools)
     blocks = params["blocks"]
     if not cfg.pruned_attention_blocks:
         def body(x, scanned):
@@ -189,10 +199,13 @@ def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
             x, _, _ = layer_fn(x, bp, None, None, cfg, table, lens,
                                compute_dtype, has_attn=False)
         else:
-            x, kl, vl = layer_fn(x, bp, k_pools[j], v_pools[j], cfg, table,
+            x, kl, vl = layer_fn(x, bp,
+                                 jax.tree.map(lambda a: a[j], k_pools),
+                                 jax.tree.map(lambda a: a[j], v_pools),
+                                 cfg, table,
                                  lens, compute_dtype)
-            k_pools = k_pools.at[j].set(kl)
-            v_pools = v_pools.at[j].set(vl)
+            k_pools = jax.tree.map(lambda a, al: a.at[j].set(al), k_pools, kl)
+            v_pools = jax.tree.map(lambda a, al: a.at[j].set(al), v_pools, vl)
     return x, k_pools, v_pools
 
 
@@ -201,7 +214,7 @@ def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
                   cfg: LlamaConfig, page_table: jax.Array, seq_len: jax.Array):
     """One prompt ([1, p_pad] right-padded) -> pools filled, logits at the
     last valid position [V]. One compile per prompt bucket."""
-    compute_dtype = k_pools.dtype
+    compute_dtype = cache_compute_dtype(k_pools)
     x = params["embed"].astype(compute_dtype)[tokens]
     x, k_pools, v_pools = _run_paged_layers(
         _prefill_layer, params, x, k_pools, v_pools, cfg, page_table, seq_len)
@@ -213,7 +226,7 @@ def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
 def _paged_decode_body(params: Params, tokens: jax.Array, k_pools, v_pools,
                        cfg: LlamaConfig, page_tables: jax.Array,
                        seq_lens: jax.Array):
-    compute_dtype = k_pools.dtype
+    compute_dtype = cache_compute_dtype(k_pools)
     x = params["embed"].astype(compute_dtype)[tokens][:, None]   # [b, 1, d]
     x, k_pools, v_pools = _run_paged_layers(
         _paged_layer, params, x, k_pools, v_pools, cfg, page_tables, seq_lens)

