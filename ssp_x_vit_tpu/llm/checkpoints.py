@@ -208,3 +208,38 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
     if not cfg.tie_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = jnp.asarray(_t(g("lm_head.weight")), dtype)
     return params, cfg
+
+
+def save_llm_model(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
+    """Persist an LLM (dense, 2SSP-materialized, or int8/int4-quantized
+    pytree) as model.npz + config.json — the serving-deployment artifact
+    (cf. models/persistence.py for the ViT side; the reference's
+    save_pretrained covers only HF-layout dense/pruned torch models)."""
+    import dataclasses
+    import json
+    import os
+
+    from ssp_x_vit_tpu.models.checkpoints import save_params_npz
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_params_npz(os.path.join(out_dir, "model.npz"), params)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    return out_dir
+
+
+def load_llm_model(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
+    """Inverse of save_llm_model. ``dtype`` applies to float leaves only —
+    int8 codes keep their dtype (quantized models round-trip losslessly)."""
+    import json
+    import os
+
+    from ssp_x_vit_tpu.models.checkpoints import load_params_npz
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        d = json.load(f)
+    if d.get("pruned_attention_blocks") is not None:
+        d["pruned_attention_blocks"] = tuple(d["pruned_attention_blocks"])
+    cfg = LlamaConfig(**d)
+    params = load_params_npz(os.path.join(model_dir, "model.npz"), dtype=dtype)
+    return params, cfg

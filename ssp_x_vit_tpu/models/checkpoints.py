@@ -264,6 +264,9 @@ def save_params_npz(path: str, params: Params) -> None:
 
 
 def load_params_npz(path: str, dtype=jnp.float32) -> Params:
+    """``dtype`` applies to FLOAT leaves only; integer leaves (int8 quantized
+    weights/codes, index arrays) keep their stored dtype so quantized
+    pytrees (llm/quant.py, models/quant.py) round-trip losslessly."""
     with np.load(path) as npz:
         out: Params = {}
         for key in npz.files:
@@ -271,5 +274,7 @@ def load_params_npz(path: str, dtype=jnp.float32) -> Params:
             parts = key.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(npz[key], dtype)
+            arr = npz[key]
+            leaf_dtype = dtype if np.issubdtype(arr.dtype, np.floating) else None
+            node[parts[-1]] = jnp.asarray(arr, leaf_dtype)
     return out

@@ -247,3 +247,28 @@ def test_quantized_materialized_full_forward(llm):
     d, q = np.asarray(ref), np.asarray(out)
     rel = np.linalg.norm(q - d) / np.linalg.norm(d)
     assert rel < 0.1, rel
+
+
+def test_llm_quantized_persistence_roundtrip(llm, tmp_path):
+    """save_llm_model/load_llm_model round-trip an int8-quantized
+    2SSP-materialized model losslessly (int8 codes keep dtype), and the
+    reloaded model generates identically."""
+    from ssp_x_vit_tpu.llm import pruning as P
+    from ssp_x_vit_tpu.llm.checkpoints import load_llm_model, save_llm_model
+
+    params, cfg = llm
+    keep = [np.sort(np.random.default_rng(i).permutation(
+        cfg.intermediate_size)[:32]) for i in range(cfg.num_layers)]
+    pp, pc = P.materialize_llm_width_pruning(params, cfg, keep)
+    pp, pc = P.materialize_llm_depth_pruning(pp, pc, [1])
+    qp = quantize_llm_params_int8(pp, pc)
+
+    save_llm_model(str(tmp_path / "m"), qp, pc)
+    lp, lcfg = load_llm_model(str(tmp_path / "m"), dtype=jnp.float32)
+    assert lcfg.pruned_attention_blocks == pc.pruned_attention_blocks
+    assert lp["blocks"]["gate_kernel_q"].dtype == jnp.int8
+
+    prompt = np.asarray([5, 9, 2], np.int32)
+    a = generate_kv_scan(qp, pc, prompt, max_length=12, cache_dtype=jnp.float32)
+    b = generate_kv_scan(lp, lcfg, prompt, max_length=12, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(a, b)

@@ -134,3 +134,21 @@ def test_w8a8_matmul_reference():
     xq = np.clip(np.round(np.asarray(x) / sx), -127, 127)
     ref = (xq @ np.asarray(wq, np.float64)) * sx * np.asarray(sw)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+
+def test_quantized_model_persistence_roundtrip(vit, tmp_path):
+    """save/load of an int8-quantized pruned model preserves int8 codes
+    (load casts only float leaves) and reproduces identical logits."""
+    from ssp_x_vit_tpu.models.persistence import (
+        load_pruned_model, save_pruned_model,
+    )
+
+    params, cfg = vit
+    qp = quantize_vit_params_int8(params, cfg)
+    save_pruned_model(str(tmp_path / "m"), qp, cfg)
+    lp, lcfg = load_pruned_model(str(tmp_path / "m"))
+    assert lp["blocks"]["qkv_kernel_q"].dtype == jnp.int8
+    pixels = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3), jnp.float32)
+    a, _ = vit_forward(qp, pixels, cfg, compute_dtype=jnp.float32)
+    b, _ = vit_forward(lp, pixels, lcfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
