@@ -94,6 +94,16 @@ def main():
     results["spec_pruned_draft_tok_s"] = round(gen / secs, 1)
     results["spec_pruned_draft_acceptance"] = round(out[1]["acceptance_rate"], 3)
 
+    # int8-quantized pruned draft: the draft's per-step cost drops further
+    # (weight-only int8 decode is 1.57x, scripts/bench_quant.py), raising the
+    # all-accept ceiling (k+1) * rounds/s without touching the dense target.
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int8
+
+    qpp = quantize_llm_params_int8(pp, pc)
+    secs, out = timed(lambda: speculative_generate(
+        params, cfg, qpp, pc, prompt, max_length=M, k=K, cache_dtype=cdt))
+    results["spec_int8_pruned_draft_tok_s"] = round(gen / secs, 1)
+
     print(json.dumps(results))
 
 
