@@ -50,6 +50,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--depth-importance", type=str, default="copy", choices=["copy", "heuristic"])
     p.add_argument("--force-depth-blocks", type=int, default=None)
     p.add_argument("--save-pruned-model", action="store_true")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="Also evaluate (and save, with --save-pruned-model) "
+                        "an int8 weight-quantized variant of the final "
+                        "pruned model (models/quant.py)")
     p.add_argument("--out-root", type=str, default=None,
                    help="Root for reports/ artifacts/ pruned_models/ (default: ./runs/auto_2ssp)")
     p.add_argument("--export-framework-prefix", type=str, default=None,
@@ -269,6 +274,21 @@ def run(args) -> Dict[str, Any]:
     latency_stage2 = measure_latency(work_params, work_cfg, batch_size=1)
     acc_stage2 = evaluate_top1(work_params, work_cfg, test_batches)
 
+    quant_params = None
+    quant_metrics: Dict[str, Any] = {}
+    if args.quantize == "int8":
+        from ssp_x_vit_tpu.models.quant import quantize_vit_params_int8
+
+        quant_params = quantize_vit_params_int8(work_params, work_cfg)
+        quant_metrics = {
+            "latency_int8_ms": round(
+                measure_latency(quant_params, work_cfg, batch_size=1), 2),
+            "acc_int8": round(
+                evaluate_top1(quant_params, work_cfg, test_batches), 4),
+        }
+        print(f"[QUANT] int8: latency {quant_metrics['latency_int8_ms']} ms, "
+              f"top-1 {quant_metrics['acc_int8']}")
+
     s1 = compute_actual_sparsity(params_before, params_after_stage1)
     s2_local = compute_actual_sparsity(params_after_stage1, params_after_stage2)
     s_total = compute_actual_sparsity(params_before, params_after_stage2)
@@ -325,6 +345,10 @@ def run(args) -> Dict[str, Any]:
         pruned_dir = out_root / "pruned_models" / run_id
         save_pruned_model(str(pruned_dir), work_params, work_cfg)
         artifacts["pruned_model_dir"] = str(pruned_dir)
+        if quant_params is not None:
+            qdir = out_root / "pruned_models" / f"{run_id}-int8"
+            save_pruned_model(str(qdir), quant_params, work_cfg)
+            artifacts["pruned_model_int8_dir"] = str(qdir)
 
     if args.export_framework_prefix:
         from ssp_x_vit_tpu.masks.export import build_framework_exports
@@ -371,6 +395,7 @@ def run(args) -> Dict[str, Any]:
             "acc_drop_stage1_percent": round(((acc_baseline - acc_stage1) / max(1e-12, acc_baseline)) * 100, 2),
             "acc_drop_stage2_percent": round(((acc_stage1 - acc_stage2) / max(1e-12, acc_stage1)) * 100, 2),
             "acc_total_drop_percent": round(((acc_baseline - acc_stage2) / max(1e-12, acc_baseline)) * 100, 2),
+            **quant_metrics,
         },
         "artifacts": artifacts,
     }
