@@ -95,9 +95,18 @@ def cache_compute_dtype(ck):
 def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
     """positions: [b, s] per-sequence rotary positions."""
     b, s, _ = x.shape
-    q = _mm(x, bp, "q_kernel", compute_dtype)
-    k = _mm(x, bp, "k_kernel", compute_dtype)
-    v = _mm(x, bp, "v_kernel", compute_dtype)
+    if any(k.startswith("qkv_kernel") for k in bp):
+        # pack_llm_params_for_serving fused the three projections into ONE
+        # matmul (decode is per-op-overhead/bandwidth bound: one [d, hq+2hkv]
+        # dot streams better than three)
+        qkv = _mm(x, bp, "qkv_kernel", compute_dtype)
+        hq = cfg.num_heads * cfg.head_dim
+        hkv = cfg.num_kv_heads * cfg.head_dim
+        q, k, v = jnp.split(qkv, (hq, hq + hkv), axis=-1)
+    else:
+        q = _mm(x, bp, "q_kernel", compute_dtype)
+        k = _mm(x, bp, "k_kernel", compute_dtype)
+        v = _mm(x, bp, "v_kernel", compute_dtype)
     if "q_bias" in bp:
         q = q + bp["q_bias"].astype(compute_dtype)
         k = k + bp["k_bias"].astype(compute_dtype)
@@ -202,13 +211,49 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
             attn = attn + bp["o_bias"].astype(compute_dtype)
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-    g = _mm(h2, bp, "gate_kernel", compute_dtype)
-    u = _mm(h2, bp, "up_kernel", compute_dtype)
+    if any(k.startswith("gateup_kernel") for k in bp):
+        gu = _mm(h2, bp, "gateup_kernel", compute_dtype)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = _mm(h2, bp, "gate_kernel", compute_dtype)
+        u = _mm(h2, bp, "up_kernel", compute_dtype)
     return x + _mm(jax.nn.silu(g) * u, bp, "down_kernel", compute_dtype), ck_l, cv_l
 
 
 _LLAMA_ATTN_KEYS = ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
-                    "q_bias", "k_bias", "v_bias", "o_bias")
+                    "qkv_kernel", "q_bias", "k_bias", "v_bias", "o_bias")
+
+
+def pack_llm_params_for_serving(params: Params, cfg: LlamaConfig) -> Params:
+    """Fuse per-layer q/k/v -> qkv_kernel [.., d, hq+2hkv] and gate/up ->
+    gateup_kernel [.., d, 2f] so each decode step runs one matmul where it
+    ran three/two (fewer dispatches, better weight streaming at b=1).
+    Mathematically identical (column-wise concatenation commutes with the
+    contraction). Works on bf16 AND int8-quantized pytrees (codes and
+    per-out-channel scales concatenate the same way); int4 packed layouts
+    are left unfused; biases stay separate (O(d) adds)."""
+    blocks = dict(params["blocks"])
+
+    def cat(names, suffix, axis):
+        arrs = [blocks.pop(n + suffix) for n in names]
+        return jnp.concatenate(arrs, axis=axis)
+
+    if "q_kernel" in blocks:
+        blocks["qkv_kernel"] = cat(("q_kernel", "k_kernel", "v_kernel"), "", -1)
+    elif "q_kernel_q" in blocks:
+        blocks["qkv_kernel_q"] = cat(("q_kernel", "k_kernel", "v_kernel"), "_q", -1)
+        blocks["qkv_kernel_scale"] = cat(
+            ("q_kernel", "k_kernel", "v_kernel"), "_scale", -1)
+    # biases (qwen2/phi) stay separate — they are O(d) adds, not matmuls
+    if "gate_kernel" in blocks:
+        blocks["gateup_kernel"] = cat(("gate_kernel", "up_kernel"), "", -1)
+    elif "gate_kernel_q" in blocks:
+        blocks["gateup_kernel_q"] = cat(("gate_kernel", "up_kernel"), "_q", -1)
+        blocks["gateup_kernel_scale"] = cat(
+            ("gate_kernel", "up_kernel"), "_scale", -1)
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    out["blocks"] = blocks
+    return out
 
 
 def _base_key(k: str) -> str:

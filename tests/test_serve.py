@@ -160,3 +160,30 @@ def test_prompt_buckets():
     assert bucket_prompt_pad(33) == 64
     assert bucket_prompt_pad(2048) == 2048
     assert bucket_prompt_pad(2049) == 2176  # next /128 multiple
+
+
+def test_packed_serving_matches_unpacked(llm):
+    """pack_llm_params_for_serving (fused qkv + gateup matmuls) produces
+    IDENTICAL greedy generations — column concatenation commutes with the
+    contraction; also on int8-quantized pytrees (codes+scales concatenate)."""
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int8
+    from ssp_x_vit_tpu.llm.serve import pack_llm_params_for_serving
+
+    params, cfg = llm
+    prompt = np.asarray([4, 8, 15, 16], np.int32)
+    ref = generate_kv_scan(params, cfg, prompt, max_length=16,
+                           cache_dtype=jnp.float32)
+    packed = pack_llm_params_for_serving(params, cfg)
+    assert "qkv_kernel" in packed["blocks"] and "q_kernel" not in packed["blocks"]
+    out = generate_kv_scan(packed, cfg, prompt, max_length=16,
+                           cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    qp = quantize_llm_params_int8(params, cfg)
+    ref_q = generate_kv_scan(qp, cfg, prompt, max_length=16,
+                             cache_dtype=jnp.float32)
+    packed_q = pack_llm_params_for_serving(qp, cfg)
+    assert "qkv_kernel_q" in packed_q["blocks"]
+    out_q = generate_kv_scan(packed_q, cfg, prompt, max_length=16,
+                             cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(out_q))
