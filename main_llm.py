@@ -64,6 +64,12 @@ def parse_args():
                              'evaluated model (llm/quant.py; int8 = per-'
                              'channel epilogue scales, int4 = packed pallas '
                              'kernel). Composes with any pruning method.')
+    parser.add_argument('--w8a8', action='store_true',
+                        help='with --quantize int8: evaluate with native '
+                             'int8-MXU W8A8 matmuls (dynamic per-token '
+                             'activation scales; measured 1.38x on the '
+                             'b=4 s=2048 perplexity workload, '
+                             'docs/tpu_notes.md)')
     parser.add_argument('--backend', type=str, default='default',
                         choices=['default', 'cpu', 'tpu'])
     parser.add_argument('--logging', type=str, default='INFO',
@@ -164,6 +170,11 @@ def main():
                  else quantize_llm_params_int4)
             p = q(p, c)
             logging.info(f"Evaluating {args.quantize}-quantized weights")
+            if args.w8a8:
+                from ssp_x_vit_tpu.ops import dispatch
+
+                dispatch.set_w8a8_enabled(True)
+                logging.info("W8A8 mode: native int8-MXU matmuls")
         if isinstance(c, SlicedLlamaConfig):
             if args.evaluate_perplexity or args.main_table_results:
                 ppl = evaluate_perplexity_sliced(p, c, wikitext_ids, seq_len=args.seq_len)

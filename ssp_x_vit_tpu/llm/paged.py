@@ -92,8 +92,12 @@ def _mlp_branch(h2, bp, cfg: LlamaConfig, compute_dtype):
             bp["fc1_bias"].astype(compute_dtype)
         return _mm(gelu(hm), bp, "fc2_kernel", compute_dtype) + \
             bp["fc2_bias"].astype(compute_dtype)
-    g = _mm(h2, bp, "gate_kernel", compute_dtype)
-    u = _mm(h2, bp, "up_kernel", compute_dtype)
+    if any(k.startswith("gateup_kernel") for k in bp):
+        gu = _mm(h2, bp, "gateup_kernel", compute_dtype)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = _mm(h2, bp, "gate_kernel", compute_dtype)
+        u = _mm(h2, bp, "up_kernel", compute_dtype)
     return _mm(jax.nn.silu(g) * u, bp, "down_kernel", compute_dtype)
 
 
