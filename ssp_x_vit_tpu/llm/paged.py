@@ -70,18 +70,11 @@ def init_paged_pools(cfg: LlamaConfig, num_pages: int, page_size: int,
 
 def _write_many_masked(kp, vp, k_new, v_new, page_table, seq_len):
     """Prefill write of s consecutive tokens for one sequence; positions
-    >= seq_len are redirected to trash page 0."""
-    from ssp_x_vit_tpu.ops.pallas.paged_attention import (
-        _page_size_of, _pool_write,
-    )
+    >= seq_len are redirected to trash page 0 (shared ops helper)."""
+    from ssp_x_vit_tpu.ops.pallas.paged_attention import paged_cache_write_many
 
-    s = k_new.shape[0]
-    ps = _page_size_of(kp)
-    pos = jnp.arange(s)
-    valid = pos < seq_len
-    phys = jnp.where(valid, page_table[pos // ps], 0)
-    off = pos % ps
-    return _pool_write(kp, k_new, phys, off), _pool_write(vp, v_new, phys, off)
+    return paged_cache_write_many(kp, vp, k_new, v_new, page_table, 0,
+                                  valid_len=seq_len)
 
 
 def _mlp_branch(h2, bp, cfg: LlamaConfig, compute_dtype):
@@ -280,6 +273,8 @@ def paged_generate(params: Params, cfg: LlamaConfig, prompts, *,
     per-prompt token arrays (prompt + generation, trimmed at eos)."""
     prompts = [np.asarray(p).reshape(-1).astype(np.int32) for p in prompts]
     b = len(prompts)
+    if max_new_tokens <= 0:
+        return [p.copy() for p in prompts]
     mp = max(-(-(len(p) + max_new_tokens + 1) // page_size) for p in prompts)
     counts = [-(-(len(p) + max_new_tokens + 1) // page_size) for p in prompts]
     num_pages = 1 + sum(counts)
@@ -302,10 +297,13 @@ def paged_generate(params: Params, cfg: LlamaConfig, prompts, *,
         firsts[i] = int(np.argmax(np.asarray(logits)))
 
     lens = jnp.asarray([len(p) for p in prompts], jnp.int32)
-    toks, _, _ = paged_decode_scan(
-        params, jnp.asarray(firsts), k_pools, v_pools, cfg,
-        jnp.asarray(pts), lens, max_new_tokens - 1)
-    gen = np.concatenate([firsts[None], np.asarray(toks)], axis=0)  # [N, b]
+    if max_new_tokens > 1:
+        toks, _, _ = paged_decode_scan(
+            params, jnp.asarray(firsts), k_pools, v_pools, cfg,
+            jnp.asarray(pts), lens, max_new_tokens - 1)
+        gen = np.concatenate([firsts[None], np.asarray(toks)], axis=0)  # [N, b]
+    else:
+        gen = firsts[None]
 
     outs = []
     for i, p in enumerate(prompts):
@@ -327,6 +325,7 @@ class _Slot:
     prompt: List[int] = dataclasses.field(default_factory=list)
     budget: int = 0
     eos: Optional[int] = None
+    reserved: int = 0                    # worst-case pages held at admit
 
 
 class PagedServer:
@@ -361,7 +360,12 @@ class PagedServer:
         worst = -(-(len(prompt) + max_new_tokens) // self.page_size)
         if worst > self.max_pages_per_seq:
             raise ValueError("request exceeds max_context")
-        if worst > len(self.free_pages):
+        # RESERVE the worst case: concurrent requests must never overcommit
+        # the pool, or _ensure_page would fail unrecoverably mid-decode.
+        # Unreserved = free pages minus what active slots may still claim.
+        outstanding = sum(max(0, sl.reserved - len(sl.pages))
+                          for sl in self.slots if sl.active)
+        if worst > len(self.free_pages) - outstanding:
             raise RuntimeError("page pool exhausted")
 
         n0 = -(-len(prompt) // self.page_size)
@@ -388,6 +392,7 @@ class PagedServer:
         slot.last_token = first
         slot.budget = max_new_tokens
         slot.eos = eos_token_id
+        slot.reserved = worst
         if eos_token_id is not None and first == eos_token_id:
             self._finish(slot)
         elif len(slot.generated) >= slot.budget:
@@ -409,6 +414,7 @@ class PagedServer:
         self.free_pages.extend(slot.pages)
         slot.active = False
         slot.pages = []
+        slot.reserved = 0
 
     def step(self) -> bool:
         """One batched decode step; returns False when no slot is active."""

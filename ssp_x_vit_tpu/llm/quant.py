@@ -40,7 +40,10 @@ from ssp_x_vit_tpu.llm.model import LlamaConfig, Params
 # (llama layout has gate/up/down, phi layout fc1/fc2 + biases).
 QUANT_KEYS = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
               "gate_kernel", "up_kernel", "down_kernel",
-              "fc1_kernel", "fc2_kernel")
+              "fc1_kernel", "fc2_kernel",
+              # serve.pack_llm_params_for_serving fused names — quantizing
+              # an already-packed pytree must hit the projections too
+              "qkv_kernel", "gateup_kernel")
 
 
 def quantize_weight_int8(w) -> Tuple[jnp.ndarray, jnp.ndarray]:

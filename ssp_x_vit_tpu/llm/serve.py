@@ -153,12 +153,12 @@ def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig):
 
 
 def _quantize_kv(t):
-    """[b, s, nkv, hd] -> (int8 codes, f32 per-(token, head) scales)."""
-    a = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1)
-    s = jnp.where(a > 0, a / 127.0, 1.0)
-    codes = jnp.clip(jnp.round(t.astype(jnp.float32) / s[..., None]),
-                     -127, 127).astype(jnp.int8)
-    return codes, s
+    """[b, s, nkv, hd] -> (int8 codes, f32 per-(token, head) scales).
+    Shares the ops-level helper so the contiguous and paged int8 caches can
+    never diverge numerically."""
+    from ssp_x_vit_tpu.ops.pallas.paged_attention import _quantize_token_kv
+
+    return _quantize_token_kv(t)
 
 
 def _write_cache(ck_l, cv_l, k, v, write_pos):

@@ -411,16 +411,21 @@ def paged_cache_write(k_pages, v_pages, k_new, v_new, page_table, positions):
             _pool_write(v_pages, v_new, phys, off))
 
 
-def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start):
+def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start,
+                           valid_len=None):
     """Write s consecutive tokens (prefill) for ONE sequence.
 
     k_new/v_new: [s, nkv, hd]; page_table: [mp] this sequence's pages;
-    start: first logical slot. Returns updated pools.
+    start: first logical slot. ``valid_len`` (traced ok) redirects positions
+    >= start + valid_len to trash page 0 (static-shape padded prefill).
+    Returns updated pools (arrays or int8 pool pytrees).
     """
     s = k_new.shape[0]
     ps = _page_size_of(k_pages)
     pos = start + jnp.arange(s)
     phys = page_table[pos // ps]                               # [s]
+    if valid_len is not None:
+        phys = jnp.where(pos < start + valid_len, phys, 0)
     off = pos % ps
     return (_pool_write(k_pages, k_new, phys, off),
             _pool_write(v_pages, v_new, phys, off))

@@ -165,3 +165,33 @@ def test_paged_generate_pruned(model):
         ref = generate_kv_scan(mp_, mc, np.asarray(p, np.int32),
                                max_length=len(p) + 6, cache_dtype=jnp.float32)
         np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_server_admission_reserves_worst_case(model):
+    """Admission must account for ACTIVE slots' worst-case growth — a second
+    request that would overcommit the pool is rejected at admit time, never
+    mid-decode (code-review finding, round 2)."""
+    params, cfg = model
+    srv = PagedServer(params, cfg, max_batch=2, num_pages=9, page_size=8,
+                      max_context=64, cache_dtype=jnp.float32)
+    # worst = ceil((2 + 30)/8) = 4 pages; usable pool = 8
+    srv.add_request([1, 2], max_new_tokens=30)
+    with pytest.raises(RuntimeError, match="exhausted"):
+        srv.add_request([3, 4], max_new_tokens=38)  # worst 5 > 8 - 4 unreserved
+    # a small request that fits the unreserved remainder is admitted
+    srv.add_request([5], max_new_tokens=10)  # worst 2 <= 8 - 4
+    while srv.step():
+        pass
+    assert len(srv.finished) == 2
+
+
+def test_paged_generate_zero_and_one_new_tokens(model):
+    params, cfg = model
+    from ssp_x_vit_tpu.llm.paged import paged_generate
+
+    outs = paged_generate(params, cfg, [[5, 9, 2]], max_new_tokens=0,
+                          page_size=8, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(outs[0], [5, 9, 2])
+    outs = paged_generate(params, cfg, [[5, 9, 2]], max_new_tokens=1,
+                          page_size=8, cache_dtype=jnp.float32)
+    assert outs[0].shape == (4,)

@@ -272,3 +272,18 @@ def test_llm_quantized_persistence_roundtrip(llm, tmp_path):
     a = generate_kv_scan(qp, pc, prompt, max_length=12, cache_dtype=jnp.float32)
     b = generate_kv_scan(lp, lcfg, prompt, max_length=12, cache_dtype=jnp.float32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_quantize_commutes_with_packing(llm):
+    """quantize(pack(params)) and pack(quantize(params)) serve identically
+    (QUANT_KEYS covers the fused names; code-review finding, round 2)."""
+    from ssp_x_vit_tpu.llm.serve import pack_llm_params_for_serving
+
+    params, cfg = llm
+    a = quantize_llm_params_int8(pack_llm_params_for_serving(params, cfg), cfg)
+    b = pack_llm_params_for_serving(quantize_llm_params_int8(params, cfg), cfg)
+    assert "qkv_kernel_q" in a["blocks"], "packed projections must quantize"
+    prompt = np.asarray([4, 8, 15], np.int32)
+    out_a = generate_kv_scan(a, cfg, prompt, max_length=14, cache_dtype=jnp.float32)
+    out_b = generate_kv_scan(b, cfg, prompt, max_length=14, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out_a, out_b)
