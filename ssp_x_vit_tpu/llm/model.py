@@ -300,6 +300,19 @@ def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
     return _mm(h, bp, "down_kernel", compute_dtype), stats
 
 
+def _head_logits(params, x, compute_dtype):
+    """Final lm_head projection -> f32 logits: tied-embed fallback, int8/int4
+    via _mm (so W8A8 and quantized dispatch stay CONSISTENT with the block
+    projections), optional bias. Shared by both forward tails."""
+    if any(k in params for k in ("lm_head", "lm_head_q", "lm_head_q4")):
+        logits = _mm(x, params, "lm_head", compute_dtype).astype(jnp.float32)
+    else:
+        logits = (x @ params["embed"].T.astype(compute_dtype)).astype(jnp.float32)
+    if "lm_head_bias" in params:
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
+    return logits
+
+
 def llama_forward(
     params: Params,
     input_ids: jax.Array,
@@ -397,29 +410,15 @@ def llama_forward(
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    if "lm_head_q" in params:
-        logits = (x @ params["lm_head_q"].astype(compute_dtype)) * \
-            params["lm_head_scale"].astype(compute_dtype)
-    else:
-        head = params.get("lm_head", None)
-        if head is None:
-            head = params["embed"].T
-        logits = x @ head.astype(compute_dtype)
-    if "lm_head_bias" in params:
-        logits = logits + params["lm_head_bias"].astype(compute_dtype)
-    return logits.astype(jnp.float32), dict(scanned_out)
+    return _head_logits(params, x, compute_dtype), dict(scanned_out)
 
 
 def _pick_variants(blocks, bases, idx):
     """Per-layer param dict copying whichever storage variant each base key
-    has (plain / _q int8 / _q4 packed int4, + _scale) — quantized pytrees
-    flow through the materialized forwards unchanged."""
-    bp = {}
-    for base in bases:
-        for suf in ("", "_q", "_q4", "_scale"):
-            if base + suf in blocks:
-                bp[base + suf] = blocks[base + suf][idx]
-    return bp
+    has — shared ops.common helper (vit.py uses the same one)."""
+    from ssp_x_vit_tpu.ops.common import pick_param_variants
+
+    return pick_param_variants(blocks, bases, idx)
 
 
 def llama_forward_materialized(
@@ -493,14 +492,4 @@ def llama_forward_materialized(
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    if "lm_head_q" in params:
-        logits = (x @ params["lm_head_q"].astype(compute_dtype)) * \
-            params["lm_head_scale"].astype(compute_dtype)
-    else:
-        head = params.get("lm_head", None)
-        if head is None:
-            head = params["embed"].T
-        logits = x @ head.astype(compute_dtype)
-    if "lm_head_bias" in params:
-        logits = logits + params["lm_head_bias"].astype(compute_dtype)
-    return logits.astype(jnp.float32)
+    return _head_logits(params, x, compute_dtype)

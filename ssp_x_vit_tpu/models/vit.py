@@ -402,11 +402,10 @@ def vit_forward_materialized(
 
     for i in range(cfg.num_layers):
         j = store[i]
+        from ssp_x_vit_tpu.ops.common import pick_param_variants
+
         def _pick(bp, base, idx):
-            # copy whichever storage variant exists (plain / _q / _q4 +_scale)
-            for suf in ("", "_q", "_q4", "_scale"):
-                if base + suf in blocks:
-                    bp[base + suf] = blocks[base + suf][idx]
+            bp.update(pick_param_variants(blocks, (base,), idx))
 
         bp = {
             "ln2_scale": blocks["ln2_scale"][i],

@@ -98,3 +98,16 @@ def w8a8_matmul(x, w_q, w_scale, compute_dtype):
         x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
     return (acc * sx * w_scale.astype(jnp.float32)).astype(compute_dtype)
+
+
+def pick_param_variants(blocks, bases, idx):
+    """Per-layer param dict copying whichever storage variant each base key
+    has (plain / ``_q`` int8 / ``_q4`` packed int4, + ``_scale``) — the one
+    suffix walk shared by the ViT and LLM materialized forwards, so quantized
+    pytrees flow through both unchanged."""
+    bp = {}
+    for base in bases:
+        for suf in ("", "_q", "_q4", "_scale"):
+            if base + suf in blocks:
+                bp[base + suf] = blocks[base + suf][idx]
+    return bp

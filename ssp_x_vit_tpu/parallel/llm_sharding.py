@@ -21,38 +21,33 @@ from ssp_x_vit_tpu.llm.model import LlamaConfig, Params
 
 
 def llama_param_specs(cfg: LlamaConfig) -> Dict[str, Any]:
-    """PartitionSpec pytree matching init_llama_params' structure.
-
-    Stacked block arrays have a leading layer axis (never sharded).
-    """
-    blocks = {
-        "ln1": P(None, None),
-        "q_kernel": P(None, None, "model"),
-        "k_kernel": P(None, None, "model"),
-        "v_kernel": P(None, None, "model"),
-        "o_kernel": P(None, "model", None),   # row-parallel -> psum on output
-        "ln2": P(None, None),
-        "gate_kernel": P(None, None, "model"),
-        "up_kernel": P(None, None, "model"),
-        "down_kernel": P(None, "model", None),
-    }
+    """PartitionSpec pytree for the DENSE llama layout — derived from the
+    same _block_key_spec rules that shard_llama_params applies to the actual
+    pytree, so it can never drift from them. Prefer llm_param_specs_like
+    (structure-driven) for anything pruned/quantized/packed."""
+    names = ["ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
+             "ln2", "gate_kernel", "up_kernel", "down_kernel"]
     if cfg.qkv_bias:
-        blocks.update(q_bias=P(None, "model"), k_bias=P(None, "model"),
-                      v_bias=P(None, "model"))
+        names += ["q_bias", "k_bias", "v_bias"]
+    blocks = {n: _block_key_spec(n, 3 if n.endswith("_kernel") else 2)
+              for n in names}
     specs: Dict[str, Any] = {
-        "embed": P(None, None),       # replicated (gather-free token lookup)
+        "embed": _top_key_spec("embed", 2),
         "blocks": blocks,
-        "ln_final": P(None),
+        "ln_final": _top_key_spec("ln_final", 1),
     }
     if not cfg.tie_embeddings:
-        specs["lm_head"] = P(None, "model")  # vocab-sharded logits
+        specs["lm_head"] = _top_key_spec("lm_head", 2)
     return specs
 
 
 # Megatron split: column-parallel producers of the head/intermediate dim,
 # row-parallel consumers (their sharded-contraction output psums back).
 _COL = frozenset({"q_kernel", "k_kernel", "v_kernel", "gate_kernel",
-                  "up_kernel", "fc1_kernel"})
+                  "up_kernel", "fc1_kernel",
+                  # serve.pack_llm_params_for_serving fused names: both are
+                  # output-dim concatenations of column-parallel kernels
+                  "qkv_kernel", "gateup_kernel"})
 _ROW = frozenset({"o_kernel", "down_kernel", "fc2_kernel"})
 _COL_BIAS = frozenset({"q_bias", "k_bias", "v_bias", "fc1_bias"})
 
@@ -159,8 +154,9 @@ def tp_generate_kv_scan(params: Params, cfg: LlamaConfig, mesh: Mesh,
 
 
 def sharded_window_nll_fn(mesh: Mesh, cfg: LlamaConfig):
-    """jitted (params, tokens[b, s]) -> (sum NLL, count) with batch over
-    'data' and tensor-parallel params; used for mesh-parallel perplexity."""
+    """jitted (params, tokens[b, s]) -> per-window NLL sums [b] (each over
+    the window's seq_len - 1 predicted tokens), batch over 'data' with
+    tensor-parallel params; evaluate_perplexity_sharded does the counting."""
     import functools
 
     import jax.numpy as jnp
@@ -190,6 +186,10 @@ def evaluate_perplexity_sharded(params, cfg: LlamaConfig, mesh: Mesh,
     src/evaluation.py:24-64 — identical estimator)."""
     ids = np.asarray(input_ids).reshape(-1)
     num_windows = ids.size // seq_len
+    if num_windows == 0:
+        raise ValueError(
+            f"input has {ids.size} tokens < seq_len {seq_len}: no full "
+            "window to evaluate (a silent ppl=1.0 would corrupt comparisons)")
     dp = mesh.shape["data"]
     windows = ids[: num_windows * seq_len].reshape(num_windows, seq_len)
     # pad window count to a multiple of dp with repeats, masking extras out
