@@ -221,3 +221,25 @@ def test_fused_ffn_block_grad_matches_reference():
     g_ref = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_int8_contract_interpret():
+    """quant_fused_mlp == the serving XLA path's epilogue-scale math
+    (kernel kept as a measured experiment; dispatch stays XLA —
+    docs/tpu_notes.md)."""
+    import numpy as np
+
+    from ssp_x_vit_tpu.llm.quant import quantize_weight_int8
+    from ssp_x_vit_tpu.ops.pallas.quant_fused_mlp import fused_mlp_int8
+
+    rng = np.random.default_rng(0)
+    d, f, m = 128, 256, 3
+    x = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    gq, gs = quantize_weight_int8(jnp.asarray(rng.normal(size=(d, f)) * 0.05, jnp.float32))
+    uq, us = quantize_weight_int8(jnp.asarray(rng.normal(size=(d, f)) * 0.05, jnp.float32))
+    dq, ds = quantize_weight_int8(jnp.asarray(rng.normal(size=(f, d)) * 0.05, jnp.float32))
+    ref = (jax.nn.silu((x @ gq.astype(jnp.float32)) * gs) *
+           ((x @ uq.astype(jnp.float32)) * us)) @ dq.astype(jnp.float32) * ds
+    out = fused_mlp_int8(x, gq, gs, uq, us, dq, ds, f_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -255,3 +255,33 @@ def test_tp_serving_full_int8():
                               cache_dtype=jnp.int8)
     assert out.shape == (14,)
     np.testing.assert_array_equal(np.asarray(out)[:4], prompt)
+
+
+def test_tp_serving_packed_params_shard():
+    """Packed (fused qkv/gateup) pytrees still TENSOR-parallel shard: the
+    fused kernels are column-parallel, not silently replicated (round-2
+    review finding)."""
+    from jax.sharding import PartitionSpec as PS
+
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int8
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan, pack_llm_params_for_serving
+    from ssp_x_vit_tpu.parallel.llm_sharding import (
+        llm_param_specs_like, tp_generate_kv_scan,
+    )
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    packed = pack_llm_params_for_serving(
+        quantize_llm_params_int8(params, cfg), cfg)
+    specs = llm_param_specs_like(packed)
+    assert specs["blocks"]["qkv_kernel_q"] == PS(None, None, "model")
+    assert specs["blocks"]["gateup_kernel_scale"] == PS(None, "model")
+
+    mesh = make_mesh(model=4)
+    prompt = np.asarray([2, 3, 5, 7], np.int32)
+    single = generate_kv_scan(packed, cfg, prompt, max_length=12,
+                              cache_dtype=jnp.float32)
+    tp = tp_generate_kv_scan(packed, cfg, mesh, prompt, max_length=12,
+                             cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(tp))
