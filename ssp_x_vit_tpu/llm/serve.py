@@ -78,6 +78,13 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     "s": f32 per-token-per-head scales [A, b, max_len, nkv]} — jit, scan,
     donation and the layer loops handle the dict transparently. Compute stays
     bf16; only the cache bytes (the long-context HBM stream) halve."""
+    if cfg.is_opt:
+        # OPT needs learned absolute position embeddings and biased
+        # LayerNorms that this cached path does not model — serving it here
+        # would be SILENTLY wrong, so refuse loudly (use llm/generate.py's
+        # full-recompute generation for OPT).
+        raise ValueError("KV-cached serving covers llama-layout and phi "
+                         "models; OPT uses llm/generate.py")
     shape = (num_attn_layers(cfg), batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if dtype == jnp.int8:
         def mk():

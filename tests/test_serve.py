@@ -187,3 +187,15 @@ def test_packed_serving_matches_unpacked(llm):
     out_q = generate_kv_scan(packed_q, cfg, prompt, max_length=16,
                              cache_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(out_q))
+
+
+def test_opt_serving_refused_loudly():
+    """OPT through the cached path would be silently wrong (no learned
+    positions / biased LN in serve) — init_cache must refuse instead."""
+    from ssp_x_vit_tpu.llm.serve import init_cache
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=4, intermediate_size=64,
+                      model_type="opt", qkv_bias=True)
+    with pytest.raises(ValueError, match="llm/generate"):
+        init_cache(cfg, 1, 16)
