@@ -154,12 +154,21 @@ class ByteLevelBPETokenizer:
         merges = [tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
                   for m in model["merges"]]
         add_prefix = False
+        saw_byte_level = False
+        custom_split = False
 
         def walk(node):
-            nonlocal add_prefix
+            nonlocal add_prefix, saw_byte_level, custom_split
             if isinstance(node, dict):
                 if node.get("type") == "ByteLevel":
+                    saw_byte_level = True
                     add_prefix = bool(node.get("add_prefix_space", False))
+                if node.get("type") == "Split" and node.get("pattern"):
+                    # a model-specific pre-tokenization regex (qwen2-style
+                    # digit/contraction rules) — our hard-coded GPT-2 pattern
+                    # would SILENTLY mis-split, so refuse and let
+                    # load_tokenizer fall back to AutoTokenizer
+                    custom_split = True
                 for v in node.values():
                     walk(v)
             elif isinstance(node, list):
@@ -167,6 +176,14 @@ class ByteLevelBPETokenizer:
                     walk(v)
 
         walk(tj.get("pre_tokenizer"))
+        if not saw_byte_level:
+            raise ValueError(
+                "tokenizer.json has no ByteLevel pre-tokenizer (SentencePiece"
+                "-style BPE) — native byte-level engine not applicable")
+        if custom_split:
+            raise ValueError(
+                "tokenizer.json carries a custom Split pre-tokenization "
+                "pattern; the native engine only implements the GPT-2 rule")
         return cls(model["vocab"], merges, add_prefix_space=add_prefix)
 
     @classmethod
@@ -209,9 +226,10 @@ class ByteLevelBPETokenizer:
         if self._add_prefix_space and text and not text.startswith(" "):
             text = " " + text
         pretokens = self._pat.findall(text)
-        todo, todo_syms = [], []
+        todo, todo_syms, pending = [], [], set()
         for w in pretokens:
-            if w not in self._word_cache:
+            if w not in self._word_cache and w not in pending:
+                pending.add(w)
                 todo.append(w)
                 todo_syms.append(self._initial_syms(w))
         if todo:

@@ -39,35 +39,42 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
     block held after r rotations originated on device (p - r) mod N.
     """
     p = lax.axis_index(axis_name)
-    b, h, sl, hd = q.shape
-    q32 = q.astype(jnp.float32) * (1.0 / math.sqrt(hd))
+    b, hq, sl, hd = q.shape
+    hkv = k.shape[1]
+    rep = hq // hkv
+    # GQA: k/v travel the ring UN-repeated ([b, hkv, sl, hd]) — repeating
+    # before the ring would multiply ICI transfer and residency by the group
+    # factor; the query groups share each kv head via the grouped einsum.
+    q32 = (q.astype(jnp.float32) * (1.0 / math.sqrt(hd))
+           ).reshape(b, hkv, rep, sl, hd)
     iq = jnp.arange(sl)
     perm = [(i, (i + 1) % n_chunks) for i in range(n_chunks)]
 
-    m = jnp.full((b, h, sl), _NEG, jnp.float32)
-    l = jnp.zeros((b, h, sl), jnp.float32)
-    acc = jnp.zeros((b, h, sl, hd), jnp.float32)
+    m = jnp.full((b, hkv, rep, sl), _NEG, jnp.float32)
+    l = jnp.zeros((b, hkv, rep, sl), jnp.float32)
+    acc = jnp.zeros((b, hkv, rep, sl, hd), jnp.float32)
 
     def step(carry, r):
         m, l, acc, k, v = carry
         src = jnp.mod(p - r, n_chunks)  # origin chunk of the K/V we hold now
-        s_ = jnp.einsum("bhqd,bhkd->bhqk", q32, k.astype(jnp.float32))
+        s_ = jnp.einsum("bkrqd,bksd->bkrqs", q32, k.astype(jnp.float32))
         if causal:
             qpos = p * sl + iq[:, None]
             kpos = src * sl + iq[None, :]
-            s_ = jnp.where((qpos >= kpos)[None, None], s_, _NEG)
+            s_ = jnp.where((qpos >= kpos)[None, None, None], s_, _NEG)
         m_new = jnp.maximum(m, jnp.max(s_, axis=-1))
         alpha = jnp.exp(m - m_new)
         pexp = jnp.exp(s_ - m_new[..., None])
         l = l * alpha + jnp.sum(pexp, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", pexp, v.astype(jnp.float32))
+            "bkrqs,bksd->bkrqd", pexp, v.astype(jnp.float32))
         k = lax.ppermute(k, axis_name, perm)
         v = lax.ppermute(v, axis_name, perm)
         return (m_new, l, acc, k, v), None
 
     (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k, v), jnp.arange(n_chunks))
-    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(b, hq, sl, hd).astype(q.dtype)
 
 
 def _rope_at(q, k, theta: float, positions):
@@ -123,9 +130,7 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
             k = k.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
             v = v.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
             q, k = _rope_at(q, k, cfg.rope_theta, positions)
-            if nkv != nq:
-                k = jnp.repeat(k, nq // nkv, axis=1)
-                v = jnp.repeat(v, nq // nkv, axis=1)
+            # k/v stay at nkv heads — ring_attention handles GQA internally
             out = ring_attention(q, k, v, "seq", n_chunks=sp, causal=True)
             out = out.transpose(0, 2, 1, 3).reshape(b, sl, nq * hd)
             x = x + out @ bp["o_kernel"].astype(compute_dtype)
@@ -172,6 +177,10 @@ def evaluate_perplexity_seq_parallel(params: Params, cfg: LlamaConfig, mesh: Mes
     ids = np.asarray(input_ids).reshape(-1)
     dp = mesh.shape["data"]
     num_windows = ids.size // seq_len
+    if num_windows == 0:
+        raise ValueError(
+            f"input has {ids.size} tokens < seq_len {seq_len}: no full "
+            "window to evaluate (a silent ppl=1.0 would corrupt comparisons)")
     windows = ids[: num_windows * seq_len].reshape(num_windows, seq_len)
     pad = (-num_windows) % dp
     if pad:
