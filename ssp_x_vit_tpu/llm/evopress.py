@@ -13,6 +13,7 @@ from __future__ import annotations
 import copy
 import functools
 import random
+import warnings
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -72,13 +73,23 @@ def selection(
     num_tokens: int,
     target_logits: List,
     rng: random.Random,
+    verbose: bool = False,
 ) -> Tuple[List[Dict[str, List[int]]], List[float]]:
     """Fitness on a freshly drawn minibatch of exactly num_tokens tokens
     (reference :103-143)."""
+    requested_tokens = num_tokens
     # Cap the budget at what the calibration set actually holds — otherwise
     # the draw loop can never terminate (the reference assumes 131k tokens).
+    # Capping changes selection pressure vs the reference protocol, so warn.
     available = sum(np.asarray(c).size for c in calibration_data)
-    num_tokens = min(num_tokens, available)
+    if num_tokens > available:
+        warnings.warn(
+            f"EvoPress selection budget capped: requested {num_tokens} tokens "
+            f"but calibration set holds only {available}; selection pressure "
+            "differs from the reference protocol (which assumes 131k tokens).",
+            stacklevel=2,
+        )
+        num_tokens = available
 
     minibatch, minibatch_targets, minibatch_ids = [], [], []
     tokens_used = 0
@@ -93,6 +104,10 @@ def selection(
         minibatch.append(sample[:, :take])
         minibatch_targets.append(target[:, :take])
         tokens_used += take
+
+    if verbose:
+        print(f"[evopress] selection: candidates={len(candidates)} survive={num_survive} "
+              f"effective_tokens={tokens_used} requested_tokens={requested_tokens}")
 
     fitnesses = [
         compute_kl_div(params, cfg, minibatch, minibatch_targets, c["attn"], c["mlp"])
@@ -151,7 +166,7 @@ def evopress(
 
     population, train_fitnesses = selection(
         params, cfg, initial, a["population_size"], calibration_data,
-        a["initial_tokens"], target_logits, rng,
+        a["initial_tokens"], target_logits, rng, verbose=verbose,
     )
 
     best_individual = population[0]
@@ -189,7 +204,7 @@ def evopress(
                         offspring_list.append(p)
             offspring_list, train_fitnesses = selection(
                 params, cfg, offspring_list, num_survive, calibration_data,
-                num_tokens, target_logits, rng,
+                num_tokens, target_logits, rng, verbose=verbose,
             )
 
         population = offspring_list

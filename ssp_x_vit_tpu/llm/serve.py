@@ -14,7 +14,9 @@ positions subtract the pad length, and the attention mask excludes pad slots
 prefill shapes small without padding every prompt to ``max_length``.
 
 Covers dense llama-layout models (llama/mistral/qwen2/phi-3), phi-2's
-parallel-residual block (partial rotary, LayerNorm, biases), width-pruned
+parallel-residual block (partial rotary, LayerNorm, biases), OPT's sequential
+LayerNorm block (learned absolute positions at pad-corrected cache indices,
+ReLU MLP, biased projections; reference adapters/opt_adapter.py), width-pruned
 (uniform stacked scan) and depth-materialized models (attention physically
 absent in pruned blocks -> unrolled layer loop, cache rows only for surviving
 attention, cf. llama_forward_materialized).
@@ -78,13 +80,6 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     "s": f32 per-token-per-head scales [A, b, max_len, nkv]} — jit, scan,
     donation and the layer loops handle the dict transparently. Compute stays
     bf16; only the cache bytes (the long-context HBM stream) halve."""
-    if cfg.is_opt:
-        # OPT needs learned absolute position embeddings and biased
-        # LayerNorms that this cached path does not model — serving it here
-        # would be SILENTLY wrong, so refuse loudly (use llm/generate.py's
-        # full-recompute generation for OPT).
-        raise ValueError("KV-cached serving covers llama-layout and phi "
-                         "models; OPT uses llm/generate.py")
     shape = (num_attn_layers(cfg), batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if dtype == jnp.int8:
         def mk():
@@ -121,7 +116,8 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    q, k = _rope_at(q, k, positions, cfg.rope_theta, cfg.rotary_dim)
+    if not cfg.is_opt:  # OPT: learned absolute positions at the embedding
+        q, k = _rope_at(q, k, positions, cfg.rope_theta, cfg.rotary_dim)
     return q, k, v
 
 
@@ -192,6 +188,24 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
     rope_positions [b, s]: pad-corrected rotary positions;
     write_pos: scalar cache write offset (shared — prompts are left-padded).
     """
+    if cfg.is_opt:
+        # OPT sequential pre-LN block: LN1 -> attn -> residual, LN2 -> ReLU
+        # fc MLP -> residual; no rope (learned absolute positions at the
+        # embedding). Reference adapters/opt_adapter.py:18-113.
+        if has_attn:
+            h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+            q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
+            ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
+            attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
+            x = x + _mm(attn, bp, "o_kernel", compute_dtype) + \
+                bp["o_bias"].astype(compute_dtype)
+        h2 = _layer_norm(x, bp["ln2"], bp["ln2_bias"], cfg.layer_norm_eps)
+        hm = _mm(h2, bp, "fc1_kernel", compute_dtype) + \
+            bp["fc1_bias"].astype(compute_dtype)
+        mlp = _mm(jax.nn.relu(hm), bp, "fc2_kernel", compute_dtype) + \
+            bp["fc2_bias"].astype(compute_dtype)
+        return x + mlp, ck_l, cv_l
+
     if cfg.is_phi:
         h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
         delta = jnp.zeros_like(x)
@@ -227,8 +241,9 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
     return x + _mm(jax.nn.silu(g) * u, bp, "down_kernel", compute_dtype), ck_l, cv_l
 
 
-_LLAMA_ATTN_KEYS = ("ln1", "q_kernel", "k_kernel", "v_kernel", "o_kernel",
-                    "qkv_kernel", "q_bias", "k_bias", "v_bias", "o_bias")
+_LLAMA_ATTN_KEYS = ("ln1", "ln1_bias", "q_kernel", "k_kernel", "v_kernel",
+                    "o_kernel", "qkv_kernel", "q_bias", "k_bias", "v_bias",
+                    "o_bias")
 
 
 def pack_llm_params_for_serving(params: Params, cfg: LlamaConfig) -> Params:
@@ -292,7 +307,11 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
         return x, cache_k, cache_v
 
     store = cfg.attn_store_index
-    attn_keys = set(_LLAMA_ATTN_KEYS) - ({"ln1"} if cfg.is_phi else set())
+    # phi's ln1 feeds BOTH branches, so it stays full-layer-indexed there;
+    # OPT's ln1/ln1_bias belong to the attention branch (removed with it).
+    attn_keys = set(_LLAMA_ATTN_KEYS)
+    if cfg.is_phi:
+        attn_keys -= {"ln1", "ln1_bias"}
     for i in range(cfg.num_layers):
         j = store[i]
         bp = {}
@@ -315,7 +334,7 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
 
 
 def _final_logits(params, x, cfg: LlamaConfig, compute_dtype):
-    if cfg.is_phi:
+    if cfg.is_phi or cfg.is_opt:
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"],
                         cfg.layer_norm_eps)
     else:
@@ -347,6 +366,11 @@ def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfi
     idx = jnp.arange(p_pad)
     global_positions = jnp.broadcast_to(idx[None], (b, p_pad))
     rope_positions = jnp.maximum(0, idx[None] - pad_lens[:, None])
+    if cfg.is_opt:
+        # learned absolute positions at pad-corrected indices, HF offset of 2
+        # (OPTLearnedPositionalEmbedding; pad slots are masked out of attention
+        # so their arbitrary index-2 embedding never reaches a real token).
+        x = x + params["pos_embed"].astype(compute_dtype)[2 + rope_positions]
     x, cache_k, cache_v = _run_layers(
         params, x, cache_k, cache_v, cfg,
         global_positions=global_positions, rope_positions=rope_positions,
@@ -361,6 +385,8 @@ def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
     x = params["embed"].astype(compute_dtype)[token][:, None, :]  # [b, 1, d]
     global_positions = jnp.broadcast_to(pos[None, None], (b, 1))
     rope_positions = pos[None, None] - pad_lens[:, None]
+    if cfg.is_opt:
+        x = x + params["pos_embed"].astype(compute_dtype)[2 + rope_positions]
     x, cache_k, cache_v = _run_layers(
         params, x, cache_k, cache_v, cfg,
         global_positions=global_positions, rope_positions=rope_positions,

@@ -24,9 +24,8 @@ pipelined training step.
 
 Constraints: ``num_layers % pipe == 0``; ``num_heads``, ``num_kv_heads`` and
 ``intermediate_size`` divisible by ``model``; global batch divisible by
-``num_microbatches * data``. Llama-layout configs only (the phi parallel
-block has its own fused residual; pipeline it by stage-splitting the same
-way if ever needed).
+``num_microbatches * data``. Llama-layout and phi-2 (parallel-residual)
+configs; OPT is excluded (learned-position table, no long-context use case).
 """
 
 from __future__ import annotations
@@ -39,13 +38,28 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, rms_norm, _rope
+from ssp_x_vit_tpu.llm.model import (LlamaConfig, Params, rms_norm, _rope,
+                                     _layer_norm)
 from ssp_x_vit_tpu.ops.attention import sdpa_reference
 
 
 def pipeline_block_specs(cfg: LlamaConfig) -> Dict[str, P]:
     """PartitionSpecs for the stacked block pytree on a (data, pipe, model)
-    mesh: layer axis over 'pipe', megatron tp axes over 'model'."""
+    mesh: layer axis over 'pipe', megatron tp axes over 'model'.
+
+    Column-parallel projections shard their OUTPUT dim (and their bias);
+    row-parallel projections shard their INPUT dim, their bias is replicated
+    (added once after the psum)."""
+    if cfg.is_phi:
+        return {
+            "ln1": P("pipe", None), "ln1_bias": P("pipe", None),
+            "q_kernel": P("pipe", None, "model"), "q_bias": P("pipe", "model"),
+            "k_kernel": P("pipe", None, "model"), "k_bias": P("pipe", "model"),
+            "v_kernel": P("pipe", None, "model"), "v_bias": P("pipe", "model"),
+            "o_kernel": P("pipe", "model", None), "o_bias": P("pipe", None),
+            "fc1_kernel": P("pipe", None, "model"), "fc1_bias": P("pipe", "model"),
+            "fc2_kernel": P("pipe", "model", None), "fc2_bias": P("pipe", None),
+        }
     specs = {
         "ln1": P("pipe", None),
         "q_kernel": P("pipe", None, "model"),
@@ -70,8 +84,11 @@ def shard_llama_params_pipeline(params: Params, mesh: Mesh, cfg: LlamaConfig) ->
         "blocks": pipeline_block_specs(cfg),
         "ln_final": P(None),
     }
-    if "lm_head" in params:
-        specs["lm_head"] = P(None, None)
+    # replicate any remaining top-level leaves (phi: ln_final_bias,
+    # lm_head_bias; untied head: lm_head)
+    for k, v in params.items():
+        if k not in specs:
+            specs[k] = P(*([None] * np.ndim(v)))
     return jax.tree.map(
         lambda spec, leaf: jax.device_put(leaf, NamedSharding(mesh, spec)),
         specs, params, is_leaf=lambda x: isinstance(x, P))
@@ -116,6 +133,45 @@ def _tp_block(x, bp, cfg: LlamaConfig, compute_dtype, tp: int):
     return x + m
 
 
+def _tp_block_phi(x, bp, cfg: LlamaConfig, compute_dtype, tp: int):
+    """phi-2 parallel-residual block on local TP shards: one LayerNorm feeds
+    BOTH branches (llm/model.py llama_forward). q/k/v/fc1 are column-parallel
+    so their biases are local shard slices; o/fc2 are row-parallel so their
+    biases are replicated and added once AFTER the psum."""
+    from ssp_x_vit_tpu.ops.common import gelu
+
+    b, s, _ = x.shape
+    nq, nkv, hd = cfg.num_heads // tp, cfg.num_kv_heads // tp, cfg.head_dim
+
+    h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+    q = h @ bp["q_kernel"].astype(compute_dtype) + bp["q_bias"].astype(compute_dtype)
+    k = h @ bp["k_kernel"].astype(compute_dtype) + bp["k_bias"].astype(compute_dtype)
+    v = h @ bp["v_kernel"].astype(compute_dtype) + bp["v_bias"].astype(compute_dtype)
+    q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    rd = cfg.rotary_dim
+    if rd is not None and rd < hd:  # phi partial rotary
+        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
+        q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
+        k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
+    else:
+        q, k = _rope(q, k, cfg.rope_theta)
+    if nkv != nq:
+        rep = nq // nkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    out = sdpa_reference(q, k, v, causal=True)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
+    attn = lax.psum(out @ bp["o_kernel"].astype(compute_dtype), "model") \
+        + bp["o_bias"].astype(compute_dtype)
+
+    hm = h @ bp["fc1_kernel"].astype(compute_dtype) + bp["fc1_bias"].astype(compute_dtype)
+    mlp = lax.psum(gelu(hm) @ bp["fc2_kernel"].astype(compute_dtype), "model") \
+        + bp["fc2_bias"].astype(compute_dtype)
+    return x + attn + mlp
+
+
 def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int,
                           compute_dtype=jnp.float32):
     """Build ``forward(params, tokens[b, s]) -> logits[b, s, V] (fp32)``.
@@ -131,8 +187,10 @@ def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int
                     ("intermediate_size", cfg.intermediate_size)):
         if v % tp:
             raise ValueError(f"{name} {v} % model {tp} != 0")
-    if cfg.is_phi:
-        raise ValueError("pipeline path covers llama-layout configs")
+    if cfg.is_opt:
+        raise ValueError("pipeline path covers llama-layout and phi configs "
+                         "(OPT's learned-position table tops out at 2048)")
+    block_fn = _tp_block_phi if cfg.is_phi else _tp_block
     M = num_microbatches
 
     def sched(blocks, embed, tokens_mb):
@@ -143,7 +201,7 @@ def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int
 
         def stage(xx):
             def body(xx, bp):
-                return _tp_block(xx, bp, cfg, compute_dtype, tp), None
+                return block_fn(xx, bp, cfg, compute_dtype, tp), None
             xx, _ = lax.scan(body, xx, blocks)
             return xx
 
@@ -184,9 +242,16 @@ def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int
         tokens_mb = tokens.reshape(M, b // M, s)
         hidden = mapped(params["blocks"], params["embed"], tokens_mb)
         hidden = hidden.reshape(b, s, cfg.hidden_size)
-        x = rms_norm(hidden, params["ln_final"], cfg.rms_eps)
+        if cfg.is_phi:
+            x = _layer_norm(hidden, params["ln_final"], params["ln_final_bias"],
+                            cfg.layer_norm_eps)
+        else:
+            x = rms_norm(hidden, params["ln_final"], cfg.rms_eps)
         head = params["lm_head"] if "lm_head" in params else params["embed"].T
-        return (x @ head.astype(compute_dtype)).astype(jnp.float32)
+        logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
+        if "lm_head_bias" in params:
+            logits = logits + params["lm_head_bias"].astype(jnp.float32)
+        return logits
 
     return forward
 

@@ -24,7 +24,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, rms_norm
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _layer_norm, rms_norm
 
 _NEG = -1e30
 
@@ -77,10 +77,12 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
     return out.reshape(b, hq, sl, hd).astype(q.dtype)
 
 
-def _rope_at(q, k, theta: float, positions):
-    """HF half-rotation rope at explicit GLOBAL positions [s_local]."""
+def _rope_at(q, k, theta: float, positions, rotary_dim=None):
+    """HF half-rotation rope at explicit GLOBAL positions [s_local].
+    ``rotary_dim`` rotates only the first dims (phi-2 partial rotary)."""
     hd = q.shape[-1]
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    rd = rotary_dim if (rotary_dim is not None and rotary_dim < hd) else hd
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     freqs = jnp.outer(positions.astype(jnp.float32), inv_freq)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     cos, sin = jnp.cos(emb)[None, None], jnp.sin(emb)[None, None]
@@ -89,9 +91,12 @@ def _rope_at(q, k, theta: float, positions):
         x1, x2 = jnp.split(x, 2, axis=-1)
         return jnp.concatenate([-x2, x1], axis=-1)
 
-    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
-    return ((q32 * cos + rot(q32) * sin).astype(q.dtype),
-            (k32 * cos + rot(k32) * sin).astype(k.dtype))
+    def apply(x):
+        xr = x[..., :rd].astype(jnp.float32)
+        out = (xr * cos + rot(xr) * sin).astype(x.dtype)
+        return out if rd == hd else jnp.concatenate([out, x[..., rd:]], axis=-1)
+
+    return apply(q), apply(k)
 
 
 def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float32):
@@ -103,8 +108,10 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
     llm/evaluation.py's estimator exactly.
     """
     sp = mesh.shape["seq"]
-    if cfg.is_phi:
-        raise ValueError("seq-parallel path covers llama-layout configs")
+    if cfg.is_opt:
+        raise ValueError("seq-parallel path covers llama-layout and phi "
+                         "configs (OPT's learned-position table is bounded "
+                         "at 2048 — no long-context use case)")
 
     def inner(params, tokens):
         """tokens: [b_local, s] (full windows, replicated over 'seq')."""
@@ -116,9 +123,11 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
         positions = start + jnp.arange(sl)
         x = params["embed"].astype(compute_dtype)[tok_local]
 
-        def body(x, bp):
+        def attend(h, bp):
+            """qkv projections (+biases) -> rope at GLOBAL positions -> ring ->
+            o-projection (+bias). k/v stay at nkv heads — ring_attention
+            handles GQA internally."""
             nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-            h = rms_norm(x, bp["ln1"], cfg.rms_eps)
             q = h @ bp["q_kernel"].astype(compute_dtype)
             k = h @ bp["k_kernel"].astype(compute_dtype)
             v = h @ bp["v_kernel"].astype(compute_dtype)
@@ -129,11 +138,28 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
             q = q.reshape(b, sl, nq, hd).transpose(0, 2, 1, 3)
             k = k.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
             v = v.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
-            q, k = _rope_at(q, k, cfg.rope_theta, positions)
-            # k/v stay at nkv heads — ring_attention handles GQA internally
+            q, k = _rope_at(q, k, cfg.rope_theta, positions, cfg.rotary_dim)
             out = ring_attention(q, k, v, "seq", n_chunks=sp, causal=True)
             out = out.transpose(0, 2, 1, 3).reshape(b, sl, nq * hd)
-            x = x + out @ bp["o_kernel"].astype(compute_dtype)
+            out = out @ bp["o_kernel"].astype(compute_dtype)
+            if "o_bias" in bp:
+                out = out + bp["o_bias"].astype(compute_dtype)
+            return out
+
+        def body(x, bp):
+            if cfg.is_phi:
+                # phi-2 parallel residual: one LayerNorm feeds both branches,
+                # x' = x + attn(h) + mlp(h) (cf. llm/model.py llama_forward).
+                from ssp_x_vit_tpu.ops.common import gelu
+
+                h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+                attn = attend(h, bp)
+                hm = h @ bp["fc1_kernel"].astype(compute_dtype) + \
+                    bp["fc1_bias"].astype(compute_dtype)
+                mlp = gelu(hm) @ bp["fc2_kernel"].astype(compute_dtype) + \
+                    bp["fc2_bias"].astype(compute_dtype)
+                return x + attn + mlp, None
+            x = x + attend(rms_norm(x, bp["ln1"], cfg.rms_eps), bp)
             h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
             g = h2 @ bp["gate_kernel"].astype(compute_dtype)
             u = h2 @ bp["up_kernel"].astype(compute_dtype)
@@ -141,9 +167,15 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
             return x, None
 
         x, _ = lax.scan(body, x, params["blocks"])
-        x = rms_norm(x, params["ln_final"], cfg.rms_eps)
+        if cfg.is_phi:
+            x = _layer_norm(x, params["ln_final"], params["ln_final_bias"],
+                            cfg.layer_norm_eps)
+        else:
+            x = rms_norm(x, params["ln_final"], cfg.rms_eps)
         head = params["lm_head"] if "lm_head" in params else params["embed"].T
         logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
+        if "lm_head_bias" in params:
+            logits = logits + params["lm_head_bias"].astype(jnp.float32)
 
         # local targets: global positions start+1 .. start+sl (the final
         # global position has no target — mask it out)

@@ -116,6 +116,69 @@ def test_simple_evaluate_offline_mc_task(tmp_path, jax_lm):
     assert results["n-samples"]["tiny_mc_offline"]["effective"] == 6
 
 
+def test_simple_evaluate_offline_generation_task(tmp_path, jax_lm):
+    """Generation-style task through the real harness: exercises JaxLM's
+    generate_until (the third LM request type) end-to-end — ConfigurableTask
+    build → generate_until requests → greedy decode → stop-sequence filter →
+    exact_match aggregation (VERDICT r2 #10)."""
+    from ssp_x_vit_tpu.llm.harness_compat import ensure_lm_eval
+
+    lm_eval = ensure_lm_eval()
+
+    docs = [
+        {"question": f"Say something about topic {i}:", "answer": "yes"}
+        for i in range(4)
+    ]
+    data_file = tmp_path / "tiny_gen.json"
+    data_file.write_text(json.dumps(docs))
+
+    task_config = {
+        "task": "tiny_gen_offline",
+        "task_alias": "tiny_gen_offline",
+        "dataset_path": "json",
+        "dataset_kwargs": {"data_files": {"validation": str(data_file)}},
+        "validation_split": "validation",
+        "output_type": "generate_until",
+        "doc_to_text": "{{question}}",
+        "doc_to_target": "{{answer}}",
+        "generation_kwargs": {"until": ["\n"], "max_gen_toks": 8,
+                              "do_sample": False},
+        "metric_list": [
+            {"metric": "exact_match", "aggregation": "mean",
+             "higher_is_better": True},
+        ],
+    }
+    from lm_eval.api.task import ConfigurableTask
+
+    task = ConfigurableTask(config=task_config)
+    results = lm_eval.evaluator.simple_evaluate(
+        model=jax_lm,
+        tasks=[task],
+        num_fewshot=0,
+        bootstrap_iters=0,
+        verbosity="ERROR",
+    )
+    res = results["results"]["tiny_gen_offline"]
+    (em_key,) = [k for k in res if k.startswith("exact_match,")]
+    assert 0.0 <= res[em_key] <= 1.0
+    assert results["n-samples"]["tiny_gen_offline"]["effective"] == 4
+
+
+def test_generate_until_stop_sequences(jax_lm):
+    """JaxLM.generate_until must honor max_gen_toks and truncate at the first
+    stop sequence."""
+    reqs = [SimpleNamespace(args=("hello", {"max_gen_toks": 6, "until": []}))]
+    (text,) = jax_lm.generate_until(reqs)
+    assert isinstance(text, str) and len(text) <= 6
+
+    # Any single generated character used as a stop seq truncates to empty.
+    if text:
+        reqs = [SimpleNamespace(args=("hello", {"max_gen_toks": 6,
+                                                "until": [text[0]]}))]
+        (cut,) = jax_lm.generate_until(reqs)
+        assert text[0] not in cut
+
+
 def test_loglikelihood_is_greedy_bit(llm, jax_lm):
     """is_greedy must be True exactly when the continuation is the model's
     argmax continuation (VERDICT r1: was hardcoded False)."""

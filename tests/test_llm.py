@@ -139,6 +139,33 @@ def test_evopress_smoke(llm, stream):
     assert sum(am) == 1 and sum(mm) == 1
 
 
+def test_evopress_budget_cap_warns(llm, stream):
+    """Capping the selection token budget below the requested amount must warn
+    (the reference protocol assumes 131k calibration tokens; VERDICT r2 #9)."""
+    import warnings as _warnings
+
+    from ssp_x_vit_tpu.llm.evopress import selection
+
+    params, cfg = llm
+    calib = [np.asarray(c) for c in get_calibration(stream, 2, seq_len=64)]
+    dense_gate = jnp.ones((cfg.num_layers,), jnp.float32)
+    from ssp_x_vit_tpu.llm.evopress import _logits
+    targets = [np.asarray(_logits(params, jnp.asarray(c.reshape(1, -1), jnp.int32),
+                                  dense_gate, dense_gate, cfg)) for c in calib]
+    cands = [{"attn": [1] + [0] * (cfg.num_layers - 1),
+              "mlp": [1] + [0] * (cfg.num_layers - 1)}]
+    import random as _random
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        selection(params, cfg, cands, 1, calib, 10**9, targets, _random.Random(0))
+    assert any("budget capped" in str(w.message) for w in caught)
+    # No warning when the budget fits.
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        selection(params, cfg, cands, 1, calib, 64, targets, _random.Random(0))
+    assert not any("budget capped" in str(w.message) for w in caught)
+
+
 def test_zeroshot_multiple_choice(llm):
     from ssp_x_vit_tpu.llm.zeroshot import evaluate_multiple_choice
 

@@ -108,6 +108,27 @@ def test_pipeline_forward_matches_single():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+def test_pipeline_forward_matches_single_phi():
+    """phi-2 parallel-residual block (partial rotary, LayerNorm, biases)
+    through the dp=2 x pp=2 x tp=2 pipeline (VERDICT r2 #7)."""
+    from ssp_x_vit_tpu.llm.model import llama_forward
+    from ssp_x_vit_tpu.parallel.pipeline import (
+        make_pipeline_forward, make_pipeline_mesh, shard_llama_params_pipeline,
+    )
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=4, num_heads=4,
+                      num_kv_heads=4, intermediate_size=64, model_type="phi",
+                      qkv_bias=True, rotary_dim=4)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    mesh = make_pipeline_mesh(data=2, pipe=2, model=2)
+    sharded = shard_llama_params_pipeline(params, mesh, cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (4, 16), 0, cfg.vocab_size)
+    ref, _ = llama_forward(params, tokens, cfg, compute_dtype=jnp.float32)
+    fwd = make_pipeline_forward(mesh, cfg, num_microbatches=2)
+    out = jax.jit(fwd)(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
 def test_pipeline_grads_match_single():
     """Gradients through the ppermute schedule == single-device gradients
     (incl. the replicated-embed transpose-psum)."""
@@ -187,6 +208,26 @@ def test_seq_parallel_perplexity_matches_single():
                       num_kv_heads=2, intermediate_size=48)
     params = init_llama_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
     stream = synthetic_token_stream(64 * 3, cfg.vocab_size, seed=3)  # 3 windows
+    ppl_single = evaluate_perplexity(params, cfg, stream, seq_len=64, enable_tqdm=False)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    ppl_sp = evaluate_perplexity_seq_parallel(params, cfg, mesh, stream, seq_len=64)
+    assert abs(np.log(ppl_sp) - np.log(ppl_single)) < 1e-3
+
+
+def test_seq_parallel_perplexity_matches_single_phi():
+    """Ring-attention sequence parallelism on the phi-2 block: partial rotary
+    at GLOBAL positions, shared LayerNorm, biased projections, lm_head bias
+    (VERDICT r2 #7)."""
+    from jax.sharding import Mesh
+    from ssp_x_vit_tpu.parallel.ring_attention import evaluate_perplexity_seq_parallel
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=4, intermediate_size=48, model_type="phi",
+                      qkv_bias=True, rotary_dim=4)
+    params = init_llama_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    stream = synthetic_token_stream(64 * 3, cfg.vocab_size, seed=6)
     ppl_single = evaluate_perplexity(params, cfg, stream, seq_len=64, enable_tqdm=False)
 
     devs = np.asarray(jax.devices()[:8]).reshape(2, 4)

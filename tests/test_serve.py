@@ -189,13 +189,72 @@ def test_packed_serving_matches_unpacked(llm):
     np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(out_q))
 
 
-def test_opt_serving_refused_loudly():
-    """OPT through the cached path would be silently wrong (no learned
-    positions / biased LN in serve) — init_cache must refuse instead."""
-    from ssp_x_vit_tpu.llm.serve import init_cache
-
-    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2,
+OPT_CFG = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=3,
                       num_heads=4, num_kv_heads=4, intermediate_size=64,
-                      model_type="opt", qkv_bias=True)
-    with pytest.raises(ValueError, match="llm/generate"):
-        init_cache(cfg, 1, 16)
+                      model_type="opt", qkv_bias=True, tie_embeddings=True,
+                      max_position_embeddings=64)
+
+
+@pytest.fixture(scope="module")
+def opt():
+    return init_llama_params(jax.random.PRNGKey(2), OPT_CFG,
+                             dtype=jnp.float32), OPT_CFG
+
+
+def test_opt_kv_matches_recompute(opt):
+    """OPT (learned absolute positions, biased LayerNorms, ReLU MLP) decodes
+    correctly through the KV-cached path — was a loud refusal in r2
+    (VERDICT r2 #3; reference adapters/opt_adapter.py:1)."""
+    params, cfg = opt
+    prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+    ref = greedy_generate(params, cfg, prompt, max_length=14,
+                          no_repeat_ngram_size=0)
+    kv = greedy_generate_kv(params, cfg, prompt, max_length=14,
+                            cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(ref, kv)
+    scan = greedy_generate_kv_scan(params, cfg, prompt, max_length=14,
+                                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(ref, scan)
+
+
+def test_opt_batched_left_pad_positions(opt):
+    """Batched OPT prompts of different lengths: the learned position table
+    must be indexed at pad-CORRECTED positions, so each batched output equals
+    its single-prompt generation."""
+    params, cfg = opt
+    prompts = [[1, 2, 3], [7, 11, 13, 17, 19], [42]]
+    batched = greedy_generate_kv(params, cfg, prompts, max_length=12,
+                                 cache_dtype=jnp.float32)
+    for p, out in zip(prompts, batched):
+        single = greedy_generate_kv(params, cfg, np.asarray(p, np.int32),
+                                    max_length=12, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(out, single)
+
+
+def test_opt_depth_pruned_kv_matches_recompute(opt):
+    """OPT with attention materialized away in one block (ln1/ln1_bias ride
+    with the attention branch) through the KV path."""
+    from ssp_x_vit_tpu.llm.pruning import materialize_llm_depth_pruning
+
+    params, cfg = opt
+    pp, pc = materialize_llm_depth_pruning(params, cfg, [1])
+    prompt = np.asarray([9, 8, 7], np.int32)
+    ref = greedy_generate(pp, pc, prompt, max_length=12, no_repeat_ngram_size=0)
+    kv = greedy_generate_kv(pp, pc, prompt, max_length=12,
+                            cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(ref, kv)
+
+
+def test_opt_packed_serving_matches_unpacked(opt):
+    """Fused qkv/— packing on OPT (biased projections stay separate adds)."""
+    from ssp_x_vit_tpu.llm.serve import pack_llm_params_for_serving
+
+    params, cfg = opt
+    prompt = np.asarray([4, 8, 15, 16], np.int32)
+    ref = generate_kv_scan(params, cfg, prompt, max_length=14,
+                           cache_dtype=jnp.float32)
+    packed = pack_llm_params_for_serving(params, cfg)
+    assert "qkv_kernel" in packed["blocks"]
+    out = generate_kv_scan(packed, cfg, prompt, max_length=14,
+                           cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
