@@ -391,3 +391,260 @@ def test_stage2_copy_mode_selection_matches_reference(tmp_path):
     np.testing.assert_allclose(np.asarray(accs[1:]), np.asarray(ref_scores),
                                atol=1e-9)
     assert our_sel == ref_sel
+
+
+# ---------------------------------------------------------------------------
+# LLM baseline head-to-heads (VERDICT r2 #2)
+# ---------------------------------------------------------------------------
+
+def _tiny_hf_llama(tmp_path, *, layers=5, seed=0, dtype=None):
+    """Identical tiny LlamaForCausalLM on both sides: (torch model, our
+    (params, cfg))."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.llm.checkpoints import load_hf_llama
+
+    hf_cfg = HFLlamaConfig(vocab_size=96, hidden_size=32, num_hidden_layers=layers,
+                           num_attention_heads=4, num_key_value_heads=4,
+                           intermediate_size=48, max_position_embeddings=128,
+                           tie_word_embeddings=False)
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        model = LlamaForCausalLM(hf_cfg).eval()
+        model.save_pretrained(tmp_path / "llama")
+    if dtype is not None:
+        model = model.to(dtype)
+        model.config.torch_dtype = dtype
+    params, cfg = load_hf_llama(str(tmp_path / "llama"), dtype=jnp.float32)
+    return model, params, cfg
+
+
+def _ref_src():
+    import types
+
+    sys.path.insert(0, REF)
+    sys.modules.setdefault("lm_eval", types.ModuleType("lm_eval"))
+
+
+def _compat_intermediate_outputs(model, calibration_set, last_token):
+    """Reference compute_intermediate_outputs (src/utilities.py:188-221) with
+    a version-compatible hook: transformers 4.57 decoder layers return a raw
+    TENSOR, so the reference's `output[0][0, -1]` silently captures a scalar
+    (batch 0 / token 0 / last hidden dim) instead of the last-token hidden
+    vector. This shim keeps the reference loop structure but indexes the
+    tensor return correctly (`output[0, -1]`)."""
+    import torch
+
+    outs = []
+    for ci in range(len(calibration_set)):
+        captured = []
+
+        def hook(module, inp, output):
+            hs = output[0] if isinstance(output, tuple) else output
+            captured.append(hs[0, -1].to("cpu") if last_token else hs[0].to("cpu"))
+
+        hooks = [layer.register_forward_hook(hook)
+                 for layer in model.model.layers]
+        with torch.no_grad():
+            model(calibration_set[ci])
+        outs.append(torch.stack(captured))
+        for h in hooks:
+            h.remove()
+    return outs
+
+
+def test_window_based_selection_matches_reference(tmp_path, monkeypatch):
+    """Sliding-window cosine similarity head-to-head: the reference's
+    window_based selection logic (src/pruning.py:29-64) run verbatim — its
+    hook helper swapped for the tensor-return-compatible capture (see
+    _compat_intermediate_outputs; under transformers 4.57 the original
+    silently captures scalars) — must pick the same window as ours on an
+    identical tiny llama + identical calibration."""
+    torch = pytest.importorskip("torch")
+
+    _ref_src()
+    import src.pruning as ref_pruning
+
+    from ssp_x_vit_tpu.llm.pruning import window_based
+
+    monkeypatch.setattr(ref_pruning, "compute_intermediate_outputs",
+                        _compat_intermediate_outputs)
+    model, params, cfg = _tiny_hf_llama(tmp_path, layers=5)
+    rng = np.random.default_rng(3)
+    calib = [rng.integers(0, 96, (1, 24)) for _ in range(4)]
+    with torch.no_grad():
+        ref_mask = ref_pruning.window_based(
+            model, 2, [torch.from_numpy(c) for c in calib])
+    ours = window_based(params, cfg, 2, [c.astype(np.int32) for c in calib])
+    assert ours == ref_mask
+
+
+def test_shortgpt_selection_matches_reference(tmp_path, monkeypatch):
+    """Block-influence (1 - cos(in, out)) head-to-head vs the reference's
+    shortGPT selection (src/pruning.py:82-107), with the same
+    tensor-return-compatible capture as the window_based test."""
+    torch = pytest.importorskip("torch")
+
+    _ref_src()
+    import src.pruning as ref_pruning
+
+    from ssp_x_vit_tpu.llm.pruning import shortgpt
+
+    monkeypatch.setattr(ref_pruning, "compute_intermediate_outputs",
+                        _compat_intermediate_outputs)
+    model, params, cfg = _tiny_hf_llama(tmp_path, layers=5, seed=1)
+    rng = np.random.default_rng(4)
+    calib = [rng.integers(0, 96, (1, 24)) for _ in range(4)]
+    with torch.no_grad():
+        ref_mask = ref_pruning.shortGPT(
+            model, 2, [torch.from_numpy(c) for c in calib])
+    ours = shortgpt(params, cfg, 2, [c.astype(np.int32) for c in calib])
+    assert ours == ref_mask
+
+
+def test_blockpruner_selection_matches_reference(tmp_path):
+    """BlockPruner greedy submodule removal head-to-head (reference
+    src/pruning.py:127-194).
+
+    The reference's own maskModel attention patch returns a 3-tuple that
+    crashes under the installed transformers 4.57 (layer unpacks 2), so the
+    reference side runs the IDENTICAL loop structure with an
+    arity-compatible mask of the same semantics (attention -> 0 so the
+    residual passes through; MLP -> 0), plus the reference's own `<` argmin
+    rule."""
+    torch = pytest.importorskip("torch")
+    from types import MethodType
+
+    _ref_src()
+    from src.evaluation import evaluate_perplexity as ref_ppl
+
+    from ssp_x_vit_tpu.llm.pruning import blockpruner
+
+    model, params, cfg = _tiny_hf_llama(tmp_path, layers=4, seed=2)
+    rng = np.random.default_rng(5)
+    sample = rng.integers(0, 96, (1, 64))
+    sample_t = torch.from_numpy(sample)
+
+    def mask(attn_mask, mlp_mask):
+        for i, (a, m) in enumerate(zip(attn_mask, mlp_mask)):
+            layer = model.model.layers[i]
+            if a:
+                layer.self_attn.forward_bak = layer.self_attn.forward
+                layer.self_attn.forward = MethodType(
+                    lambda self, hidden_states, *args, **kw: (0, None),
+                    layer.self_attn)
+            if m:
+                layer.mlp.forward_bak = layer.mlp.forward
+                layer.mlp.forward = MethodType(
+                    lambda self, hidden_states, *args, **kw: 0, layer.mlp)
+
+    def unmask(attn_mask, mlp_mask):
+        for i, (a, m) in enumerate(zip(attn_mask, mlp_mask)):
+            layer = model.model.layers[i]
+            if a:
+                layer.self_attn.forward = layer.self_attn.forward_bak
+            if m:
+                layer.mlp.forward = layer.mlp.forward_bak
+
+    L = 4
+    ref_attn, ref_mlp = [0] * L, [0] * L
+    with torch.no_grad():
+        for _ in range(1):
+            for which, base in (("attn", ref_attn), ("mlp", ref_mlp)):
+                best_to_prune, best_ppl = None, float("inf")
+                for to_prune in range(L):
+                    if base[to_prune] == 1:
+                        continue
+                    base[to_prune] = 1
+                    mask(ref_attn, ref_mlp)
+                    ppl = ref_ppl(model, sample_t, seq_len=32,
+                                  enable_tqdm=False, device="cpu")
+                    unmask(ref_attn, ref_mlp)
+                    base[to_prune] = 0
+                    if ppl < best_ppl:
+                        best_ppl, best_to_prune = ppl, to_prune
+                base[best_to_prune] = 1
+
+    our_attn, our_mlp = blockpruner(params, cfg, 1, sample.astype(np.int32),
+                                    seq_len=32)
+    assert our_attn == ref_attn
+    assert our_mlp == ref_mlp
+
+
+def test_slicegpt_e2e_perplexity_matches_reference(tmp_path):
+    """SliceGPT end-to-end head-to-head: the VENDORED rotation engine
+    (layernorm fusion -> per-layer PCA rotation -> slicing,
+    src/slicegpt_utils/rotate.py:124-251) run at f64 on an identical tiny
+    llama + identical calibration vs our host-f64 engine; final wikitext-style
+    perplexities must agree.
+
+    The vendored CompressedLlamaDecoderLayer unpacks the attention output as
+    a 3-tuple, which crashes under the installed transformers 4.57 — its
+    forward is re-bound with the IDENTICAL dataflow (shortcut_Q rotated
+    residuals, llama_adapter.py:25-89) at the current 2-tuple arity.
+    final_orientation='pca' on both sides (deterministic; 'random' draws from
+    different RNGs)."""
+    torch = pytest.importorskip("torch")
+
+    _ref_src()
+    from src.evaluation import evaluate_perplexity as ref_ppl
+    from src.slicegpt_utils import layernorm_fusion, rotate
+    from src.slicegpt_utils.adapters import llama_adapter as la
+    from src.slicegpt_utils.slicing_scheduler import ConstSlicingScheduler
+
+    from ssp_x_vit_tpu.llm.slicegpt import evaluate_perplexity_sliced, slicegpt
+
+    model, params, cfg = _tiny_hf_llama(tmp_path, layers=2, seed=3,
+                                        dtype=torch.float64)
+
+    def compat_forward(self, hidden_states, *args, **kwargs):
+        from torch import matmul
+
+        residual = hidden_states
+        hidden_states = self.input_layernorm(hidden_states)
+        hidden_states, _ = self.self_attn(hidden_states=hidden_states,
+                                          *args, **kwargs)
+        if self.attn_shortcut_Q is not None:
+            hidden_states = matmul(residual, self.attn_shortcut_Q) + hidden_states
+        else:
+            hidden_states = residual + hidden_states
+        residual = hidden_states
+        hidden_states = self.post_attention_layernorm(hidden_states)
+        hidden_states = self.mlp(hidden_states)
+        if self.mlp_shortcut_Q is not None:
+            hidden_states = matmul(residual, self.mlp_shortcut_Q) + hidden_states
+        else:
+            hidden_states = residual + hidden_states
+        return hidden_states
+
+    orig_forward = la.CompressedLlamaDecoderLayer.forward
+    la.CompressedLlamaDecoderLayer.forward = compat_forward
+    try:
+        adapter = la.LlamaModelAdapter(model)
+        layernorm_fusion.replace_layers(adapter)
+        layernorm_fusion.fuse_modules(adapter)
+
+        rng = np.random.default_rng(6)
+        calib = [rng.integers(0, 96, (1, 32)) for _ in range(4)]
+        new_dim = 24  # int((1 - 0.25) * 32), already /8-aligned
+        sched = ConstSlicingScheduler(new_dim)
+        with torch.no_grad():
+            rotate.rotate_and_slice(adapter, [torch.from_numpy(c) for c in calib],
+                                    sched, apply_mask=False,
+                                    final_orientation="pca")
+            eval_ids = rng.integers(0, 96, (1, 32 * 4))
+            r = ref_ppl(adapter.model, torch.from_numpy(eval_ids), seq_len=32,
+                        enable_tqdm=False, device="cpu")
+    finally:
+        la.CompressedLlamaDecoderLayer.forward = orig_forward
+
+    sliced_params, scfg = slicegpt(params, cfg, 0.25,
+                                   [c.astype(np.int32) for c in calib],
+                                   final_orientation="pca")
+    assert scfg.new_dim == new_dim
+    o = evaluate_perplexity_sliced(sliced_params, scfg,
+                                   eval_ids.astype(np.int32), seq_len=32)
+    assert abs(np.log(o) - np.log(r)) < 2e-2, (o, r)
