@@ -1,5 +1,6 @@
 from ssp_x_vit_tpu.parallel.mesh import (
     make_mesh,
+    make_hybrid_mesh,
     batch_sharding,
     replicate,
     shard_batch,
@@ -23,7 +24,8 @@ from ssp_x_vit_tpu.parallel.moe import (
 )
 
 __all__ = [
-    "make_mesh", "batch_sharding", "replicate", "shard_batch",
+    "make_mesh", "make_hybrid_mesh", "batch_sharding", "replicate",
+    "shard_batch",
     "make_pipeline_mesh", "make_pipeline_forward", "make_pipeline_train_step",
     "shard_llama_params_pipeline",
     "ring_attention", "make_seq_parallel_nll", "evaluate_perplexity_seq_parallel",
