@@ -61,11 +61,13 @@ def main():
             return c + 1e-6 * quant_matmul(x, wl, sl).sum(), None
         return jax.lax.scan(body, jnp.float32(0), (wq, s))[0]
 
-    def layers_pl_int4(x, wp, s):
-        def body(c, ws):
-            wl, sl = ws
-            return c + 1e-6 * quant4_matmul(x, wl, sl).sum(), None
-        return jax.lax.scan(body, jnp.float32(0), (wp, s))[0]
+    def make_layers_pl_int4(unpack):
+        def layers_pl_int4(x, wp, s):
+            def body(c, ws):
+                wl, sl = ws
+                return c + 1e-6 * quant4_matmul(x, wl, sl, unpack=unpack).sum(), None
+            return jax.lax.scan(body, jnp.float32(0), (wp, s))[0]
+        return layers_pl_int4
 
     res = {"m": M, "k": K, "n": N, "layers": L,
            "backend": jax.default_backend()}
@@ -75,7 +77,9 @@ def main():
         ("bf16_xla", layers_bf16, (x, w)),
         ("int8_xla", layers_xla_int8, (x, wq, s)),
         ("int8_pallas", layers_pl_int8, (x, wq, s)),
-        ("int4_pallas", layers_pl_int4, (x, wp4, s4)),
+        ("int4_pallas", make_layers_pl_int4("int32"), (x, wp4, s4)),
+        ("int4_pallas_float", make_layers_pl_int4("float"), (x, wp4, s4)),
+        ("int4_pallas_split", make_layers_pl_int4("split"), (x, wp4, s4)),
     ]:
         try:
             ms = measure_latency_scan(fn, *a, iters=args.iters)

@@ -253,14 +253,22 @@ def _block_apply(
     if not skip_attention_statically:
         from ssp_x_vit_tpu.ops.dispatch import use_fused_attn_block
 
+        v2_capable = cfg.num_heads % 2 == 0
         if allow_fused_attn \
                 and use_fused_attn_block(x.shape, cfg.num_heads,
-                                         ffn_width=bp["fc1_kernel"].shape[-1]) \
+                                         ffn_width=bp["fc1_kernel"].shape[-1],
+                                         v2=v2_capable) \
                 and bp.get("qkv_bias") is not None \
                 and bp.get("proj_bias") is not None:
-            from ssp_x_vit_tpu.ops.pallas.fused_attn_block import fused_attn_block
+            from ssp_x_vit_tpu.ops.pallas.fused_attn_block import (
+                fused_attn_block, fused_attn_block_v2,
+            )
 
-            x = fused_attn_block(
+            # v2 (full-MXU combined projections) measured 1.33x over v1
+            # end-to-end at ViT-B b=256 (79.1 vs 105.0 ms, bitwise-equal
+            # logits — docs/tpu_notes.md); needs an even head count.
+            kernel = fused_attn_block_v2 if v2_capable else fused_attn_block
+            x = kernel(
                 x, bp["ln1_scale"], bp["ln1_bias"], bp["qkv_kernel"],
                 bp["qkv_bias"], bp["proj_kernel"], bp["proj_bias"],
                 cfg.num_heads, eps=cfg.layernorm_eps,

@@ -48,7 +48,13 @@ FFN_PALLAS_MIN_WIDTH = 2048
 
 
 def use_fused_attn_block(x_shape, num_heads: int,
-                         ffn_width: Optional[int] = None) -> bool:
+                         ffn_width: Optional[int] = None,
+                         v2: bool = False) -> bool:
+    """``v2`` = the full-MXU-projection kernel (even head count). Round-3
+    measurements (scripts/bench_attn_v2_regimes.py): v2 wins in EVERY regime
+    where v1 lost — width-pruned XLA-FFN models (71.6 vs 94.1 ms b=256) and
+    b=1 (2.24 vs 2.42 ms) — so the FFN-width coupling and the batch floor
+    only apply to the v1 fallback."""
     env = os.environ.get("SSP_X_VIT_FUSED_ATTN")
     enabled = FUSED_ATTN_BLOCK_ENABLED if env is None else env not in (
         "0", "false", "False")
@@ -56,10 +62,12 @@ def use_fused_attn_block(x_shape, num_heads: int,
         return False
     b, s, d = x_shape
     hd = d // num_heads
-    if ffn_width is not None and ffn_width < FFN_PALLAS_MIN_WIDTH:
-        return False
-    return (d % 128 == 0 and hd % 64 == 0 and b >= FUSED_ATTN_MIN_BATCH
-            and s <= 512)
+    if not v2:
+        if ffn_width is not None and ffn_width < FFN_PALLAS_MIN_WIDTH:
+            return False
+        if b < FUSED_ATTN_MIN_BATCH:
+            return False
+    return d % 128 == 0 and hd % 64 == 0 and s <= 512
 
 
 def use_pallas() -> bool:

@@ -106,6 +106,144 @@ def _kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bqkv_ref,
         group, s_pad, d)
 
 
+def _kernel_v2(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+               bproj_ref, gate_ref, o_ref, oall_scr, *,
+               num_heads: int, seq_len: int, eps: float, group: int):
+    """v2: FULL-WIDTH qkv matmul + masked head-pair attention core.
+
+    The v1 kernel ran 3 x num_heads [*, d, 64] matmuls — N=64 uses half the
+    MXU lane width, so the projections (6x the attention-core FLOPs at ViT-B
+    dims) ran at ~50% utilization. Here:
+
+      qkv   = LN(x) @ Wqkv           one [G*S, d] @ [d, 3d] matmul, full MXU
+      per head PAIR p (lane offsets 128p — Mosaic-legal):
+        per head in the pair: logits = (q_pair * lane_mask) @ k_pair^T
+          (contraction over 128 lanes, the other head's lanes zeroed — exact,
+           same MAC efficiency as K=64 but no 64-offset slicing)
+        o_pair += softmax(logits) @ (v_pair * lane_mask)
+          (masked v zeroes the other head's OUTPUT lanes, so the pair output
+           assembles itself in one [S, 128] buffer)
+      out   = o_all @ Wproj          one [G*S, d] @ [d, d] matmul, full MXU
+    """
+    g_, s_pad, d = x_ref.shape
+    hd = d // num_heads
+    x = x_ref[:]
+    x2 = x.reshape(group * s_pad, d)
+
+    x32 = x2.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * lns_ref[:].astype(jnp.float32)
+         + lnb_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+    qkv = jax.lax.dot_general(
+        y, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+    scale = 1.0 / (hd ** 0.5)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    seq_mask = col < seq_len
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hd), 1)
+
+    n_pairs = num_heads // 2
+    for p in range(n_pairs):  # static: all lane offsets are multiples of 128
+        q_pair = qkv[:, 2 * hd * p:2 * hd * (p + 1)]
+        k_pair = qkv[:, d + 2 * hd * p:d + 2 * hd * (p + 1)]
+        v_pair = qkv[:, 2 * d + 2 * hd * p:2 * d + 2 * hd * (p + 1)]
+        for g in range(group):
+            qs = q_pair[g * s_pad:(g + 1) * s_pad]
+            ks = k_pair[g * s_pad:(g + 1) * s_pad]
+            vs = v_pair[g * s_pad:(g + 1) * s_pad]
+            o_pair = None
+            for sub in range(2):
+                hmask = (lane >= sub * hd) & (lane < (sub + 1) * hd)
+                qh = jnp.where(hmask, qs, 0)
+                logits = jax.lax.dot_general(
+                    qh, ks, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                logits = jnp.where(seq_mask, logits, _NEG_INF)
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                pr = jnp.exp(logits - m)
+                pr = (pr / jnp.sum(pr, axis=-1, keepdims=True)).astype(x.dtype)
+                vh = jnp.where(hmask, vs, 0)
+                contrib = jax.lax.dot_general(
+                    pr, vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o_pair = contrib if o_pair is None else o_pair + contrib
+            oall_scr[g * s_pad:(g + 1) * s_pad,
+                     2 * hd * p:2 * hd * (p + 1)] = o_pair.astype(x.dtype)
+
+    out = jax.lax.dot_general(
+        oall_scr[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gate = gate_ref[0, 0].astype(jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    o_ref[:] = (x2.astype(jnp.float32) + gate * out).astype(o_ref.dtype).reshape(
+        group, s_pad, d)
+
+
+def fused_attn_block_v2(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    qkv_kernel: jax.Array,
+    qkv_bias: jax.Array,
+    proj_kernel: jax.Array,
+    proj_bias: jax.Array,
+    num_heads: int,
+    *,
+    eps: float = 1e-12,
+    gate: jax.Array | float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """v2 of ``fused_attn_block`` — same contract, full-MXU projections.
+    Requires an even head count (head-pair tiling); ``fused_attn_block``
+    remains for odd-head configs."""
+    b, s, d = x.shape
+    if num_heads % 2:
+        raise ValueError("fused_attn_block_v2 needs an even head count")
+    s_pad = max(-(-s // 128) * 128, 128)
+    group = GROUP_BATCH
+    while b % group:
+        group //= 2
+
+    xp = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else x
+    gate_arr = jnp.asarray(gate, jnp.float32).reshape(1, 1)
+
+    x_spec = pl.BlockSpec((group, s_pad, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, num_heads=num_heads, seq_len=s,
+                          eps=eps, group=group),
+        grid=(b // group,),
+        in_specs=[
+            x_spec,
+            full(d), full(d),
+            full(d, 3 * d), full(3 * d),
+            full(d, d), full(d),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((group * s_pad, d), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s_pad * d * 4 * d
+            + 4 * b * num_heads * s_pad * s_pad * (d // num_heads),
+            bytes_accessed=2 * b * s_pad * d * x.dtype.itemsize,
+            transcendentals=b * num_heads * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(xp, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+      gate_arr)
+    return out[:, :s, :]
+
+
 def fused_attn_block(
     x: jax.Array,
     ln_scale: jax.Array,

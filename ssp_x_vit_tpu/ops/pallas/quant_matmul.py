@@ -57,6 +57,43 @@ def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     o_ref[...] = (acc * s_ref[...]).astype(out_dtype)
 
 
+def _float_unpack(packed_i8, dtype):
+    """Nibble unpack entirely in FLOAT VPU ops — every intermediate is an
+    integer <= 127 in magnitude, exact in bf16 (8 mantissa bits):
+        p   = 16*hi + lo_u   (hi in [-8,7] signed, lo_u in [0,15])
+        hi  = floor(p / 16)
+        lo  = (p - 16*hi) - 16*[lo_u >= 8]
+    Avoids the int32 widen + 4 shifts of the integer path (32-bit lanes)."""
+    p = packed_i8.astype(dtype)
+    # python-float constants stay weakly typed -> arithmetic remains `dtype`
+    hi = jnp.floor(p * (1.0 / 16.0))
+    lo_u = p - hi * 16.0
+    lo = jnp.where(lo_u >= 8.0, lo_u - 16.0, lo_u)
+    return lo, hi
+
+
+def _qmm4_kernel_funpack(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    """int4 with the float-domain unpack, single concatenated dot."""
+    lo, hi = _float_unpack(w_ref[...], x_ref.dtype)
+    w = jnp.concatenate([lo, hi], axis=0)
+    acc = jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+    o_ref[...] = (acc * s_ref[...]).astype(out_dtype)
+
+
+def _qmm4_kernel_fsplit(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    """int4 float unpack, two half-K dots (no VMEM concat copy)."""
+    lo, hi = _float_unpack(w_ref[...], x_ref.dtype)
+    kk = w_ref.shape[0]
+    x = x_ref[...]
+    acc = jnp.dot(x[:, :kk], lo, preferred_element_type=jnp.float32) \
+        + jnp.dot(x[:, kk:], hi, preferred_element_type=jnp.float32)
+    o_ref[...] = (acc * s_ref[...]).astype(out_dtype)
+
+
+_QMM4_KERNELS = {"int32": _qmm4_kernel, "float": _qmm4_kernel_funpack,
+                 "split": _qmm4_kernel_fsplit}
+
+
 def _run(kernel, x2, w_q, scale2, k_rows, n, out_dtype, interpret=False):
     m = x2.shape[0]
     mt = min(256, -(-m // 8) * 8)
@@ -116,11 +153,17 @@ def quantize_weight_int4(w):
     return pack_int4(q), scale
 
 
-def quant4_matmul(x, w_p, scale, *, interpret: bool = False):
-    """(x @ unpack(w_p).astype(x.dtype)) * scale. w_p [K//2, N] packed."""
+def quant4_matmul(x, w_p, scale, *, unpack: str = "split",
+                  interpret: bool = False):
+    """(x @ unpack(w_p).astype(x.dtype)) * scale. w_p [K//2, N] packed.
+
+    ``unpack``: "int32" (widen + shifts), "float" (float-domain nibble math,
+    one concatenated dot) or "split" (float unpack, two half-K dots — the
+    measured-fastest default, scripts/tpu_int4_probe.py)."""
     kk, n = w_p.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, kk * 2)
-    out = _run(_qmm4_kernel, x2, w_p, scale.astype(jnp.float32).reshape(1, n),
+    out = _run(_QMM4_KERNELS[unpack], x2, w_p,
+               scale.astype(jnp.float32).reshape(1, n),
                kk, n, x.dtype, interpret=interpret)
     return out.reshape(*lead, n)

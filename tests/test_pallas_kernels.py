@@ -125,6 +125,34 @@ def test_fused_attn_block_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_attn_block_v2_matches_reference():
+    """v2 (full-width qkv matmul + masked head-pair core) implements the
+    identical contract as v1/the XLA branch."""
+    from ssp_x_vit_tpu.ops.pallas.fused_attn_block import fused_attn_block_v2
+
+    rng = np.random.default_rng(5)
+    b, s, d, heads = 4, 197, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.normal(size=(d,)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * d,)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    ref = _attn_branch_reference(x, lns, lnb, wqkv, bqkv, wproj, bproj, heads,
+                                 1e-12, 1.0)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_attn_block_v2(x, lns, lnb, wqkv, bqkv, wproj, bproj, heads,
+                                  eps=1e-12)
+        half = fused_attn_block_v2(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                   heads, eps=1e-12, gate=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    ref_half = _attn_branch_reference(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                      heads, 1e-12, 0.5)
+    np.testing.assert_allclose(np.asarray(half), np.asarray(ref_half),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_attn_block_gate_zero_is_identity_residual():
     from ssp_x_vit_tpu.ops.pallas.fused_attn_block import fused_attn_block
 

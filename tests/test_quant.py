@@ -161,8 +161,13 @@ def test_quant_matmul_kernel_interpret():
                                   np.asarray(q4))
     wp, s4 = quantize_weight_int4(w)
     ref4 = (x @ unpack_int4(wp).astype(jnp.float32)) * s4
-    np.testing.assert_allclose(np.asarray(quant4_matmul(x, wp, s4, interpret=True)),
-                               np.asarray(ref4), rtol=1e-5, atol=1e-4)
+    # all three unpack variants (int32 shifts / float-domain / split dots)
+    # implement the identical contract — the float paths are exact because
+    # every intermediate is an integer <= 127 (exact even in bf16)
+    for unpack in ("int32", "float", "split"):
+        np.testing.assert_allclose(
+            np.asarray(quant4_matmul(x, wp, s4, unpack=unpack, interpret=True)),
+            np.asarray(ref4), rtol=1e-5, atol=1e-4, err_msg=unpack)
 
 
 def test_int4_quantization_error_bound():
