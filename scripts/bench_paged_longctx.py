@@ -1,0 +1,114 @@
+"""Long-context paged-pool A/B: bf16 vs int8 KV pools at 2048-token context
+(VERDICT r2 #5). Two protocols:
+
+1. scan decode (paged_generate): b=8 prompts ~1536, 512 new tokens — the
+   decision-grade throughput number (whole generation in one dispatch).
+2. continuous-batching churn (PagedServer): staggered admits, early eos,
+   page free/reuse — exercises admit/evict; absolute tok/s here is bounded
+   by the per-step host dispatch floor of the tunneled chip (~2-3 ms), so
+   read the bf16-vs-int8 RATIO, not the level.
+
+  python scripts/bench_paged_longctx.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def time_it(fn, reps=2):
+    fn()  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prompt-len", type=int, default=1536)
+    ap.add_argument("--new-tokens", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import jax
+
+    from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
+    from ssp_x_vit_tpu.llm.paged import PagedServer, paged_generate
+
+    cfg = LlamaConfig(vocab_size=32000, hidden_size=2048, num_layers=16,
+                      num_heads=16, num_kv_heads=16, intermediate_size=5632)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    P, N, B = args.prompt_len, args.new_tokens, args.batch
+    res = {"prompt_len": P, "new_tokens": N, "batch": B,
+           "context": P + N, "backend": jax.default_backend()}
+
+    prompts = [rng.integers(0, cfg.vocab_size, P).tolist() for _ in range(B)]
+
+    for tag, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
+        secs = time_it(lambda dtype=dtype: paged_generate(
+            params, cfg, prompts, max_new_tokens=N, cache_dtype=dtype))
+        res[f"scan_{tag}_tok_s"] = round(B * N / secs, 1)
+    res["scan_int8_speedup"] = round(
+        res["scan_int8_tok_s"] / res["scan_bf16_tok_s"], 2)
+
+    # churn: 12 requests through 4 slots, staggered lengths/budgets, so pages
+    # free and get reused mid-run (admission control + eviction on finish)
+    def churn(dtype):
+        server = PagedServer(params, cfg, max_batch=4, num_pages=160,
+                             page_size=64, max_context=P + N,
+                             cache_dtype=dtype)
+        reqs = [(rng.integers(0, cfg.vocab_size,
+                              int(l)).tolist(), int(bud))
+                for l, bud in zip(np.linspace(256, P, 12),
+                                  np.linspace(32, 96, 12))]
+        t0 = time.perf_counter()
+        pending = list(reqs)
+        # keep slots full while requests remain
+        for p, bud in pending[:4]:
+            server.add_request(p, max_new_tokens=bud)
+        queued = 4
+        total = 0
+        while True:
+            if not server.step():
+                if queued >= len(pending):
+                    break
+            while queued < len(pending) and any(
+                    not s.active for s in server.slots):
+                p, bud = pending[queued]
+                try:
+                    server.add_request(p, max_new_tokens=bud)
+                    queued += 1
+                except RuntimeError:
+                    break
+        total = sum(len(v) - len(reqs[rid][0])
+                    for rid, v in server.finished.items())
+        return total / (time.perf_counter() - t0)
+
+    for tag, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
+        churn(dtype)  # compile
+        res[f"churn_{tag}_tok_s"] = round(churn(dtype), 1)
+    res["churn_int8_speedup"] = round(
+        res["churn_int8_tok_s"] / res["churn_bf16_tok_s"], 2)
+
+    # pool footprint at this context (int8 adds f32 per-token-per-head scales)
+    pages = 1 + B * -(-(P + N + 1) // 64)
+    elems = pages * 64 * cfg.num_layers * cfg.num_kv_heads * 2  # (tok, head) k+v
+    res["pool_gib_bf16"] = round(elems * cfg.head_dim * 2 / 2**30, 2)
+    res["pool_gib_int8"] = round(elems * (cfg.head_dim * 1 + 4) / 2**30, 2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

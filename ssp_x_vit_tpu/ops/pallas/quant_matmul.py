@@ -13,9 +13,13 @@ Contract (matches serve._mm's epilogue-scale formulation exactly):
     == (x @ w_q.astype(f)) * scale
 
 int4 variant: one int8 byte packs rows ``k`` (low nibble) and ``k + K/2``
-(high nibble), two's complement in [-8, 7] — split-half packing so the
-in-kernel unpack is a CONCAT of the two nibble planes along K (cheap,
-layout-preserving) rather than a row interleave. HBM traffic: K*N/2 bytes.
+(high nibble) — split-half packing so the in-kernel unpack is a CONCAT of
+the two nibble planes along K (cheap, layout-preserving) rather than a row
+interleave. HBM traffic: K*N/2 bytes. The low nibble is stored BIASED
+(+8, in [0,15]) and the high nibble two's-complement, so the byte value is
+exactly ``16*hi + (lo+8)``: the float-domain unpack needs only
+convert/floor/fma (no sign-fixup compare+select), and the -8 de-bias folds
+into a per-row dot epilogue (``- 8 * sum(x_lo)``) in the split kernel.
 
 Grid: (M-tiles, N-tiles); K unsplit (each weight byte enters VMEM once).
 """
@@ -23,6 +27,7 @@ Grid: (M-tiles, N-tiles); K unsplit (each weight byte enters VMEM once).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,48 +50,52 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
 
 
 def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
-    """int4: w_ref [K//2, TN] int8, low nibble = rows [0, K/2), high nibble =
-    rows [K/2, K). x_ref columns follow the same natural row order. Nibble
-    unpack widens to int32 (Mosaic has no int8 shift ops — int8-domain
-    shifts fail to compile on this stack) then shift-sign-extends."""
+    """int4: w_ref [K//2, TN] int8, low nibble (biased +8) = rows [0, K/2),
+    high nibble (two's complement) = rows [K/2, K). x_ref columns follow the
+    same natural row order. Integer unpack widens to int32 (Mosaic has no
+    int8 shift ops — int8-domain shifts fail to compile on this stack)."""
     packed = w_ref[...].astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(packed, 28), 28)
+    lo = (packed & 15) - 8
     hi = jnp.right_shift(jnp.left_shift(packed, 24), 28)
     w = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)
     acc = jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
     o_ref[...] = (acc * s_ref[...]).astype(out_dtype)
 
 
-def _float_unpack(packed_i8, dtype):
+def _float_unpack_biased(packed_i8):
     """Nibble unpack entirely in FLOAT VPU ops — every intermediate is an
-    integer <= 127 in magnitude, exact in bf16 (8 mantissa bits):
-        p   = 16*hi + lo_u   (hi in [-8,7] signed, lo_u in [0,15])
-        hi  = floor(p / 16)
-        lo  = (p - 16*hi) - 16*[lo_u >= 8]
-    Avoids the int32 widen + 4 shifts of the integer path (32-bit lanes)."""
-    p = packed_i8.astype(dtype)
-    # python-float constants stay weakly typed -> arithmetic remains `dtype`
+    integer <= 127 in magnitude, exact even in bf16 (8 mantissa bits):
+        p    = 16*hi + lo_b    (hi in [-8,7] signed, lo_b = lo+8 in [0,15])
+        hi   = floor(p / 16)
+        lo_b = p - 16*hi       (one fma)
+    Three VPU ops per byte (convert, mul+floor, fma) — no compare/select
+    sign fixup thanks to the biased storage; callers de-bias via an
+    elementwise -8 or the dot epilogue ``- 8 * sum(x_lo)``. f32 domain:
+    Mosaic rejects bf16 floor on this stack."""
+    p = packed_i8.astype(jnp.float32)
     hi = jnp.floor(p * (1.0 / 16.0))
-    lo_u = p - hi * 16.0
-    lo = jnp.where(lo_u >= 8.0, lo_u - 16.0, lo_u)
-    return lo, hi
+    lo_b = p - hi * 16.0
+    return lo_b, hi
 
 
 def _qmm4_kernel_funpack(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     """int4 with the float-domain unpack, single concatenated dot."""
-    lo, hi = _float_unpack(w_ref[...], x_ref.dtype)
-    w = jnp.concatenate([lo, hi], axis=0)
+    lo_b, hi = _float_unpack_biased(w_ref[...])
+    w = jnp.concatenate([lo_b - 8.0, hi], axis=0).astype(x_ref.dtype)
     acc = jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
     o_ref[...] = (acc * s_ref[...]).astype(out_dtype)
 
 
 def _qmm4_kernel_fsplit(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
-    """int4 float unpack, two half-K dots (no VMEM concat copy)."""
-    lo, hi = _float_unpack(w_ref[...], x_ref.dtype)
+    """int4 float unpack, two half-K dots; the low plane stays BIASED and the
+    -8 de-bias becomes a rank-1 epilogue: x@(lo_b - 8) = x@lo_b - 8*sum(x)."""
+    lo_b, hi = _float_unpack_biased(w_ref[...])
     kk = w_ref.shape[0]
     x = x_ref[...]
-    acc = jnp.dot(x[:, :kk], lo, preferred_element_type=jnp.float32) \
-        + jnp.dot(x[:, kk:], hi, preferred_element_type=jnp.float32)
+    x_lo = x[:, :kk]
+    acc = jnp.dot(x_lo, lo_b.astype(x.dtype), preferred_element_type=jnp.float32) \
+        + jnp.dot(x[:, kk:], hi.astype(x.dtype), preferred_element_type=jnp.float32)
+    acc = acc - 8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
     o_ref[...] = (acc * s_ref[...]).astype(out_dtype)
 
 
@@ -127,10 +136,11 @@ def quant_matmul(x, w_q, scale, *, interpret: bool = False):
 
 def pack_int4(w_q4):
     """[K, N] int8 values in [-8, 7] -> [K//2, N] packed int8: low nibble =
-    row k, high nibble = row k + K/2 (split-half). K must be even."""
+    row k BIASED by +8 (in [0,15]), high nibble = row k + K/2 two's
+    complement (split-half). K must be even. Byte value == 16*hi + (lo+8)."""
     k, n = w_q4.shape
     assert k % 2 == 0, "int4 packing needs even K"
-    lo = w_q4[: k // 2].astype(jnp.int32) & 0xF
+    lo = (w_q4[: k // 2].astype(jnp.int32) + 8) & 0xF
     hi = w_q4[k // 2:].astype(jnp.int32) & 0xF
     return ((hi << 4) | lo).astype(jnp.int8)
 
@@ -138,7 +148,7 @@ def pack_int4(w_q4):
 def unpack_int4(w_p):
     """Inverse of pack_int4 -> [K, N] int8 in [-8, 7]."""
     p = w_p.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
+    lo = (p & 15) - 8
     hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
     return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
@@ -153,13 +163,18 @@ def quantize_weight_int4(w):
     return pack_int4(q), scale
 
 
-def quant4_matmul(x, w_p, scale, *, unpack: str = "split",
+def quant4_matmul(x, w_p, scale, *, unpack: str | None = None,
                   interpret: bool = False):
     """(x @ unpack(w_p).astype(x.dtype)) * scale. w_p [K//2, N] packed.
 
     ``unpack``: "int32" (widen + shifts), "float" (float-domain nibble math,
-    one concatenated dot) or "split" (float unpack, two half-K dots — the
-    measured-fastest default, scripts/tpu_int4_probe.py)."""
+    one concatenated dot) or "split" (float unpack + rank-1 de-bias epilogue,
+    two half-K dots). All three measure within noise of each other AND of
+    the int8 kernel at decode shapes (scripts/tpu_quant_probe.py — the
+    matvec sits on a per-layer latency floor, not the byte stream), so the
+    choice is env-tunable: SSP_X_VIT_INT4_UNPACK, default "split"."""
+    if unpack is None:
+        unpack = os.environ.get("SSP_X_VIT_INT4_UNPACK", "split")
     kk, n = w_p.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, kk * 2)
