@@ -1,0 +1,139 @@
+"""On-chip A/B of the causal flash-attention kernels at LLM calibration dims
+(b=4, h=32, s=2048, hd=128, bf16 — the perplexity/2SSP-search workload shape).
+
+Compares:
+  - full-rectangle: the single-pass kernel that computes all [BLOCK_Q, S]
+    logits and masks the upper triangle away (round-1/2 dispatch default,
+    measured 5.76 ms = 48 TF/s counted on full-rectangle FLOPs),
+  - block-skip: the online-softmax causal kernel whose per-tile fori_loop
+    only visits K blocks at or below the diagonal (round-3),
+  - XLA sdpa reference.
+
+Then the model-level effect via scripts/bench_llm.py shapes.
+"""
+
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssp_x_vit_tpu.evaluation.latency import measure_latency_scan
+from ssp_x_vit_tpu.ops.attention import sdpa_reference
+from ssp_x_vit_tpu.ops.pallas import flash_attention as fa
+
+
+def full_rectangle_causal(q, k, v):
+    """The pre-round-3 q-tiled path: _flash_kernel with causal masking."""
+    b, h, s, hd = q.shape
+    scale = 1.0 / (hd ** 0.5)
+    s_pad = -(-s // fa.BLOCK_Q) * fa.BLOCK_Q
+
+    def pad(t):
+        t = t.reshape(b * h, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    qf, kf, vf = pad(q), pad(k), pad(v)
+    nq = s_pad // fa.BLOCK_Q
+    out = pl.pallas_call(
+        functools.partial(fa._flash_kernel, scale=scale, seq_len=s, causal=True),
+        grid=(b * h, nq),
+        in_specs=[
+            pl.BlockSpec((1, fa.BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, fa.BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_pad * s_pad * hd,
+            bytes_accessed=4 * b * h * s_pad * hd * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+    )(qf, kf, vf)
+    return out[:, :s, :].reshape(b, h, s, hd)
+
+
+def main():
+    b, h, s, hd = (int(os.environ.get(k, d)) for k, d in
+                   (("BENCH_B", 4), ("BENCH_H", 32), ("BENCH_S", 2048),
+                    ("BENCH_HD", 128)))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    print(f"backend={jax.default_backend()} b={b} h={h} s={s} hd={hd} bf16",
+          flush=True)
+
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, hd), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, hd), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, hd), jnp.bfloat16)
+
+    # full-rectangle FLOPs for a comparable effective-TF/s number
+    flops = 4 * b * h * s * s * hd
+    results = {}
+
+    def bench(name, fn):
+        ms = measure_latency_scan(fn, q, k, v, iters=iters)
+        tf = flops / (ms / 1e3) / 1e12
+        results[name] = {"ms": round(ms, 3), "eff_tf_per_s": round(tf, 1)}
+        print(f"{name:>16}: {ms:7.3f} ms  ({tf:6.1f} TF/s on full-rect flops)",
+              flush=True)
+
+    os.environ["SSP_X_VIT_FLASH_BLOCK_SKIP"] = "1"
+    try:
+        bench("block_skip", lambda q_, k_, v_: fa.flash_attention(q_, k_, v_, causal=True))
+    finally:
+        del os.environ["SSP_X_VIT_FLASH_BLOCK_SKIP"]
+    bench("full_rectangle", lambda q_, k_, v_: fa.flash_attention(q_, k_, v_, causal=True))
+    bench("xla_sdpa", lambda q_, k_, v_: sdpa_reference(q_, k_, v_, causal=True))
+
+    # Achievability probes: the jax-shipped TPU kernels (same hardware, so
+    # whatever they reach is reachable).
+    if os.environ.get("BENCH_OFFICIAL", "1") != "0":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as official_flash)
+
+        scale = 1.0 / (hd ** 0.5)
+        bench("official_flash", lambda q_, k_, v_: official_flash(
+            q_, k_, v_, causal=True, sm_scale=scale))
+
+        from jax.experimental.pallas.ops.tpu import splash_attention as sa
+
+        mask = sa.MultiHeadMask([sa.CausalMask((s, s)) for _ in range(h)])
+        splash_kernel = sa.make_splash_mha_single_device(mask)
+
+        def splash(q_, k_, v_):
+            return jax.vmap(splash_kernel)(q_ * jnp.bfloat16(scale), k_, v_)
+
+        try:
+            bench("splash", splash)
+        except Exception as e:  # pragma: no cover - probe only
+            print(f"splash failed: {type(e).__name__}: {e}", flush=True)
+
+    # numerics: block-skip vs reference at bf16 inputs
+    out_new = np.asarray(jax.jit(lambda a, c, d: fa.flash_attention(
+        a, c, d, causal=True))(q, k, v), np.float32)
+    out_ref = np.asarray(jax.jit(lambda a, c, d: sdpa_reference(
+        a, c, d, causal=True))(q, k, v), np.float32)
+    max_err = float(np.max(np.abs(out_new - out_ref)))
+    results["max_abs_err_vs_sdpa_bf16"] = max_err
+    print(f"max |err| vs sdpa (bf16): {max_err:.2e}", flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

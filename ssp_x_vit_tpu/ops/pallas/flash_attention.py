@@ -40,7 +40,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, cau
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BLOCK_Q, S_pad]
 
-    s_pad = logits.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     mask = col < seq_len
     if causal:
@@ -49,14 +48,100 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, cau
     logits = jnp.where(mask, logits, _NEG_INF)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
+    # Measured micro-opts (docs/tpu_notes.md): exp STAYS f32 — a bf16 exp
+    # variant ran 7.07 vs 6.09 ms (Mosaic widens transcendentals, so the
+    # casts are pure overhead). The softmax divide IS folded to after the
+    # PV matmul: [BLOCK_Q, hd] divides instead of [BLOCK_Q, S_pad].
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
 
-    o_ref[0] = jax.lax.dot_general(
+    pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0] = (pv / denom).astype(o_ref.dtype)
+
+
+# K-block width for the causal BLOCK-SKIP kernel below. 512 measured best of
+# the tried widths (128: 10.4 ms, 512: 7.44 ms at b=4 h=32 s=2048 hd=128) —
+# but the full-rectangle kernel still beats it (5.80 ms), so block-skip is
+# OPT-IN (SSP_X_VIT_FLASH_BLOCK_SKIP=1), kept as a measured negative result.
+# On this chip the kernel is transcendental/VPU-bound, and the per-block
+# online-softmax rescales + predication overhead cost more than the skipped
+# upper-triangular MXU work saves. For comparison, the jax-shipped TPU
+# kernels measured far slower still at these dims (official flash 13.8 ms,
+# splash 17.8 ms, XLA sdpa 10.0 ms — scripts/bench_flash_causal.py).
+BLOCK_K = 512
+
+
+def _use_block_skip() -> bool:
+    import os
+
+    return os.environ.get("SSP_X_VIT_FLASH_BLOCK_SKIP") in ("1", "true", "True")
+
+
+def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                         *, scale: float, seq_len: int, s_pad: int):
+    """Causal q-tile program that skips K/V blocks strictly above the
+    diagonal. The non-causal kernel (`_flash_kernel`) computes the full
+    [BLOCK_Q, S] logits rectangle and masks — for causal attention that
+    wastes roughly half the MXU matmul work AND half the softmax
+    transcendentals (the dominant cost at these shapes). Design notes from
+    on-chip measurement (scripts/bench_flash_causal.py, docs/tpu_notes.md):
+
+    - The block loop is PYTHON-UNROLLED with a ``pl.when`` predicate per
+      block rather than a ``fori_loop(0, iq+1)``: a dynamic-trip-count loop
+      at BLOCK_K=128 measured 10.4 ms vs the rectangle's 6.2 — per-iteration
+      overhead and 16 online rescales ate the savings.
+    - BLOCK_K=512 keeps the rescale count ≤ s_pad/512 per tile while still
+      skipping the upper-triangular blocks.
+    - ``exp`` runs in the INPUT dtype when it is bfloat16 (p is cast to
+      bf16 for the PV matmul anyway); the VPU packs bf16 transcendentals
+      2x, and the kernel is transcendental-bound. f32 inputs keep f32 exp
+      so the interpret-mode parity tests stay at reference tolerance.
+
+    K/V stay fully VMEM-resident per (batch*head); online-softmax state
+    (m, l, acc) is carried in f32.
+    """
+    iq = pl.program_id(1)
+
+    q = q_ref[0]  # [BLOCK_Q, hd]
+    exp_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+
+    m_ref[:] = jnp.full(m_ref.shape, _NEG_INF, jnp.float32)
+    l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+    acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, BLOCK_K), 0) + iq * BLOCK_Q
+    for j in range(s_pad // BLOCK_K):
+        # Block j is needed iff its first column is <= the tile's last row
+        # index; `pl.when` makes the skip a real runtime branch (no MXU or
+        # exp work issued for strictly-upper-triangular blocks).
+        @pl.when(j * BLOCK_K <= iq * BLOCK_Q + (BLOCK_Q - 1))
+        def _(j=j):
+            k_blk = k_ref[0, j * BLOCK_K:(j + 1) * BLOCK_K, :]
+            v_blk = v_ref[0, j * BLOCK_K:(j + 1) * BLOCK_K, :]
+            logits = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [BLOCK_Q, BLOCK_K]
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * BLOCK_K
+            mask = jnp.logical_and(col <= row, col < seq_len)
+            logits = jnp.where(mask, logits, _NEG_INF)
+            m = m_ref[:]
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp((logits - m_new).astype(exp_dtype)).astype(jnp.float32)
+            l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[:] = m_new
+            l_ref[:] = l_new
+            acc_ref[:] = acc_new
+
+    o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 # Batch elements grouped per program for short sequences (amortizes program
@@ -145,7 +230,12 @@ def _flash_forward(q, k, v, *, causal: bool):
     if s <= MULTIHEAD_MAX_SEQ and mh_vmem <= 12 * 1024 * 1024:
         return _flash_forward_multihead(q, k, v, causal=causal)
     scale = 1.0 / (hd**0.5)
-    s_pad = -(-s // BLOCK_Q) * BLOCK_Q
+    block_skip = causal and _use_block_skip()
+    # The block-skip kernel unrolls K blocks of BLOCK_K, so pad the sequence
+    # to a BLOCK_K multiple there (fully-masked padding blocks are exact
+    # no-ops in the online-softmax update).
+    s_unit = BLOCK_K if block_skip else BLOCK_Q
+    s_pad = -(-s // s_unit) * s_unit
 
     def pad(t):
         t = t.reshape(b * h, s, hd)
@@ -156,8 +246,24 @@ def _flash_forward(q, k, v, *, causal: bool):
     qf, kf, vf = pad(q), pad(k), pad(v)
     nq = s_pad // BLOCK_Q
 
+    if block_skip:
+        kernel = functools.partial(_flash_kernel_causal, scale=scale,
+                                   seq_len=s, s_pad=s_pad)
+        flops = 2 * b * h * s_pad * s_pad * hd  # lower-triangular blocks only
+        transcendentals = b * h * s_pad * s_pad // 2
+        scratch = [
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, hd), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
+                                   causal=causal)
+        flops = 4 * b * h * s_pad * s_pad * hd
+        transcendentals = b * h * s_pad * s_pad
+        scratch = []
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, seq_len=s, causal=causal),
+        kernel,
         grid=(b * h, nq),
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
@@ -166,10 +272,11 @@ def _flash_forward(q, k, v, *, causal: bool):
         ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s_pad * s_pad * hd,
+            flops=flops,
             bytes_accessed=(3 * b * h * s_pad * hd + b * h * s_pad * hd) * q.dtype.itemsize,
-            transcendentals=b * h * s_pad * s_pad,
+            transcendentals=transcendentals,
         ),
     )(qf, kf, vf)
 

@@ -38,6 +38,28 @@ def test_flash_attention_causal():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("block_skip", [False, True])
+def test_flash_attention_causal_qtiled(monkeypatch, block_skip):
+    """s > MULTIHEAD_MAX_SEQ exercises the q-tiled CAUSAL paths: the
+    full-rectangle dispatch default, and the opt-in block-skip kernel
+    (online-softmax over predicated K blocks — measured slower on-chip,
+    kept as a documented negative; see flash_attention.py). The
+    non-multiple-of-128 length also covers padded-tail masking."""
+    from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    if block_skip:
+        monkeypatch.setenv("SSP_X_VIT_FLASH_BLOCK_SKIP", "1")
+    rng = np.random.default_rng(7)
+    b, h, s, hd = 1, 2, 600, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    ref = sdpa_reference(q, k, v, causal=True)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_fused_ffn_matches_reference():
     from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
 
