@@ -9,9 +9,11 @@ logits tile never round-trips to HBM, which is the entire point of flash
 attention. Sequences beyond ~8k would need the streaming form; out of scope
 per the reference workloads (SURVEY.md §5.7).
 
-Backward pass: ``jax.custom_vjp`` falls back to the jnp reference attention's
-autodiff — correct everywhere, and only the (head-finetune) training path
-differentiates through attention at all.
+Backward pass: ``jax.custom_vjp`` with a pallas single-pass backward kernel
+in the q-tiled regime (s > MULTIHEAD_MAX_SEQ) — the XLA fallback there
+materializes the [b, h, s, s] logits twice (recompute + grad), ~2 GB f32 at
+LLM calibration shapes (b=4 h=32 s=2048). Short sequences keep the jnp
+reference's autodiff (XLA fusion already wins the forward A/B there).
 """
 
 from __future__ import annotations
@@ -283,6 +285,127 @@ def _flash_forward(q, k, v, *, causal: bool):
     return out[:, :s, :].reshape(b, h, s, hd)
 
 
+def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
+                      dk_acc, dv_acc, *, scale: float, seq_len: int,
+                      causal: bool, nq: int):
+    """Single-pass backward: grid (batch*heads, q-tiles), full K/V resident.
+
+    The softmax row is RECOMPUTED from the resident full row (same rationale
+    as the forward rectangle kernel — no online-softmax state), so the
+    forward saves only (q, k, v): no logsumexp side-output, and no attention
+    output O either, because the softmax-jacobian row term folds to
+    ``delta_i = sum_j P_ij * dP_ij`` (== rowsum(dO*O)) with the full row in
+    registers. That also sidesteps Mosaic's awkward [BQ,1]<->[1,BQ] relayout
+    a stored-lse design would need (docs/tpu_notes.md lane-alignment note).
+
+    dk/dv accumulate across q-tiles in f32 VMEM scratch — TPU grids execute
+    sequentially, so revisiting the (bh,)-indexed output block is safe; the
+    cast+store happens once on the last q-tile. All five matmuls
+    (logits, dp, dq, dk, dv) are MXU dot_generals with no explicit
+    transposes (dk/dv contract over the q-row dimension directly).
+    """
+    iq = pl.program_id(1)
+
+    q = q_ref[0]    # [BLOCK_Q, hd]
+    do = do_ref[0]  # [BLOCK_Q, hd]
+    k = k_ref[0]    # [S_pad, hd]
+    v = v_ref[0]    # [S_pad, hd]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BLOCK_Q, S_pad]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    mask = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
+        mask = jnp.logical_and(mask, col <= row)
+    logits = jnp.where(mask, logits, _NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [BLOCK_Q, S_pad] f32
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BLOCK_Q, S_pad]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # == rowsum(dO * O)
+    ds = p * (dp - delta)  # [BLOCK_Q, S_pad]
+
+    dq_ref[0] = (jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dq_ref.dtype)
+
+    # dk[j,:] = scale * sum_i ds[i,j] q[i,:]; dv[j,:] = sum_i p[i,j] do[i,:]
+    dk_tile = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [S_pad, hd]
+    dv_tile = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S_pad, hd]
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:] = dk_tile
+        dv_acc[:] = dv_tile
+
+    @pl.when(iq > 0)
+    def _():
+        dk_acc[:] += dk_tile
+        dv_acc[:] += dv_tile
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward_pallas(q, k, v, g, *, causal: bool):
+    b, h, s, hd = q.shape
+    scale = 1.0 / (hd**0.5)
+    s_pad = -(-s // BLOCK_Q) * BLOCK_Q
+
+    def pad(t):
+        t = t.reshape(b * h, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    qf, gf, kf, vf = pad(q), pad(g), pad(k), pad(v)
+    nq = s_pad // BLOCK_Q
+
+    tile_spec = pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0),
+                             memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, seq_len=s,
+                          causal=causal, nq=nq),
+        grid=(b * h, nq),
+        in_specs=[tile_spec, tile_spec, full_spec, full_spec],
+        out_specs=[tile_spec, full_spec, full_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s_pad, hd), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s_pad, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, hd), jnp.float32),
+            pltpu.VMEM((s_pad, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * s_pad * s_pad * hd,
+            bytes_accessed=7 * b * h * s_pad * hd * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+    )(qf, gf, kf, vf)
+
+    unpad = lambda t: t[:, :s, :].reshape(b, h, s, hd)
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, causal):
     return _flash_forward(q, k, v, causal=causal)
@@ -294,6 +417,15 @@ def _flash_fwd(q, k, v, causal):
 
 def _flash_bwd(causal, res, g):
     q, k, v = res
+    b, h, s, hd = q.shape
+    # The pallas backward mirrors the q-tiled forward's regime (full K/V VMEM
+    # residency, plus two f32 [S_pad, hd] accumulators). Short sequences take
+    # the XLA autodiff of the reference — at those sizes the [s,s] logits
+    # round-trip is cheap and XLA's fusion already won the forward A/B.
+    s_pad = -(-s // BLOCK_Q) * BLOCK_Q
+    bwd_vmem = (4 * 2 + 2 * 4 + 3 * 2) * s_pad * hd + 2 * 4 * s_pad * hd
+    if s > MULTIHEAD_MAX_SEQ and bwd_vmem <= 12 * 1024 * 1024:
+        return _flash_backward_pallas(q, k, v, g, causal=causal)
     _, vjp = jax.vjp(lambda q_, k_, v_: sdpa_reference(q_, k_, v_, causal=causal), q, k, v)
     return vjp(g)
 

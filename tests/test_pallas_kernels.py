@@ -60,6 +60,37 @@ def test_flash_attention_causal_qtiled(monkeypatch, block_skip):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_backward_matches_autodiff(causal):
+    """The pallas backward kernel (q-tiled regime, s > MULTIHEAD_MAX_SEQ)
+    must produce the same (dq, dk, dv) as XLA autodiff through the
+    reference attention. Non-multiple-of-128 length covers the padded-tail
+    rows (zero-padded dO must contribute nothing to dk/dv)."""
+    from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(11)
+    b, h, s, hd = 1, 2, 600, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.vdot(sdpa_reference(q_, k_, v_, causal=causal), g)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_flash(q_, k_, v_):
+        return jnp.vdot(flash_attention(q_, k_, v_, causal=causal), g)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_grads = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+
+    for got, want, name in zip(out_grads, ref_grads, "q k v".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
 def test_fused_ffn_matches_reference():
     from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
 
