@@ -71,15 +71,16 @@ def main():
     b, h, s, hd = (int(os.environ.get(k, d)) for k, d in
                    (("BENCH_B", 4), ("BENCH_H", 32), ("BENCH_S", 2048),
                     ("BENCH_HD", 128)))
+    hkv = int(os.environ.get("BENCH_HKV", h))  # < h benches the GQA-native path
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    print(f"backend={jax.default_backend()} b={b} h={h} s={s} hd={hd} bf16",
+    print(f"backend={jax.default_backend()} b={b} h={h} hkv={hkv} s={s} hd={hd} bf16",
           flush=True)
 
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (b, h, s, hd), jnp.bfloat16)
-    k = jax.random.normal(kk, (b, h, s, hd), jnp.bfloat16)
-    v = jax.random.normal(kv, (b, h, s, hd), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, s, hd), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, hd), jnp.bfloat16)
 
     # full-rectangle FLOPs for a comparable effective-TF/s number
     flops = 4 * b * h * s * s * hd
@@ -91,6 +92,21 @@ def main():
         results[name] = {"ms": round(ms, 3), "eff_tf_per_s": round(tf, 1)}
         print(f"{name:>16}: {ms:7.3f} ms  ({tf:6.1f} TF/s on full-rect flops)",
               flush=True)
+
+    rep = h // hkv
+
+    def repeat_kv(k_, v_):
+        return jnp.repeat(k_, rep, axis=1), jnp.repeat(v_, rep, axis=1)
+
+    if rep > 1:
+        # GQA A/B: kernel-shared K/V vs materializing repeated K/V in HBM.
+        bench("gqa_native", lambda q_, k_, v_: fa.flash_attention(q_, k_, v_, causal=True))
+        bench("repeat_flash", lambda q_, k_, v_: fa.flash_attention(
+            q_, *repeat_kv(k_, v_), causal=True))
+        bench("repeat_sdpa", lambda q_, k_, v_: sdpa_reference(
+            q_, *repeat_kv(k_, v_), causal=True))
+        print(json.dumps(results))
+        return
 
     os.environ["SSP_X_VIT_FLASH_BLOCK_SKIP"] = "1"
     try:

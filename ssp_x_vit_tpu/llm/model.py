@@ -233,20 +233,20 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
         k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
     else:
         q, k = _rope(q, k, cfg.rope_theta)
-    if nkv != nq:
-        rep = nq // nkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-
     from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
 
     if use_pallas() and s >= FLASH_MIN_SEQ:
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 
+        # GQA-native kernel: K/V stay at nkv heads; the query group shares
+        # the resident K/V in-kernel (no jnp.repeat HBM materialization).
         out = flash_attention(q, k, v, causal=True)
     else:
         from ssp_x_vit_tpu.ops.attention import sdpa_reference
 
+        if nkv != nq:
+            k = jnp.repeat(k, nq // nkv, axis=1)
+            v = jnp.repeat(v, nq // nkv, axis=1)
         out = sdpa_reference(q, k, v, causal=True)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)

@@ -31,12 +31,16 @@ BLOCK_Q = 128
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, causal: bool):
-    iq = pl.program_id(1)
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
+                  causal: bool):
+    # Grid: (batch*kv_heads, group member, q-tile) — GQA shares the
+    # VMEM-resident K/V across the whole query group without ever
+    # materializing repeated K/V in HBM. MHA is the rep=1 special case.
+    iq = pl.program_id(2)
 
-    q = q_ref[0]  # [BLOCK_Q, hd]
-    k = k_ref[0]  # [S_pad, hd]
-    v = v_ref[0]  # [S_pad, hd]
+    q = q_ref[0, 0]  # [BLOCK_Q, hd]
+    k = k_ref[0]     # [S_pad, hd]
+    v = v_ref[0]     # [S_pad, hd]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -61,7 +65,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, cau
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (pv / denom).astype(o_ref.dtype)
+    o_ref[0, 0] = (pv / denom).astype(o_ref.dtype)
 
 
 # K-block width for the causal BLOCK-SKIP kernel below. 512 measured best of
@@ -105,9 +109,9 @@ def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     K/V stay fully VMEM-resident per (batch*head); online-softmax state
     (m, l, acc) is carried in f32.
     """
-    iq = pl.program_id(1)
+    iq = pl.program_id(2)
 
-    q = q_ref[0]  # [BLOCK_Q, hd]
+    q = q_ref[0, 0]  # [BLOCK_Q, hd]
     exp_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
 
     m_ref[:] = jnp.full(m_ref.shape, _NEG_INF, jnp.float32)
@@ -143,7 +147,7 @@ def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             l_ref[:] = l_new
             acc_ref[:] = acc_new
 
-    o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 # Batch elements grouped per program for short sequences (amortizes program
@@ -226,26 +230,36 @@ MULTIHEAD_MAX_SEQ = 512
 
 def _flash_forward(q, k, v, *, causal: bool):
     b, h, s, hd = q.shape
+    hkv = k.shape[1]
+    rep = h // hkv
     s_pad_mh = max(-(-s // 128) * 128, 128)
     # q/k/v/o buffers must fit scoped VMEM (double-buffered by the pipeline).
     mh_vmem = 2 * h * s_pad_mh * hd * q.dtype.itemsize * 4
-    if s <= MULTIHEAD_MAX_SEQ and mh_vmem <= 12 * 1024 * 1024:
+    if rep == 1 and s <= MULTIHEAD_MAX_SEQ and mh_vmem <= 12 * 1024 * 1024:
         return _flash_forward_multihead(q, k, v, causal=causal)
     scale = 1.0 / (hd**0.5)
-    block_skip = causal and _use_block_skip()
+    block_skip = causal and rep == 1 and _use_block_skip()
     # The block-skip kernel unrolls K blocks of BLOCK_K, so pad the sequence
     # to a BLOCK_K multiple there (fully-masked padding blocks are exact
     # no-ops in the online-softmax update).
     s_unit = BLOCK_K if block_skip else BLOCK_Q
     s_pad = -(-s // s_unit) * s_unit
 
-    def pad(t):
-        t = t.reshape(b * h, s, hd)
+    def pad_q(t):
+        # [b, hkv*rep, s, hd] -> [b*hkv, rep, s_pad, hd]: group members ride
+        # a leading tile axis so each shares its kv-head's resident K/V.
+        t = t.reshape(b * hkv, rep, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    def pad_kv(t):
+        t = t.reshape(b * hkv, s, hd)
         if s_pad != s:
             t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
         return t
 
-    qf, kf, vf = pad(q), pad(k), pad(v)
+    qf, kf, vf = pad_q(q), pad_kv(k), pad_kv(v)
     nq = s_pad // BLOCK_Q
 
     if block_skip:
@@ -264,30 +278,31 @@ def _flash_forward(q, k, v, *, causal: bool):
         flops = 4 * b * h * s_pad * s_pad * hd
         transcendentals = b * h * s_pad * s_pad
         scratch = []
+    q_spec = pl.BlockSpec((1, 1, BLOCK_Q, hd),
+                          lambda bh, r, iq: (bh, r, iq, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, s_pad, hd), lambda bh, r, iq: (bh, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h, nq),
-        in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+        grid=(b * hkv, rep, nq),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * hkv, rep, s_pad, hd), q.dtype),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(3 * b * h * s_pad * hd + b * h * s_pad * hd) * q.dtype.itemsize,
+            bytes_accessed=(2 * b * h * s_pad * hd + 2 * b * hkv * s_pad * hd) * q.dtype.itemsize,
             transcendentals=transcendentals,
         ),
     )(qf, kf, vf)
 
-    return out[:, :s, :].reshape(b, h, s, hd)
+    return out[:, :, :s, :].reshape(b, h, s, hd)
 
 
 def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
                       dk_acc, dv_acc, *, scale: float, seq_len: int,
-                      causal: bool, nq: int):
+                      causal: bool, rep: int, nq: int):
     """Single-pass backward: grid (batch*heads, q-tiles), full K/V resident.
 
     The softmax row is RECOMPUTED from the resident full row (same rationale
@@ -303,13 +318,20 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
     cast+store happens once on the last q-tile. All five matmuls
     (logits, dp, dq, dk, dv) are MXU dot_generals with no explicit
     transposes (dk/dv contract over the q-row dimension directly).
-    """
-    iq = pl.program_id(1)
 
-    q = q_ref[0]    # [BLOCK_Q, hd]
-    do = do_ref[0]  # [BLOCK_Q, hd]
-    k = k_ref[0]    # [S_pad, hd]
-    v = v_ref[0]    # [S_pad, hd]
+    GQA: grid (batch*kv_heads, group member, q-tile); the f32 dk/dv
+    accumulators keep summing across the WHOLE group before the final
+    store — exactly the repeat-vjp group-sum, with no repeated K/V in HBM.
+    """
+    r = pl.program_id(1)
+    iq = pl.program_id(2)
+    first = jnp.logical_and(r == 0, iq == 0)
+    last = jnp.logical_and(r == rep - 1, iq == nq - 1)
+
+    q = q_ref[0, 0]    # [BLOCK_Q, hd]
+    do = do_ref[0, 0]  # [BLOCK_Q, hd]
+    k = k_ref[0]       # [S_pad, hd]
+    v = v_ref[0]       # [S_pad, hd]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -331,7 +353,7 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # == rowsum(dO * O)
     ds = p * (dp - delta)  # [BLOCK_Q, S_pad]
 
-    dq_ref[0] = (jax.lax.dot_general(
+    dq_ref[0, 0] = (jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale).astype(dq_ref.dtype)
@@ -346,17 +368,17 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
         preferred_element_type=jnp.float32,
     )  # [S_pad, hd]
 
-    @pl.when(iq == 0)
+    @pl.when(first)
     def _():
         dk_acc[:] = dk_tile
         dv_acc[:] = dv_tile
 
-    @pl.when(iq > 0)
+    @pl.when(jnp.logical_not(first))
     def _():
         dk_acc[:] += dk_tile
         dv_acc[:] += dv_tile
 
-    @pl.when(iq == nq - 1)
+    @pl.when(last)
     def _():
         dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
@@ -364,32 +386,41 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
 
 def _flash_backward_pallas(q, k, v, g, *, causal: bool):
     b, h, s, hd = q.shape
+    hkv = k.shape[1]
+    rep = h // hkv
     scale = 1.0 / (hd**0.5)
     s_pad = -(-s // BLOCK_Q) * BLOCK_Q
 
-    def pad(t):
-        t = t.reshape(b * h, s, hd)
+    def pad_q(t):
+        t = t.reshape(b * hkv, rep, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    def pad_kv(t):
+        t = t.reshape(b * hkv, s, hd)
         if s_pad != s:
             t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
         return t
 
-    qf, gf, kf, vf = pad(q), pad(g), pad(k), pad(v)
+    qf, gf, kf, vf = pad_q(q), pad_q(g), pad_kv(k), pad_kv(v)
     nq = s_pad // BLOCK_Q
 
-    tile_spec = pl.BlockSpec((1, BLOCK_Q, hd), lambda bh, iq: (bh, iq, 0),
+    tile_spec = pl.BlockSpec((1, 1, BLOCK_Q, hd),
+                             lambda bh, r, iq: (bh, r, iq, 0),
                              memory_space=pltpu.VMEM)
-    full_spec = pl.BlockSpec((1, s_pad, hd), lambda bh, iq: (bh, 0, 0),
+    full_spec = pl.BlockSpec((1, s_pad, hd), lambda bh, r, iq: (bh, 0, 0),
                              memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, scale=scale, seq_len=s,
-                          causal=causal, nq=nq),
-        grid=(b * h, nq),
+                          causal=causal, rep=rep, nq=nq),
+        grid=(b * hkv, rep, nq),
         in_specs=[tile_spec, tile_spec, full_spec, full_spec],
         out_specs=[tile_spec, full_spec, full_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s_pad, hd), k.dtype),
-            jax.ShapeDtypeStruct((b * h, s_pad, hd), v.dtype),
+            jax.ShapeDtypeStruct((b * hkv, rep, s_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b * hkv, s_pad, hd), k.dtype),
+            jax.ShapeDtypeStruct((b * hkv, s_pad, hd), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((s_pad, hd), jnp.float32),
@@ -397,13 +428,14 @@ def _flash_backward_pallas(q, k, v, g, *, causal: bool):
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * s_pad * s_pad * hd,
-            bytes_accessed=7 * b * h * s_pad * hd * q.dtype.itemsize,
+            bytes_accessed=(5 * b * h + 4 * b * hkv) * s_pad * hd * q.dtype.itemsize,
             transcendentals=b * h * s_pad * s_pad,
         ),
     )(qf, gf, kf, vf)
 
-    unpad = lambda t: t[:, :s, :].reshape(b, h, s, hd)
-    return unpad(dq), unpad(dk), unpad(dv)
+    unpad_q = lambda t: t[:, :, :s, :].reshape(b, h, s, hd)
+    unpad_kv = lambda t: t[:, :s, :].reshape(b, hkv, s, hd)
+    return unpad_q(dq), unpad_kv(dk), unpad_kv(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -418,15 +450,24 @@ def _flash_fwd(q, k, v, causal):
 def _flash_bwd(causal, res, g):
     q, k, v = res
     b, h, s, hd = q.shape
+    rep = h // k.shape[1]
     # The pallas backward mirrors the q-tiled forward's regime (full K/V VMEM
-    # residency, plus two f32 [S_pad, hd] accumulators). Short sequences take
-    # the XLA autodiff of the reference — at those sizes the [s,s] logits
-    # round-trip is cheap and XLA's fusion already won the forward A/B.
+    # residency, plus two f32 [S_pad, hd] accumulators). Short MHA sequences
+    # take the XLA autodiff of the reference — at those sizes the [s,s]
+    # logits round-trip is cheap and XLA's fusion already won the forward
+    # A/B. GQA always takes the pallas kernel (matching the forward path).
     s_pad = -(-s // BLOCK_Q) * BLOCK_Q
     bwd_vmem = (4 * 2 + 2 * 4 + 3 * 2) * s_pad * hd + 2 * 4 * s_pad * hd
-    if s > MULTIHEAD_MAX_SEQ and bwd_vmem <= 12 * 1024 * 1024:
+    if (rep > 1 or s > MULTIHEAD_MAX_SEQ) and bwd_vmem <= 12 * 1024 * 1024:
         return _flash_backward_pallas(q, k, v, g, causal=causal)
-    _, vjp = jax.vjp(lambda q_, k_, v_: sdpa_reference(q_, k_, v_, causal=causal), q, k, v)
+
+    def ref(q_, k_, v_):
+        if rep > 1:
+            k_ = jnp.repeat(k_, rep, axis=1)
+            v_ = jnp.repeat(v_, rep, axis=1)
+        return sdpa_reference(q_, k_, v_, causal=causal)
+
+    _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
 
 
@@ -434,5 +475,15 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False) -> jax.Array:
-    """[b, h, s, hd] x3 -> [b, h, s, hd], numerics matching sdpa_reference."""
+    """q [b, h, s, hd], k/v [b, hkv, s, hd] -> [b, h, s, hd].
+
+    GQA-native: when hkv < h (h % hkv == 0), each query group shares its
+    kv-head's VMEM-resident K/V inside the kernel — callers must NOT
+    pre-repeat K/V (that would re-materialize them rep x in HBM). Numerics
+    match ``sdpa_reference`` on repeated K/V; grads flow to the [b, hkv]
+    shapes (the group-sum happens in-kernel).
+    """
+    if q.shape[1] % k.shape[1]:
+        raise ValueError(
+            f"num_heads {q.shape[1]} not a multiple of num_kv_heads {k.shape[1]}")
     return _flash(q, k, v, causal)

@@ -91,6 +91,43 @@ def test_flash_attention_backward_matches_autodiff(causal):
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_gqa_matches_repeated_sdpa(causal):
+    """GQA-native path: q has 4 heads, k/v have 2 — the kernel shares each
+    kv-head's resident K/V across its query group. Forward must match
+    sdpa_reference on explicitly repeated K/V; grads must match the
+    repeat-vjp (dk/dv group-summed back to the kv-head shapes)."""
+    from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(13)
+    b, h, hkv, s, hd = 1, 4, 2, 300, 64
+    rep = h // hkv
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+
+    def ref(q_, k_, v_):
+        return sdpa_reference(q_, jnp.repeat(k_, rep, axis=1),
+                              jnp.repeat(v_, rep, axis=1), causal=causal)
+
+    ref_out = ref(q, k, v)
+    ref_grads = jax.grad(lambda *t: jnp.vdot(ref(*t), g), argnums=(0, 1, 2))(q, k, v)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=causal)
+        out_grads = jax.grad(
+            lambda *t: jnp.vdot(flash_attention(*t, causal=causal), g),
+            argnums=(0, 1, 2))(q, k, v)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    for got, want, name in zip(out_grads, ref_grads, "q k v".split()):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
 def test_fused_ffn_matches_reference():
     from ssp_x_vit_tpu.ops.pallas.fused_ffn import fused_ffn
 
