@@ -133,23 +133,39 @@ def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig):
     rep = cfg.num_heads // cfg.num_kv_heads
     quant = isinstance(ck, dict)
     k_raw, v_raw = (ck["q"], cv["q"]) if quant else (ck, cv)
-    k = jnp.repeat(k_raw, rep, axis=2) if rep > 1 else k_raw
-    v = jnp.repeat(v_raw, rep, axis=2) if rep > 1 else v_raw
+    key_idx = jnp.arange(k_raw.shape[1])                 # [max_len]
+    causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
+    valid = key_idx[None, None, :] >= pad_lens[:, None, None]
+    if rep > 1:
+        # GQA: contract each kv head against its whole query group through
+        # a group axis on q — the cache (the decode-bandwidth hot operand)
+        # is never repeated/materialized at h heads.
+        nkv = cfg.num_kv_heads
+        qg = q.reshape(b, s_q, nkv, rep, hd)
+        logits = jnp.einsum("bqhrd,bkhd->bhrqk", qg, k_raw.astype(q.dtype),
+                            preferred_element_type=jnp.float32)
+        if quant:
+            logits = logits * ck["s"].transpose(0, 2, 1)[:, :, None, None, :]
+        logits = logits / (hd ** 0.5)
+        mask = (causal & valid)[:, None, None]           # [b, 1, 1, s_q, max_len]
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        w = jax.nn.softmax(logits, axis=-1)
+        if quant:
+            w = w * cv["s"].transpose(0, 2, 1)[:, :, None, None, :]
+        w = w.astype(q.dtype)
+        return jnp.einsum("bhrqk,bkhd->bqhrd", w, v_raw.astype(q.dtype)).reshape(
+            b, s_q, h * hd)
+    k, v = k_raw, v_raw
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k.astype(q.dtype),
                         preferred_element_type=jnp.float32)
     if quant:
-        ks = jnp.repeat(ck["s"], rep, axis=2) if rep > 1 else ck["s"]
-        logits = logits * ks.transpose(0, 2, 1)[:, :, None, :]
+        logits = logits * ck["s"].transpose(0, 2, 1)[:, :, None, :]
     logits = logits / (hd ** 0.5)
-    key_idx = jnp.arange(k.shape[1])                     # [max_len]
-    causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
-    valid = key_idx[None, None, :] >= pad_lens[:, None, None]
     mask = (causal & valid)[:, None]                     # [b, 1, s_q, max_len]
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     w = jax.nn.softmax(logits, axis=-1)
     if quant:
-        vs = jnp.repeat(cv["s"], rep, axis=2) if rep > 1 else cv["s"]
-        w = w * vs.transpose(0, 2, 1)[:, :, None, :]
+        w = w * cv["s"].transpose(0, 2, 1)[:, :, None, :]
     w = w.astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(q.dtype)).reshape(
         b, s_q, h * hd)
