@@ -326,6 +326,7 @@ def llama_forward(
     collect_mlp_io_stats: bool = False,
     return_block_outputs: bool = False,
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """input_ids [b, s] -> (logits [b, s, V] fp32, aux).
 
@@ -334,6 +335,11 @@ def llama_forward(
     stage-1 statistic (reference src/pruning.py:271-276 via
     get_mlp_hidden_state hooks). ``return_block_outputs`` returns each block's
     output hidden states (shortGPT / window_based need them).
+
+    ``remat=True`` checkpoints each scanned layer (training path): backward
+    recomputes the layer forward instead of storing its intermediates, so
+    activation memory is O(L·b·s·d) carries instead of every matmul/attention
+    intermediate — the standard trade for long-sequence training.
     """
     if cfg.pruned_attention_blocks:
         raise ValueError("use llama_forward_materialized for depth-materialized configs")
@@ -404,7 +410,8 @@ def llama_forward(
             out["block_outputs"] = x
         return x, out
 
-    x, scanned_out = jax.lax.scan(body, x, (params["blocks"], gates_a, gates_m, nmask))
+    scan_body = jax.checkpoint(body) if remat else body
+    x, scanned_out = jax.lax.scan(scan_body, x, (params["blocks"], gates_a, gates_m, nmask))
 
     if cfg.is_phi or cfg.is_opt:
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)

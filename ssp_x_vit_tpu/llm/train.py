@@ -1,0 +1,56 @@
+"""Single-chip LLM training step (next-token cross-entropy).
+
+The reference framework never trains LLMs (pruning + evaluation only —
+src/main.py has no optimizer); this is part of the beyond-reference training
+surface, sharing the NLL convention with the multi-chip pipelined step
+(`parallel/pipeline.py make_pipeline_train_step`). The hot path is the
+flash-attention forward + the pallas single-pass backward kernel
+(ops/pallas/flash_attention.py) — measured 2.25x over XLA autodiff on the
+attention fwd+bwd at calibration shapes, with no [b,h,s,s] logits
+materialization (docs/tpu_notes.md).
+
+``remat=True`` (default) checkpoints each scanned layer: the backward
+recomputes layer forwards instead of storing every intermediate — the
+standard memory/FLOPs trade for long-sequence training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, llama_forward
+
+
+def next_token_loss(params: Params, tokens: jax.Array, cfg: LlamaConfig, *,
+                    compute_dtype=jnp.bfloat16, remat: bool = True) -> jax.Array:
+    """Mean next-token NLL over tokens [b, s] (logits in f32 for the softmax)."""
+    logits, _ = llama_forward(params, tokens[:, :-1], cfg,
+                              compute_dtype=compute_dtype, remat=remat)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def make_llama_train_step(cfg: LlamaConfig,
+                          optimizer: Optional[optax.GradientTransformation] = None,
+                          *, compute_dtype=jnp.bfloat16, remat: bool = True):
+    """Returns jitted ``step(params, opt_state, tokens) ->
+    (params, opt_state, loss)``; params/opt_state donated (updated in place
+    on device — at ~1B params the pytrees never exist twice in HBM)."""
+    if optimizer is None:
+        optimizer = optax.adamw(1e-4)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(next_token_loss)(
+            params, tokens, cfg, compute_dtype=compute_dtype, remat=remat)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
