@@ -205,3 +205,46 @@ def evaluate_perplexity_sharded(params, cfg: LlamaConfig, mesh: Mesh,
         total += float(per_window[:valid].sum())
         count += valid * (seq_len - 1)
     return float(np.exp(total / max(1, count)))
+
+
+def make_sharded_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
+                                  *, compute_dtype=None, remat: bool = True):
+    """dp x tp training step: ``step(params, opt_state, tokens) ->
+    (params, opt_state, loss)``.
+
+    Params (and therefore grads and adamw moments, which jit places like the
+    params they mirror) are megatron-sharded over 'model'
+    (shard_llama_params); tokens shard over 'data'. GSPMD inserts the
+    column/row-parallel psums and the grad all-reduce over 'data' from the
+    shardings — no hand-written collectives (the pipelined alternative with
+    explicit ppermute/psum lives in parallel/pipeline.py). The single-chip
+    hot path is reused verbatim: flash fwd + pallas bwd kernels and
+    per-layer remat (llm/train.py). Call with params already placed via
+    shard_llama_params; opt_state from optimizer.init(sharded_params)
+    inherits the placement.
+    """
+    import functools
+
+    import jax.numpy as jnp
+    import optax
+
+    from ssp_x_vit_tpu.llm.train import next_token_loss
+
+    if optimizer is None:
+        optimizer = optax.adamw(1e-4)
+    compute_dtype = compute_dtype or jnp.bfloat16
+    token_sharding = NamedSharding(mesh, P("data", None))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(next_token_loss)(
+            params, tokens, cfg, compute_dtype=compute_dtype, remat=remat)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def run(params, opt_state, tokens):
+        tokens = jax.device_put(jnp.asarray(tokens, jnp.int32), token_sharding)
+        return step(params, opt_state, tokens)
+
+    return run

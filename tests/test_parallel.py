@@ -354,3 +354,34 @@ def test_tp_serving_packed_params_shard():
     tp = tp_generate_kv_scan(packed, cfg, mesh, prompt, max_length=12,
                              cache_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(tp))
+
+
+def test_sharded_train_step_matches_single_device():
+    """dp x tp train step (GSPMD megatron shardings): after one adamw step
+    from identical inits, loss and updated params match the single-device
+    llm/train.py step."""
+    import optax
+
+    from ssp_x_vit_tpu.llm.train import make_llama_train_step
+    from ssp_x_vit_tpu.parallel.llm_sharding import make_sharded_llama_train_step
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    toks = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (4, 24), 0, 64), np.int32)
+
+    opt = optax.adamw(1e-2)
+    single = make_llama_train_step(cfg, opt, compute_dtype=jnp.float32)
+    p1, s1, loss1 = single(jax.tree.map(jnp.copy, params), opt.init(params), toks)
+
+    mesh = make_mesh(model=4)  # dp=2 x tp=4
+    sp = shard_llama_params(params, mesh, cfg)
+    sharded = make_sharded_llama_train_step(mesh, cfg, opt,
+                                            compute_dtype=jnp.float32)
+    p2, s2, loss2 = sharded(sp, opt.init(sp), toks)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
