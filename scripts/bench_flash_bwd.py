@@ -86,5 +86,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import numpy as np  # noqa: F401  (used in grads comparison)
     main()

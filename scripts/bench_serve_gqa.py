@@ -93,6 +93,10 @@ def main():
     outs = {}
     for name, impl in (("grouped", grouped), ("repeat", attend_repeat)):
         serve._attend_cached = impl
+        # serve's jits are module-level: without clearing the jit cache the
+        # second arm would silently reuse the first arm's compiled code and
+        # the A/B would measure the same kernel twice.
+        jax.clear_caches()
         try:
             secs = time_generate(
                 lambda: serve.generate_kv_scan(params, cfg, arg, max_length=M))
@@ -105,7 +109,18 @@ def main():
         results[name] = {"wall_s": round(secs, 3), "tokens_per_s": round(tps, 1)}
         print(f"[{name}] {secs:.3f}s = {tps:.0f} tok/s", flush=True)
 
-    results["greedy_ids_match"] = bool(np.array_equal(outs["grouped"], outs["repeat"]))
+    a, b = outs["grouped"], outs["repeat"]
+    results["greedy_ids_match"] = bool(np.array_equal(a, b))
+    if not results["greedy_ids_match"]:
+        # bf16 + random weights: argmax near-ties flip between
+        # differently-shaped einsums (docs/tpu_notes.md round-2 gotcha), and
+        # one flipped token diverges the rest of that sequence
+        # autoregressively. Report where each sequence first diverges —
+        # late/no divergence = tie-flip, position-0 divergence = real bug.
+        div = [int(np.argmax(r)) if r.any() else -1
+               for r in (a != b).reshape(a.shape[0], -1)]
+        results["first_divergence_per_seq"] = div
+        print(f"first divergence per sequence (-1 = identical): {div}", flush=True)
     print(json.dumps(results))
 
 

@@ -455,9 +455,15 @@ def _flash_bwd(causal, res, g):
     # residency, plus two f32 [S_pad, hd] accumulators). Short MHA sequences
     # take the XLA autodiff of the reference — at those sizes the [s,s]
     # logits round-trip is cheap and XLA's fusion already won the forward
-    # A/B. GQA always takes the pallas kernel (matching the forward path).
+    # A/B. GQA takes the pallas kernel within the VMEM budget (matching the
+    # forward path); past it, the fallback repeats K/V — correct, just not
+    # materialization-free.
     s_pad = -(-s // BLOCK_Q) * BLOCK_Q
-    bwd_vmem = (4 * 2 + 2 * 4 + 3 * 2) * s_pad * hd + 2 * 4 * s_pad * hd
+    # Per-program VMEM: double-buffered k/v inputs + dk/dv outputs (4 full
+    # [S_pad, hd] buffers x2), 3 input/output q-tiles (negligible but
+    # counted via the 3x term), and two f32 accumulator scratches.
+    isz = q.dtype.itemsize
+    bwd_vmem = (4 * isz + 2 * 4 + 3 * isz) * s_pad * hd + 2 * 4 * s_pad * hd
     if (rep > 1 or s > MULTIHEAD_MAX_SEQ) and bwd_vmem <= 12 * 1024 * 1024:
         return _flash_backward_pallas(q, k, v, g, causal=causal)
 

@@ -223,25 +223,16 @@ def make_sharded_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
     shard_llama_params; opt_state from optimizer.init(sharded_params)
     inherits the placement.
     """
-    import functools
-
     import jax.numpy as jnp
-    import optax
 
-    from ssp_x_vit_tpu.llm.train import next_token_loss
+    from ssp_x_vit_tpu.llm.train import make_llama_train_step
 
-    if optimizer is None:
-        optimizer = optax.adamw(1e-4)
     compute_dtype = compute_dtype or jnp.bfloat16
     token_sharding = NamedSharding(mesh, P("data", None))
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, tokens):
-        loss, grads = jax.value_and_grad(next_token_loss)(
-            params, tokens, cfg, compute_dtype=compute_dtype, remat=remat)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    # The jitted step IS the single-chip one — GSPMD turns the same program
+    # multi-chip purely from the argument placements.
+    step = make_llama_train_step(cfg, optimizer, compute_dtype=compute_dtype,
+                                 remat=remat)
 
     def run(params, opt_state, tokens):
         tokens = jax.device_put(jnp.asarray(tokens, jnp.int32), token_sharding)

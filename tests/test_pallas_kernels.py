@@ -38,8 +38,12 @@ def test_flash_attention_causal():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("block_skip", [False, True])
-def test_flash_attention_causal_qtiled(monkeypatch, block_skip):
+@pytest.mark.parametrize("block_skip,dtype", [
+    (False, jnp.float32),
+    (True, jnp.float32),
+    (True, jnp.bfloat16),  # covers the block-skip kernel's bf16-exp fast path
+])
+def test_flash_attention_causal_qtiled(monkeypatch, block_skip, dtype):
     """s > MULTIHEAD_MAX_SEQ exercises the q-tiled CAUSAL paths: the
     full-rectangle dispatch default, and the opt-in block-skip kernel
     (online-softmax over predicated K blocks — measured slower on-chip,
@@ -51,13 +55,15 @@ def test_flash_attention_causal_qtiled(monkeypatch, block_skip):
         monkeypatch.setenv("SSP_X_VIT_FLASH_BLOCK_SKIP", "1")
     rng = np.random.default_rng(7)
     b, h, s, hd = 1, 2, 600, 64
-    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), dtype)
+    k = jnp.asarray(rng.normal(size=(b, h, s, hd)), dtype)
+    v = jnp.asarray(rng.normal(size=(b, h, s, hd)), dtype)
     ref = sdpa_reference(q, k, v, causal=True)
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention(q, k, v, causal=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=tol, atol=tol)
 
 
 @pytest.mark.parametrize("causal", [False, True])
