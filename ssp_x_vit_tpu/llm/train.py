@@ -28,9 +28,20 @@ from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, llama_forward
 
 def next_token_loss(params: Params, tokens: jax.Array, cfg: LlamaConfig, *,
                     compute_dtype=jnp.bfloat16, remat: bool = True) -> jax.Array:
-    """Mean next-token NLL over tokens [b, s] (logits in f32 for the softmax)."""
-    logits, _ = llama_forward(params, tokens[:, :-1], cfg,
-                              compute_dtype=compute_dtype, remat=remat)
+    """Mean next-token NLL over tokens [b, s] (logits in f32 for the softmax).
+
+    Depth-materialized pruned configs train too — the 2SSP recovery-finetune
+    loop (prune -> brief finetune -> serve). Their unrolled forward has no
+    scanned layer to checkpoint, so ``remat`` is a no-op there.
+    """
+    if cfg.pruned_attention_blocks:
+        from ssp_x_vit_tpu.llm.model import llama_forward_materialized
+
+        logits = llama_forward_materialized(params, tokens[:, :-1], cfg,
+                                            compute_dtype=compute_dtype)
+    else:
+        logits, _ = llama_forward(params, tokens[:, :-1], cfg,
+                                  compute_dtype=compute_dtype, remat=remat)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
     return nll.mean()

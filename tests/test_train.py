@@ -57,3 +57,28 @@ def test_train_step_gqa():
     opt_state = opt.init(params)
     params, opt_state, loss = step(params, opt_state, _tokens(cfg, seed=5))
     assert np.isfinite(float(loss))
+
+
+def test_recovery_finetune_pruned_model():
+    """Depth-materialized pruned configs train through the same step — the
+    prune -> recovery-finetune loop. Loss must descend and the pruned blocks
+    stay physically absent."""
+    from ssp_x_vit_tpu.llm.pruning import (
+        materialize_llm_depth_pruning, materialize_llm_width_pruning,
+    )
+
+    params = init_llama_params(jax.random.PRNGKey(0), CFG)
+    keeps = [np.arange(32) for _ in range(CFG.num_layers)]  # keep 32 of 64
+    params, cfg = materialize_llm_width_pruning(params, CFG, keeps)
+    params, cfg = materialize_llm_depth_pruning(params, cfg, [1])
+    assert cfg.pruned_attention_blocks == (1,)
+
+    opt = optax.adam(1e-2)
+    step = make_llama_train_step(cfg, opt, compute_dtype=jnp.float32)
+    opt_state = opt.init(params)
+    toks = _tokens(cfg)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.1, losses
