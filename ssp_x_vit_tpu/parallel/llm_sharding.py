@@ -239,3 +239,88 @@ def make_sharded_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
         return step(params, opt_state, tokens)
 
     return run
+
+
+# ---------------- FSDP (ZeRO-3-style) training ----------------
+
+def fsdp_llama_param_specs_like(params: Params, dp: int) -> Dict[str, Any]:
+    """Fully-sharded specs: each leaf shards its largest dp-divisible WEIGHT
+    axis over 'data' (for stacked block leaves the layer axis 0 is excluded —
+    sharding whole layers would serialize the scan's gathers). Params,
+    grads and optimizer moments all inherit this placement, so per-chip
+    memory for state is ~1/dp; XLA all-gathers each layer's weights at use
+    and reduce-scatters its grads (the scaling-book fsdp recipe, derived
+    entirely from the shardings). Leaves with no divisible axis (norm
+    scales, odd shapes) stay replicated — correct, just unsharded."""
+    def leaf_spec(v, start_axis):
+        cands = [(s, i) for i, s in enumerate(v.shape)
+                 if i >= start_axis and s % dp == 0]
+        if not cands:
+            return P(*([None] * v.ndim))
+        _, ax = max(cands)
+        spec = [None] * v.ndim
+        spec[ax] = "data"
+        return P(*spec)
+
+    specs: Dict[str, Any] = {}
+    for k, v in params.items():
+        if k == "blocks":
+            specs["blocks"] = {bk: leaf_spec(bv, 1) for bk, bv in v.items()}
+        else:
+            specs[k] = leaf_spec(v, 0)
+    return specs
+
+
+def shard_llama_params_fsdp(params: Params, mesh: Mesh) -> Params:
+    specs = fsdp_llama_param_specs_like(params, mesh.shape["data"])
+
+    def place(spec, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, specs, params,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def make_fsdp_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
+                               *, compute_dtype=None, remat: bool = True):
+    """FSDP training step: ``step(params, opt_state, tokens)`` where params
+    came through shard_llama_params_fsdp and opt_state =
+    optimizer.init(sharded_params). The loss/step body is the single-chip
+    one (flash fwd + pallas bwd, per-layer remat); updated params are
+    re-constrained to the fsdp specs so the placement is a guarantee, not a
+    propagation accident. Compose with tp by building the mesh with a
+    'model' axis >1 — megatron specs then apply on top via
+    shard_llama_params (mutually exclusive axes)."""
+    import functools
+
+    import jax.numpy as jnp
+    import optax
+
+    from ssp_x_vit_tpu.llm.train import next_token_loss
+
+    if optimizer is None:
+        optimizer = optax.adamw(1e-4)
+    compute_dtype = compute_dtype or jnp.bfloat16
+    token_sharding = NamedSharding(mesh, P("data", None))
+
+    def constrain(params):
+        specs = fsdp_llama_param_specs_like(params, mesh.shape["data"])
+        return jax.tree.map(
+            lambda sp, x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, sp)),
+            specs, params, is_leaf=lambda x: isinstance(x, P))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(next_token_loss)(
+            params, tokens, cfg, compute_dtype=compute_dtype, remat=remat)
+        grads = constrain(grads)  # reduce-scatter, not all-reduce
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = constrain(optax.apply_updates(params, updates))
+        return params, opt_state, loss
+
+    def run(params, opt_state, tokens):
+        tokens = jax.device_put(jnp.asarray(tokens, jnp.int32), token_sharding)
+        return step(params, opt_state, tokens)
+
+    return run

@@ -385,3 +385,48 @@ def test_sharded_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fsdp_train_step_matches_single_device():
+    """FSDP (ZeRO-3-style): params + grads + adamw moments sharded over
+    'data'; one step matches the single-device step, and the updated params
+    KEEP their fsdp shardings (guaranteed by in-step constraints)."""
+    import optax
+
+    from ssp_x_vit_tpu.llm.train import make_llama_train_step
+    from ssp_x_vit_tpu.parallel.llm_sharding import (
+        fsdp_llama_param_specs_like, make_fsdp_llama_train_step,
+        shard_llama_params_fsdp,
+    )
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    toks = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (8, 24), 0, 64), np.int32)
+
+    opt = optax.adamw(1e-2)
+    single = make_llama_train_step(cfg, opt, compute_dtype=jnp.float32)
+    p1, s1, loss1 = single(jax.tree.map(jnp.copy, params), opt.init(params), toks)
+
+    mesh = make_mesh(model=1)  # pure fsdp over data=8
+    sp = shard_llama_params_fsdp(params, mesh)
+    # block kernels [L, d, d'] must actually be sharded, not replicated
+    qspec = sp["blocks"]["q_kernel"].sharding.spec
+    assert "data" in jax.tree.leaves(tuple(qspec)), qspec
+    opt_state = opt.init(sp)
+    fsdp = make_fsdp_llama_train_step(mesh, cfg, opt, compute_dtype=jnp.float32)
+    p2, s2, loss2 = fsdp(sp, opt_state, toks)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # placement survives the step: updated q_kernel still sharded over data
+    specs = fsdp_llama_param_specs_like(p2, mesh.shape["data"])
+    got = p2["blocks"]["q_kernel"].sharding.spec
+    assert got == specs["blocks"]["q_kernel"], got
+    # adamw moments inherit the fsdp placement (the ZeRO memory win)
+    mu_leaf = s2[0].mu["blocks"]["q_kernel"]
+    assert "data" in jax.tree.leaves(tuple(mu_leaf.sharding.spec)), \
+        mu_leaf.sharding.spec
