@@ -6,8 +6,10 @@ lengths (ViT: 197 -> padded 256; LLM calibration: 2048) K/V VMEM residency is
 a few hundred KB to ~1 MB, so the single-pass softmax (no online-softmax
 streaming state) is both simpler and faster than the streaming variant — the
 logits tile never round-trips to HBM, which is the entire point of flash
-attention. Sequences beyond ~8k would need the streaming form; out of scope
-per the reference workloads (SURVEY.md §5.7).
+attention. Sequences past the VMEM budget (~12k at hd=128 bf16) dispatch to
+the STREAMING kernel (grid over k-blocks, online-softmax scratch state) —
+single-chip long context beyond the reference workloads (SURVEY.md §5.7);
+multi-chip long context is ring attention (parallel/ring_attention.py).
 
 Backward pass: ``jax.custom_vjp`` with a pallas single-pass backward kernel
 in the q-tiled regime (s > MULTIHEAD_MAX_SEQ) — the XLA fallback there
@@ -150,6 +152,117 @@ def _flash_kernel_causal(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+# K-block width for the STREAMING kernel (K/V never fully VMEM-resident —
+# blocks stream from HBM through the pipeline). Sequences beyond the
+# resident kernel's VMEM budget (~12k at hd=128 bf16) dispatch here; below
+# it the resident rectangle kernel wins (block-skip A/B showed per-block
+# online-softmax overhead loses when residency is affordable).
+BLOCK_KS = 512
+
+
+def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
+                            scale: float, seq_len: int, causal: bool, nk: int):
+    """Grid (batch*kv_heads, group member, q-tile, k-block): the q tile stays
+    resident across the innermost k-block axis while BLOCK_KS-wide K/V
+    blocks stream through double-buffered VMEM windows; online-softmax state
+    (m, l, acc) lives in scratch that persists across the sequential grid.
+    Causal upper-triangular k-blocks are predicated off entirely (no MXU or
+    exp work). Unbounded in s — HBM is the only limit."""
+    iq = pl.program_id(2)
+    kb = pl.program_id(3)
+
+    @pl.when(kb == 0)
+    def _():
+        m_s[:] = jnp.full(m_s.shape, _NEG_INF, jnp.float32)
+        l_s[:] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[:] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    needed = True
+    if causal:
+        needed = kb * BLOCK_KS <= iq * BLOCK_Q + (BLOCK_Q - 1)
+
+    @pl.when(needed)
+    def _():
+        q = q_ref[0, 0]  # [BLOCK_Q, hd]
+        k = k_ref[0]     # [BLOCK_KS, hd]
+        v = v_ref[0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BLOCK_Q, BLOCK_KS]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + kb * BLOCK_KS
+        mask = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
+            mask = jnp.logical_and(mask, col <= row)
+        logits = jnp.where(mask, logits, _NEG_INF)
+
+        m_old = m_s[:]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new)
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_s[:] = m_new
+
+    @pl.when(kb == nk - 1)
+    def _():
+        o_ref[0, 0] = (acc_s[:] / l_s[:]).astype(o_ref.dtype)
+
+
+def _flash_forward_streaming(q, k, v, *, causal: bool):
+    b, h, s, hd = q.shape
+    hkv = k.shape[1]
+    rep = h // hkv
+    scale = 1.0 / (hd**0.5)
+    s_pad = -(-s // BLOCK_KS) * BLOCK_KS  # BLOCK_KS is a BLOCK_Q multiple
+
+    def pad_q(t):
+        t = t.reshape(b * hkv, rep, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    def pad_kv(t):
+        t = t.reshape(b * hkv, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    qf, kf, vf = pad_q(q), pad_kv(k), pad_kv(v)
+    nq, nk = s_pad // BLOCK_Q, s_pad // BLOCK_KS
+
+    q_spec = pl.BlockSpec((1, 1, BLOCK_Q, hd),
+                          lambda bh, r, iq, kb: (bh, r, iq, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, BLOCK_KS, hd),
+                           lambda bh, r, iq, kb: (bh, kb, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_streaming, scale=scale, seq_len=s,
+                          causal=causal, nk=nk),
+        grid=(b * hkv, rep, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * hkv, rep, s_pad, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if causal else 4) * b * h * s_pad * s_pad * hd,
+            bytes_accessed=(2 * b * h + 2 * b * hkv * nq * rep) * s_pad * hd
+            * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad // (2 if causal else 1),
+        ),
+    )(qf, kf, vf)
+
+    return out[:, :, :s, :].reshape(b, h, s, hd)
+
+
 # Batch elements grouped per program for short sequences (amortizes program
 # and DMA overhead across G*H head-attentions). 2 is the VMEM-safe maximum at
 # ViT-B dims (4 doubles the resident q/k/v/o buffers past the 16MB scoped
@@ -237,6 +350,11 @@ def _flash_forward(q, k, v, *, causal: bool):
     mh_vmem = 2 * h * s_pad_mh * hd * q.dtype.itemsize * 4
     if rep == 1 and s <= MULTIHEAD_MAX_SEQ and mh_vmem <= 12 * 1024 * 1024:
         return _flash_forward_multihead(q, k, v, causal=causal)
+    # The resident q-tiled kernel keeps full K/V in (double-buffered) VMEM;
+    # past the budget (~12k tokens at hd=128 bf16) stream K/V blocks instead.
+    resident_vmem = 4 * (-(-s // BLOCK_Q) * BLOCK_Q) * hd * k.dtype.itemsize
+    if resident_vmem > 12 * 1024 * 1024:
+        return _flash_forward_streaming(q, k, v, causal=causal)
     scale = 1.0 / (hd**0.5)
     block_skip = causal and rep == 1 and _use_block_skip()
     # The block-skip kernel unrolls K blocks of BLOCK_K, so pad the sequence

@@ -98,6 +98,30 @@ def test_flash_attention_backward_matches_autodiff(causal):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("hkv", [2, 1])
+def test_flash_attention_streaming_matches_sdpa(causal, hkv):
+    """The streaming kernel (K/V blocks through VMEM windows, online-softmax
+    scratch across the k-block grid axis) must match sdpa exactly on MHA and
+    GQA, including a non-BLOCK_KS-multiple length (padded tail blocks are
+    no-ops in the online update). Exercised directly — dispatch only picks
+    it past the ~12k VMEM budget, too slow for interpret mode."""
+    from ssp_x_vit_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(17)
+    b, h, s, hd = 1, 2, 700, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    rep = h // hkv
+    ref = sdpa_reference(q, jnp.repeat(k, rep, axis=1),
+                         jnp.repeat(v, rep, axis=1), causal=causal)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa._flash_forward_streaming(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
 def test_flash_attention_gqa_matches_repeated_sdpa(causal):
     """GQA-native path: q has 4 heads, k/v have 2 — the kernel shares each
     kv-head's resident K/V across its query group. Forward must match
