@@ -237,8 +237,18 @@ def _flash_forward_streaming(q, k, v, *, causal: bool):
     q_spec = pl.BlockSpec((1, 1, BLOCK_Q, hd),
                           lambda bh, r, iq, kb: (bh, r, iq, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, BLOCK_KS, hd),
-                           lambda bh, r, iq, kb: (bh, kb, 0),
+    if causal:
+        # Clamp predicated-off upper-triangle k-blocks to the last needed
+        # block index: pallas skips the re-fetch when the mapped index
+        # repeats, so the skipped blocks cost no HBM bandwidth either
+        # (the pl.when in the kernel already skips their compute).
+        def kv_index(bh, r, iq, kb):
+            last_needed = (iq * BLOCK_Q + (BLOCK_Q - 1)) // BLOCK_KS
+            return (bh, jnp.minimum(kb, last_needed), 0)
+    else:
+        def kv_index(bh, r, iq, kb):
+            return (bh, kb, 0)
+    kv_spec = pl.BlockSpec((1, BLOCK_KS, hd), kv_index,
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_flash_kernel_streaming, scale=scale, seq_len=s,
@@ -556,6 +566,246 @@ def _flash_backward_pallas(q, k, v, g, *, causal: bool):
     return unpad_q(dq), unpad_kv(dk), unpad_kv(dv)
 
 
+def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
+                         dq_ref, lse_ref, delta_ref,
+                         m_s, l_s, d_s, acc_s, *, scale: float, seq_len: int,
+                         causal: bool, nk: int):
+    """Streaming dq: grid (batch*kv_heads, group, q-tile, 3*nk). The inner
+    axis makes THREE k-block sweeps per q-tile — phase 0 accumulates the
+    online row max/sum (m, l), phase 1 the softmax-jacobian row term
+    delta = sum_j P_ij dP_ij, phase 2 dq = scale * sum ds @ K — so no
+    row statistics ever cross a kernel boundary in the awkward
+    sublane-vector layout. The final phase also EMITS lse and delta as
+    lane-BROADCAST [BLOCK_Q, 128] blocks for the dk/dv kernel to consume
+    in its natural q-rows-as-sublanes orientation (a [BQ,1]<->[1,BQ]
+    relayout is the one thing Mosaic makes painful; a lane-broadcast is
+    free)."""
+    iq = pl.program_id(2)
+    step = pl.program_id(3)
+    phase = step // nk
+    kb = step % nk
+
+    @pl.when(step == 0)
+    def _():
+        m_s[:] = jnp.full(m_s.shape, _NEG_INF, jnp.float32)
+        l_s[:] = jnp.zeros(l_s.shape, jnp.float32)
+        d_s[:] = jnp.zeros(d_s.shape, jnp.float32)
+        acc_s[:] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    needed = True
+    if causal:
+        needed = kb * BLOCK_KS <= iq * BLOCK_Q + (BLOCK_Q - 1)
+
+    @pl.when(needed)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BLOCK_Q, BLOCK_KS]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + kb * BLOCK_KS
+        mask = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
+            mask = jnp.logical_and(mask, col <= row)
+        logits = jnp.where(mask, logits, _NEG_INF)
+
+        @pl.when(phase == 0)
+        def _():
+            m_s[:] = jnp.maximum(m_s[:], jnp.max(logits, axis=-1, keepdims=True))
+            # l accumulates against the FINAL m, so sum exp in phase 1 instead
+
+        @pl.when(phase >= 1)
+        def _():
+            do = do_ref[0, 0]
+            v = v_ref[0]
+            p = jnp.exp(logits - m_s[:])  # final m: no rescaling needed
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(phase == 1)
+            def _():
+                l_s[:] += jnp.sum(p, axis=-1, keepdims=True)
+                d_s[:] += jnp.sum(p * dp, axis=-1, keepdims=True)
+
+            @pl.when(phase == 2)
+            def _():
+                # delta term normalized by the row sum only now that both
+                # l and the raw d accumulator are complete
+                pn = p / l_s[:]
+                ds = pn * (dp - d_s[:] / l_s[:])
+                acc_s[:] += jax.lax.dot_general(
+                    ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+    @pl.when(step == 3 * nk - 1)
+    def _():
+        dq_ref[0, 0] = (acc_s[:] * scale).astype(dq_ref.dtype)
+        lse = m_s[:] + jnp.log(l_s[:])
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        delta_ref[0, 0] = jnp.broadcast_to(d_s[:] / l_s[:], delta_ref.shape[2:])
+
+
+def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                          seq_len: int, causal: bool, rep: int, nq: int):
+    """Streaming dk/dv: grid (batch*kv_heads, k-block, group, q-tile). The
+    K/V block stays resident while q/do/lse/delta tiles stream; f32
+    accumulators sum contributions over the whole (group x q-tile) sweep —
+    consecutive output revisits, the supported TPU pattern. Same
+    transpose-free contractions as the resident backward."""
+    kb = pl.program_id(1)
+    r = pl.program_id(2)
+    iq = pl.program_id(3)
+    first = jnp.logical_and(r == 0, iq == 0)
+    last = jnp.logical_and(r == rep - 1, iq == nq - 1)
+
+    @pl.when(first)
+    def _():
+        dk_acc[:] = jnp.zeros(dk_acc.shape, jnp.float32)
+        dv_acc[:] = jnp.zeros(dv_acc.shape, jnp.float32)
+
+    needed = True
+    if causal:
+        # q-tile contributes to k-block kb iff its last row reaches the block
+        needed = iq * BLOCK_Q + (BLOCK_Q - 1) >= kb * BLOCK_KS
+
+    @pl.when(needed)
+    def _():
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]      # [BLOCK_Q, 1] from the broadcast
+        delta = delta_ref[0, 0][:, :1]
+        k = k_ref[0]
+        v = v_ref[0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + kb * BLOCK_KS
+        mask = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
+            mask = jnp.logical_and(mask, col <= row)
+        logits = jnp.where(mask, logits, _NEG_INF)
+        p = jnp.exp(logits - lse)  # normalized probabilities directly
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(last)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward_streaming(q, k, v, g, *, causal: bool):
+    """Two-pass streaming backward for sequences past the resident VMEM
+    budget: HBM-bound like the streaming forward. Intermediate lse/delta
+    ride a lane-broadcast [..., s_pad, 128] f32 layout (s_pad*512 bytes per
+    (kv-head, group) — transient, freed after the dkv pass)."""
+    b, h, s, hd = q.shape
+    hkv = k.shape[1]
+    rep = h // hkv
+    scale = 1.0 / (hd**0.5)
+    s_pad = -(-s // BLOCK_KS) * BLOCK_KS
+
+    def pad_q(t):
+        t = t.reshape(b * hkv, rep, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    def pad_kv(t):
+        t = t.reshape(b * hkv, s, hd)
+        if s_pad != s:
+            t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
+        return t
+
+    qf, gf, kf, vf = pad_q(q), pad_q(g), pad_kv(k), pad_kv(v)
+    nq, nk = s_pad // BLOCK_Q, s_pad // BLOCK_KS
+
+    tile = pl.BlockSpec((1, 1, BLOCK_Q, hd),
+                        lambda bh, r, iq, st: (bh, r, iq, 0),
+                        memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((1, 1, BLOCK_Q, 128),
+                        lambda bh, r, iq, st: (bh, r, iq, 0),
+                        memory_space=pltpu.VMEM)
+    if causal:
+        def kv_index(bh, r, iq, st):
+            last_needed = (iq * BLOCK_Q + (BLOCK_Q - 1)) // BLOCK_KS
+            return (bh, jnp.minimum(st % nk, last_needed), 0)
+    else:
+        def kv_index(bh, r, iq, st):
+            return (bh, st % nk, 0)
+    kv = pl.BlockSpec((1, BLOCK_KS, hd), kv_index, memory_space=pltpu.VMEM)
+
+    dq, lse, delta = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, seq_len=s,
+                          causal=causal, nk=nk),
+        grid=(b * hkv, rep, nq, 3 * nk),
+        in_specs=[tile, tile, kv, kv],
+        out_specs=[tile, stat, stat],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * hkv, rep, s_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b * hkv, rep, s_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * hkv, rep, s_pad, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * s_pad * s_pad * hd,
+            bytes_accessed=(3 * b * h + 6 * b * hkv * rep * nq) * s_pad * hd
+            * q.dtype.itemsize,
+            transcendentals=2 * b * h * s_pad * s_pad,
+        ),
+    )(qf, gf, kf, vf)
+
+    tile2 = pl.BlockSpec((1, 1, BLOCK_Q, hd),
+                         lambda bh, kb, r, iq: (bh, r, iq, 0),
+                         memory_space=pltpu.VMEM)
+    stat2 = pl.BlockSpec((1, 1, BLOCK_Q, 128),
+                         lambda bh, kb, r, iq: (bh, r, iq, 0),
+                         memory_space=pltpu.VMEM)
+    kv2 = pl.BlockSpec((1, BLOCK_KS, hd), lambda bh, kb, r, iq: (bh, kb, 0),
+                       memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, seq_len=s,
+                          causal=causal, rep=rep, nq=nq),
+        grid=(b * hkv, nk, rep, nq),
+        in_specs=[tile2, tile2, stat2, stat2, kv2, kv2],
+        out_specs=[kv2, kv2],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * hkv, s_pad, hd), k.dtype),
+            jax.ShapeDtypeStruct((b * hkv, s_pad, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_KS, hd), jnp.float32),
+            pltpu.VMEM((BLOCK_KS, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * s_pad * s_pad * hd,
+            bytes_accessed=(4 * b * h * nk + 4 * b * hkv) * s_pad * hd
+            * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+    )(qf, gf, lse, delta, kf, vf)
+
+    unpad_q = lambda t: t[:, :, :s, :].reshape(b, h, s, hd)
+    unpad_kv = lambda t: t[:, :s, :].reshape(b, hkv, s, hd)
+    return unpad_q(dq), unpad_kv(dk), unpad_kv(dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, causal):
     return _flash_forward(q, k, v, causal=causal)
@@ -573,17 +823,20 @@ def _flash_bwd(causal, res, g):
     # residency, plus two f32 [S_pad, hd] accumulators). Short MHA sequences
     # take the XLA autodiff of the reference — at those sizes the [s,s]
     # logits round-trip is cheap and XLA's fusion already won the forward
-    # A/B. GQA takes the pallas kernel within the VMEM budget (matching the
-    # forward path); past it, the fallback repeats K/V — correct, just not
-    # materialization-free.
+    # A/B. GQA takes the pallas kernel (matching the forward path). Past the
+    # resident VMEM budget, the STREAMING backward takes over — the XLA
+    # fallback would materialize [b, h, s, s] f32 logits (8.6 GB at s=16k),
+    # an opaque OOM.
     s_pad = -(-s // BLOCK_Q) * BLOCK_Q
     # Per-program VMEM: double-buffered k/v inputs + dk/dv outputs (4 full
     # [S_pad, hd] buffers x2), 3 input/output q-tiles (negligible but
     # counted via the 3x term), and two f32 accumulator scratches.
     isz = q.dtype.itemsize
     bwd_vmem = (4 * isz + 2 * 4 + 3 * isz) * s_pad * hd + 2 * 4 * s_pad * hd
-    if (rep > 1 or s > MULTIHEAD_MAX_SEQ) and bwd_vmem <= 12 * 1024 * 1024:
-        return _flash_backward_pallas(q, k, v, g, causal=causal)
+    if (rep > 1 or s > MULTIHEAD_MAX_SEQ):
+        if bwd_vmem <= 12 * 1024 * 1024:
+            return _flash_backward_pallas(q, k, v, g, causal=causal)
+        return _flash_backward_streaming(q, k, v, g, causal=causal)
 
     def ref(q_, k_, v_):
         if rep > 1:

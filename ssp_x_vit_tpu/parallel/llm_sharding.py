@@ -99,14 +99,15 @@ def llm_param_specs_like(params: Params) -> Dict[str, Any]:
     return specs
 
 
+def _place_by_specs(params: Params, specs, mesh: Mesh) -> Params:
+    """device_put every leaf to its NamedSharding(mesh, spec)."""
+    return jax.tree.map(
+        lambda spec, leaf: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        specs, params, is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_llama_params(params: Params, mesh: Mesh, cfg: LlamaConfig) -> Params:
-    specs = llm_param_specs_like(params)
-
-    def place(spec, leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    return jax.tree.map(place, specs, params,
-                        is_leaf=lambda x: isinstance(x, P))
+    return _place_by_specs(params, llm_param_specs_like(params), mesh)
 
 
 # ---------------- tensor-parallel serving ----------------
@@ -272,13 +273,14 @@ def fsdp_llama_param_specs_like(params: Params, dp: int) -> Dict[str, Any]:
 
 
 def shard_llama_params_fsdp(params: Params, mesh: Mesh) -> Params:
-    specs = fsdp_llama_param_specs_like(params, mesh.shape["data"])
-
-    def place(spec, leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    return jax.tree.map(place, specs, params,
-                        is_leaf=lambda x: isinstance(x, P))
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError(
+            "FSDP shards over 'data' only and its in-step constraints would "
+            "silently drop a megatron 'model' placement — use a model=1 mesh "
+            "(fsdp x tp composition is future work; dp x tp lives in "
+            "make_sharded_llama_train_step)")
+    return _place_by_specs(
+        params, fsdp_llama_param_specs_like(params, mesh.shape["data"]), mesh)
 
 
 def make_fsdp_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
@@ -288,9 +290,10 @@ def make_fsdp_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
     optimizer.init(sharded_params). The loss/step body is the single-chip
     one (flash fwd + pallas bwd, per-layer remat); updated params are
     re-constrained to the fsdp specs so the placement is a guarantee, not a
-    propagation accident. Compose with tp by building the mesh with a
-    'model' axis >1 — megatron specs then apply on top via
-    shard_llama_params (mutually exclusive axes)."""
+    propagation accident. Requires a model=1 mesh: the fsdp constraints
+    mention only 'data', so they would silently REPLICATE a megatron
+    'model' placement (fsdp x tp composition is future work; dp x tp is
+    make_sharded_llama_train_step)."""
     import functools
 
     import jax.numpy as jnp
@@ -298,6 +301,9 @@ def make_fsdp_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
 
     from ssp_x_vit_tpu.llm.train import next_token_loss
 
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError("FSDP step requires a model=1 mesh (see "
+                         "shard_llama_params_fsdp)")
     if optimizer is None:
         optimizer = optax.adamw(1e-4)
     compute_dtype = compute_dtype or jnp.bfloat16

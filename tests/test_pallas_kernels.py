@@ -122,6 +122,38 @@ def test_flash_attention_streaming_matches_sdpa(causal, hkv):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("hkv", [2, 1])
+def test_flash_attention_streaming_backward_matches_autodiff(causal, hkv):
+    """The two-pass streaming backward (dq 3-phase sweep + dkv with resident
+    K blocks, lse/delta handed off lane-broadcast) must match XLA autodiff
+    through the reference. Direct call — dispatch picks it only past the
+    resident VMEM budget. Non-BLOCK_KS-multiple length covers padded-tail
+    blocks in both passes."""
+    from ssp_x_vit_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(23)
+    b, h, s, hd = 1, 2, 700, 64
+    rep = h // hkv
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+
+    def ref(q_, k_, v_):
+        return sdpa_reference(q_, jnp.repeat(k_, rep, axis=1),
+                              jnp.repeat(v_, rep, axis=1), causal=causal)
+
+    ref_grads = jax.grad(lambda *t: jnp.vdot(ref(*t), g), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out_grads = fa._flash_backward_streaming(q, k, v, g, causal=causal)
+
+    for got, want, name in zip(out_grads, ref_grads, "q k v".split()):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
 def test_flash_attention_gqa_matches_repeated_sdpa(causal):
     """GQA-native path: q has 4 heads, k/v have 2 — the kernel shares each
     kv-head's resident K/V across its query group. Forward must match
