@@ -46,6 +46,10 @@ class LlamaConfig:
     layer_norm_eps: float = 1e-5       # phi/opt use LayerNorm (with bias)
     # opt specifics
     max_position_embeddings: int = 2048  # learned positional table size
+    # MoE (mixtral-style switch FFN; llama layout only). 0 = dense MLP.
+    num_experts: int = 0
+    expert_capacity_factor: float = 1.25
+    router_aux_coef: float = 0.01  # load-balance loss weight in training
 
     @property
     def is_phi(self) -> bool:
@@ -147,6 +151,23 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
         }
         return params
 
+    if cfg.num_experts:
+        # MoE (mixtral-style): per-layer switch router + expert-stacked
+        # SwiGLU kernels — the per-layer slices match parallel/moe.py's
+        # param contract exactly, so the block MLP IS moe_ffn.
+        E = cfg.num_experts
+        mlp = {
+            "router": nrm(next(ks), (L, d, E)),
+            "gate_kernel": nrm(next(ks), (L, E, d, f)),
+            "up_kernel": nrm(next(ks), (L, E, d, f)),
+            "down_kernel": nrm(next(ks), (L, E, f, d)),
+        }
+    else:
+        mlp = {
+            "gate_kernel": nrm(next(ks), (L, d, f)),
+            "up_kernel": nrm(next(ks), (L, d, f)),
+            "down_kernel": nrm(next(ks), (L, f, d)),
+        }
     params: Params = {
         "embed": nrm(next(ks), (cfg.vocab_size, d)),
         "blocks": {
@@ -156,9 +177,7 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
             "v_kernel": nrm(next(ks), (L, d, hkv)),
             "o_kernel": nrm(next(ks), (L, hq, d)),
             "ln2": jnp.ones((L, d), dtype),
-            "gate_kernel": nrm(next(ks), (L, d, f)),
-            "up_kernel": nrm(next(ks), (L, d, f)),
-            "down_kernel": nrm(next(ks), (L, f, d)),
+            **mlp,
         },
         "ln_final": jnp.ones((d,), dtype),
     }
@@ -285,6 +304,23 @@ def _layer_norm(x, scale, bias, eps):
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def _moe_mlp(x, bp, cfg: LlamaConfig, compute_dtype):
+    """Switch-MoE block MLP: the per-layer param slice IS parallel/moe.py's
+    contract (router [d,E], expert-stacked SwiGLU kernels), so routing,
+    capacity slotting, dispatch/combine and the load-balance loss are the
+    tested GShard implementation. Expert parallelism comes from placing the
+    expert axis of the weights over an 'expert' mesh axis
+    (moe_llama_param_specs_like) — GSPMD propagates it into the dispatched
+    activations."""
+    from ssp_x_vit_tpu.parallel.moe import MoEConfig, moe_ffn
+
+    mcfg = MoEConfig(cfg.hidden_size, cfg.intermediate_size, cfg.num_experts,
+                     cfg.expert_capacity_factor)
+    p = {k: bp[k] for k in ("router", "gate_kernel", "up_kernel", "down_kernel")}
+    y, aux = moe_ffn(p, x.astype(compute_dtype), mcfg)
+    return y.astype(compute_dtype), aux["aux_loss"]
+
+
 def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
     g = _mm(x, bp, "gate_kernel", compute_dtype)
     u = _mm(x, bp, "up_kernel", compute_dtype)
@@ -343,6 +379,13 @@ def llama_forward(
     """
     if cfg.pruned_attention_blocks:
         raise ValueError("use llama_forward_materialized for depth-materialized configs")
+    if cfg.num_experts:
+        if cfg.is_phi or cfg.is_opt:
+            raise ValueError("MoE is supported on the llama block layout only")
+        if collect_mlp_stats or collect_mlp_io_stats or neuron_mask is not None:
+            raise ValueError(
+                "2SSP width instrumentation targets dense MLPs; MoE configs "
+                "route tokens per-expert and do not support neuron masks/stats")
     L = cfg.num_layers
     x = params["embed"].astype(compute_dtype)[input_ids]
     if cfg.is_opt:
@@ -396,8 +439,13 @@ def llama_forward(
         attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
         x = x + attn_out * ga.astype(x.dtype)
         mlp_in = rms_norm(x, bp["ln2"], cfg.rms_eps)
-        mlp_out, stats = _mlp(mlp_in, bp, compute_dtype, nm, collect_mlp_stats,
-                              mlp_stats_kind)
+        if cfg.num_experts:
+            mlp_out, aux_loss = _moe_mlp(mlp_in, bp, cfg, compute_dtype)
+            out["moe_aux_loss"] = aux_loss
+            stats = None
+        else:
+            mlp_out, stats = _mlp(mlp_in, bp, compute_dtype, nm, collect_mlp_stats,
+                                  mlp_stats_kind)
         if collect_mlp_stats:
             out["mlp_stats"] = stats
         if collect_mlp_io_stats:

@@ -525,6 +525,11 @@ def generate_kv_scan(
     cache — e.g. tensor-parallel head sharding over a mesh
     (parallel.llm_sharding.tp_cache_factory); computation follows the
     params/cache shardings through the jitted prefill/decode."""
+    if getattr(cfg, "num_experts", 0):
+        raise ValueError(
+            "MoE configs are not supported by the KV-cached serving path yet "
+            "(the decode layer step uses the dense MLP); use the full-"
+            "recompute generation in llm/generate.py for MoE models")
     single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
         not isinstance(input_ids, np.ndarray) and input_ids
         and isinstance(input_ids[0], (int, np.integer)))

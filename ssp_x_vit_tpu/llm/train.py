@@ -34,17 +34,23 @@ def next_token_loss(params: Params, tokens: jax.Array, cfg: LlamaConfig, *,
     loop (prune -> brief finetune -> serve). Their unrolled forward has no
     scanned layer to checkpoint, so ``remat`` is a no-op there.
     """
+    aux = {}
     if cfg.pruned_attention_blocks:
         from ssp_x_vit_tpu.llm.model import llama_forward_materialized
 
         logits = llama_forward_materialized(params, tokens[:, :-1], cfg,
                                             compute_dtype=compute_dtype)
     else:
-        logits, _ = llama_forward(params, tokens[:, :-1], cfg,
-                                  compute_dtype=compute_dtype, remat=remat)
+        logits, aux = llama_forward(params, tokens[:, :-1], cfg,
+                                    compute_dtype=compute_dtype, remat=remat)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
-    return nll.mean()
+    loss = nll.mean()
+    if cfg.num_experts:
+        # switch load-balance loss, averaged over layers (GShard/Switch
+        # convention), weighted by router_aux_coef
+        loss = loss + cfg.router_aux_coef * jnp.mean(aux["moe_aux_loss"])
+    return loss
 
 
 def make_llama_train_step(cfg: LlamaConfig,

@@ -330,3 +330,30 @@ def make_fsdp_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
         return step(params, opt_state, tokens)
 
     return run
+
+
+# ---------------- MoE-llama expert-parallel placement ----------------
+
+def moe_llama_param_specs_like(params: Params) -> Dict[str, Any]:
+    """Specs for a MoE-llama pytree (LlamaConfig.num_experts > 0): the
+    expert axis of the stacked per-layer expert kernels [L, E, ...] shards
+    over 'expert'; everything else (attention, norms, router, embeddings)
+    replicates. GSPMD propagates the expert placement into moe_ffn's
+    dispatched [E, C, d] activations, inserting the all_to_all pair."""
+    moe_keys = {"gate_kernel", "up_kernel", "down_kernel"}
+    specs: Dict[str, Any] = {}
+    for k, v in params.items():
+        if k == "blocks":
+            specs["blocks"] = {
+                bk: (P(None, "expert", *([None] * (bv.ndim - 2)))
+                     if bk in moe_keys and bv.ndim == 4
+                     else P(*([None] * bv.ndim)))
+                for bk, bv in v.items()
+            }
+        else:
+            specs[k] = P(*([None] * v.ndim))
+    return specs
+
+
+def shard_moe_llama_params(params: Params, mesh: Mesh) -> Params:
+    return _place_by_specs(params, moe_llama_param_specs_like(params), mesh)

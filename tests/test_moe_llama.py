@@ -1,0 +1,88 @@
+"""MoE-llama model family (mixtral-style switch FFN in the llama block):
+dense equivalence at E=1, training with the load-balance loss, expert-
+parallel numerics, and the serving guard."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh
+
+from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params, llama_forward
+
+MOE_CFG = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, num_experts=4)
+
+
+def _tokens(cfg, b=2, s=24, seed=0):
+    return jax.random.randint(jax.random.PRNGKey(seed), (b, s), 0, cfg.vocab_size)
+
+
+def test_moe_single_expert_equals_dense():
+    """E=1 routes every token (capacity >= T) through the only expert with
+    gate prob exactly 1.0 — logits must equal the dense MLP model built from
+    the same weights."""
+    dense_cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2,
+                            num_heads=4, num_kv_heads=2, intermediate_size=64)
+    moe_cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2,
+                          num_heads=4, num_kv_heads=2, intermediate_size=64,
+                          num_experts=1)
+    dense = init_llama_params(jax.random.PRNGKey(0), dense_cfg)
+    moe = jax.tree.map(lambda x: x, dense)
+    moe["blocks"] = dict(dense["blocks"])
+    for k in ("gate_kernel", "up_kernel", "down_kernel"):
+        moe["blocks"][k] = dense["blocks"][k][:, None]  # [L, 1, d, f]
+    moe["blocks"]["router"] = jnp.zeros((2, 32, 1), jnp.float32)
+
+    toks = _tokens(dense_cfg)
+    ld, _ = llama_forward(dense, toks, dense_cfg, compute_dtype=jnp.float32)
+    lm, aux = llama_forward(moe, toks, moe_cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)
+    assert aux["moe_aux_loss"].shape == (2,)  # per-layer switch LB loss
+
+
+def test_moe_train_step_reduces_loss():
+    from ssp_x_vit_tpu.llm.train import make_llama_train_step
+
+    params = init_llama_params(jax.random.PRNGKey(1), MOE_CFG)
+    opt = optax.adam(1e-2)
+    step = make_llama_train_step(MOE_CFG, opt, compute_dtype=jnp.float32)
+    opt_state = opt.init(params)
+    toks = _tokens(MOE_CFG, seed=3)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.1, losses
+
+
+def test_moe_expert_parallel_matches_single_device():
+    from ssp_x_vit_tpu.parallel.llm_sharding import shard_moe_llama_params
+
+    params = init_llama_params(jax.random.PRNGKey(2), MOE_CFG)
+    toks = _tokens(MOE_CFG, seed=5)
+    single, _ = llama_forward(params, toks, MOE_CFG, compute_dtype=jnp.float32)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "expert"))
+    sp = shard_moe_llama_params(params, mesh)
+    spec = sp["blocks"]["gate_kernel"].sharding.spec
+    assert "expert" in jax.tree.leaves(tuple(spec)), spec
+    sharded, _ = jax.jit(lambda p, t: llama_forward(
+        p, t, MOE_CFG, compute_dtype=jnp.float32))(sp, toks)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_moe_guards():
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    params = init_llama_params(jax.random.PRNGKey(3), MOE_CFG)
+    with pytest.raises(ValueError, match="MoE"):
+        generate_kv_scan(params, MOE_CFG, np.arange(8, dtype=np.int32),
+                         max_length=16)
+    with pytest.raises(ValueError, match="dense MLPs"):
+        llama_forward(params, np.zeros((1, 8), np.int32), MOE_CFG,
+                      collect_mlp_stats=True)
