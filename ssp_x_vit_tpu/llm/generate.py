@@ -29,7 +29,11 @@ def greedy_generate(
     max_length: int = 64,
     eos_token_id: Optional[int] = None,
     no_repeat_ngram_size: int = 3,
+    compute_dtype=None,
 ) -> np.ndarray:
+    import jax.numpy as _jnp
+
+    compute_dtype = compute_dtype or _jnp.bfloat16
     ids = list(np.asarray(input_ids).reshape(-1).tolist())
     materialized = bool(cfg.pruned_attention_blocks)
 
@@ -39,9 +43,11 @@ def greedy_generate(
     @jax.jit
     def step_logits(tokens, cursor):
         if materialized:
-            logits = llama_forward_materialized(params, tokens, cfg)
+            logits = llama_forward_materialized(params, tokens, cfg,
+                                                compute_dtype=compute_dtype)
         else:
-            logits, _ = llama_forward(params, tokens, cfg)
+            logits, _ = llama_forward(params, tokens, cfg,
+                                      compute_dtype=compute_dtype)
         return logits[0, cursor]
 
     while len(ids) < max_length:

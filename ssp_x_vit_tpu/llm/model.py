@@ -151,23 +151,6 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
         }
         return params
 
-    if cfg.num_experts:
-        # MoE (mixtral-style): per-layer switch router + expert-stacked
-        # SwiGLU kernels — the per-layer slices match parallel/moe.py's
-        # param contract exactly, so the block MLP IS moe_ffn.
-        E = cfg.num_experts
-        mlp = {
-            "router": nrm(next(ks), (L, d, E)),
-            "gate_kernel": nrm(next(ks), (L, E, d, f)),
-            "up_kernel": nrm(next(ks), (L, E, d, f)),
-            "down_kernel": nrm(next(ks), (L, E, f, d)),
-        }
-    else:
-        mlp = {
-            "gate_kernel": nrm(next(ks), (L, d, f)),
-            "up_kernel": nrm(next(ks), (L, d, f)),
-            "down_kernel": nrm(next(ks), (L, f, d)),
-        }
     params: Params = {
         "embed": nrm(next(ks), (cfg.vocab_size, d)),
         "blocks": {
@@ -177,10 +160,28 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
             "v_kernel": nrm(next(ks), (L, d, hkv)),
             "o_kernel": nrm(next(ks), (L, hq, d)),
             "ln2": jnp.ones((L, d), dtype),
-            **mlp,
         },
         "ln_final": jnp.ones((d,), dtype),
     }
+    if cfg.num_experts:
+        # MoE (mixtral-style): per-layer switch router + expert-stacked
+        # SwiGLU kernels — the per-layer slices match parallel/moe.py's
+        # param contract exactly, so the block MLP IS moe_ffn. Key draw
+        # order stays after the attention draws (same-seed dense weights
+        # are bit-identical to pre-MoE rounds).
+        E = cfg.num_experts
+        params["blocks"].update({
+            "router": nrm(next(ks), (L, d, E)),
+            "gate_kernel": nrm(next(ks), (L, E, d, f)),
+            "up_kernel": nrm(next(ks), (L, E, d, f)),
+            "down_kernel": nrm(next(ks), (L, E, f, d)),
+        })
+    else:
+        params["blocks"].update({
+            "gate_kernel": nrm(next(ks), (L, d, f)),
+            "up_kernel": nrm(next(ks), (L, d, f)),
+            "down_kernel": nrm(next(ks), (L, f, d)),
+        })
     if cfg.qkv_bias:
         params["blocks"]["q_bias"] = jnp.zeros((L, hq), dtype)
         params["blocks"]["k_bias"] = jnp.zeros((L, hkv), dtype)
@@ -306,18 +307,20 @@ def _layer_norm(x, scale, bias, eps):
 
 def _moe_mlp(x, bp, cfg: LlamaConfig, compute_dtype):
     """Switch-MoE block MLP: the per-layer param slice IS parallel/moe.py's
-    contract (router [d,E], expert-stacked SwiGLU kernels), so routing,
-    capacity slotting, dispatch/combine and the load-balance loss are the
-    tested GShard implementation. Expert parallelism comes from placing the
-    expert axis of the weights over an 'expert' mesh axis
-    (moe_llama_param_specs_like) — GSPMD propagates it into the dispatched
-    activations."""
-    from ssp_x_vit_tpu.parallel.moe import MoEConfig, moe_ffn
+    contract (router [d,E], expert-stacked SwiGLU kernels). Uses the
+    DROPLESS formulation (every token through its routed expert, no
+    capacity overflow) so the forward is sequence-length-independent —
+    KV-cached decode equals the full-recompute forward exactly; the
+    capacity/dispatch GShard form stays available in parallel/moe.py for
+    giant-E training. Expert parallelism comes from placing the expert
+    axis of the weights over an 'expert' mesh axis
+    (moe_llama_param_specs_like)."""
+    from ssp_x_vit_tpu.parallel.moe import MoEConfig, moe_ffn_dropless
 
     mcfg = MoEConfig(cfg.hidden_size, cfg.intermediate_size, cfg.num_experts,
                      cfg.expert_capacity_factor)
     p = {k: bp[k] for k in ("router", "gate_kernel", "up_kernel", "down_kernel")}
-    y, aux = moe_ffn(p, x.astype(compute_dtype), mcfg)
+    y, aux = moe_ffn_dropless(p, x.astype(compute_dtype), mcfg)
     return y.astype(compute_dtype), aux["aux_loss"]
 
 

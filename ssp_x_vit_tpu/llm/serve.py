@@ -248,6 +248,13 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
             attn = attn + bp["o_bias"].astype(compute_dtype)
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+    if cfg.num_experts:
+        # switch-MoE block MLP (bf16 expert weights; the router/expert
+        # kernels ride the same scanned pytree slices as dense kernels)
+        from ssp_x_vit_tpu.llm.model import _moe_mlp
+
+        mlp, _ = _moe_mlp(h2, bp, cfg, compute_dtype)
+        return x + mlp, ck_l, cv_l
     if any(k.startswith("gateup_kernel") for k in bp):
         gu = _mm(h2, bp, "gateup_kernel", compute_dtype)
         g, u = jnp.split(gu, 2, axis=-1)
@@ -283,7 +290,9 @@ def pack_llm_params_for_serving(params: Params, cfg: LlamaConfig) -> Params:
         blocks["qkv_kernel_scale"] = cat(
             ("q_kernel", "k_kernel", "v_kernel"), "_scale", -1)
     # biases (qwen2/phi) stay separate — they are O(d) adds, not matmuls
-    if "gate_kernel" in blocks:
+    if "gate_kernel" in blocks and blocks["gate_kernel"].ndim == 3:
+        # dense MLP only: MoE expert kernels [L, E, d, f] stay unfused
+        # (moe_ffn contracts gate/up separately per expert)
         blocks["gateup_kernel"] = cat(("gate_kernel", "up_kernel"), "", -1)
     elif "gate_kernel_q" in blocks:
         blocks["gateup_kernel_q"] = cat(("gate_kernel", "up_kernel"), "_q", -1)
@@ -525,11 +534,10 @@ def generate_kv_scan(
     cache — e.g. tensor-parallel head sharding over a mesh
     (parallel.llm_sharding.tp_cache_factory); computation follows the
     params/cache shardings through the jitted prefill/decode."""
-    if getattr(cfg, "num_experts", 0):
-        raise ValueError(
-            "MoE configs are not supported by the KV-cached serving path yet "
-            "(the decode layer step uses the dense MLP); use the full-"
-            "recompute generation in llm/generate.py for MoE models")
+    if cfg.num_experts and any(
+            k.endswith(("_q", "_q4")) for k in params["blocks"]):
+        raise ValueError("quantized MoE expert weights are not supported "
+                         "(moe_ffn contracts bf16/f32 expert kernels)")
     single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
         not isinstance(input_ids, np.ndarray) and input_ids
         and isinstance(input_ids[0], (int, np.integer)))

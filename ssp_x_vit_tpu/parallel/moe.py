@@ -126,3 +126,41 @@ def moe_ffn(params: Params, x: jax.Array, cfg: MoEConfig,
         "aux_loss": E * jnp.sum(load * importance),            # switch LB loss
     }
     return y, aux
+
+
+def moe_ffn_dropless(params: Params, x: jax.Array, cfg: MoEConfig):
+    """Dropless top-1 MoE: every token is computed by EVERY expert (E x the
+    dense FLOPs) and the router gate selects/weights the outputs — exact and
+    sequence-length-INDEPENDENT, unlike the capacity formulation where a
+    token's fate depends on how many earlier tokens picked its expert.
+    This is the inference-correct semantics (KV-cached decode must equal the
+    full-recompute forward regardless of how many tokens are processed per
+    dispatch); the capacity/dispatch form above is the training-efficiency
+    construct. The expert axis of the [T, E, f] intermediates shards over
+    'expert' exactly like the dispatched form (GSPMD inserts the final
+    psum over E)."""
+    b, s, d = x.shape
+    E = cfg.num_experts
+    xt = x.reshape(b * s, d)
+
+    logits = xt.astype(jnp.float32) @ params["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                    # [T, E]
+    expert = jnp.argmax(probs, axis=-1)                        # [T]
+    gate = jnp.take_along_axis(probs, expert[:, None], axis=1)[:, 0]
+    sel = (jax.nn.one_hot(expert, E, dtype=x.dtype)
+           * gate.astype(x.dtype)[:, None])                    # [T, E]
+
+    g = jnp.einsum("td,edf->tef", xt, params["gate_kernel"].astype(x.dtype))
+    u = jnp.einsum("td,edf->tef", xt, params["up_kernel"].astype(x.dtype))
+    y = jnp.einsum("tef,efd->ted", jax.nn.silu(g) * u,
+                   params["down_kernel"].astype(x.dtype))      # [T, E, d]
+    out = jnp.einsum("te,ted->td", sel, y).reshape(b, s, d)
+
+    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)
+    load = jnp.mean(onehot, axis=0)
+    aux = {
+        "load": load,
+        "dropped": jnp.zeros((), jnp.float32),
+        "aux_loss": E * jnp.sum(load * jnp.mean(probs, axis=0)),
+    }
+    return out, aux

@@ -76,12 +76,30 @@ def test_moe_expert_parallel_matches_single_device():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_moe_kv_serving_matches_full_recompute():
+    """KV-cached greedy on a MoE model == full-recompute greedy (the MoE
+    block MLP has no cache state; only attention is cached)."""
+    from ssp_x_vit_tpu.llm.generate import greedy_generate
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    params = init_llama_params(jax.random.PRNGKey(4), MOE_CFG)
+    prompt = np.asarray([3, 5, 7, 11, 13], np.int32)
+    full = greedy_generate(params, MOE_CFG, prompt, max_length=16,
+                           no_repeat_ngram_size=0, compute_dtype=jnp.float32)
+    kv = generate_kv_scan(params, MOE_CFG, prompt, max_length=16,
+                          cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(kv), np.asarray(full))
+
+
 def test_moe_guards():
     from ssp_x_vit_tpu.llm.serve import generate_kv_scan
 
     params = init_llama_params(jax.random.PRNGKey(3), MOE_CFG)
-    with pytest.raises(ValueError, match="MoE"):
-        generate_kv_scan(params, MOE_CFG, np.arange(8, dtype=np.int32),
+    qparams = dict(params)
+    qparams["blocks"] = dict(params["blocks"])
+    qparams["blocks"]["gate_kernel_q"] = qparams["blocks"].pop("gate_kernel")
+    with pytest.raises(ValueError, match="quantized MoE"):
+        generate_kv_scan(qparams, MOE_CFG, np.arange(8, dtype=np.int32),
                          max_length=16)
     with pytest.raises(ValueError, match="dense MLPs"):
         llama_forward(params, np.zeros((1, 8), np.int32), MOE_CFG,
