@@ -50,6 +50,7 @@ class LlamaConfig:
     num_experts: int = 0
     expert_capacity_factor: float = 1.25
     router_aux_coef: float = 0.01  # load-balance loss weight in training
+    moe_top_k: int = 1  # experts per token (1 = switch, 2 = mixtral)
 
     @property
     def is_phi(self) -> bool:
@@ -318,7 +319,7 @@ def _moe_mlp(x, bp, cfg: LlamaConfig, compute_dtype):
     from ssp_x_vit_tpu.parallel.moe import MoEConfig, moe_ffn_dropless
 
     mcfg = MoEConfig(cfg.hidden_size, cfg.intermediate_size, cfg.num_experts,
-                     cfg.expert_capacity_factor)
+                     cfg.expert_capacity_factor, top_k=cfg.moe_top_k)
     p = {k: bp[k] for k in ("router", "gate_kernel", "up_kernel", "down_kernel")}
     y, aux = moe_ffn_dropless(p, x.astype(compute_dtype), mcfg)
     return y.astype(compute_dtype), aux["aux_loss"]

@@ -36,6 +36,7 @@ class MoEConfig:
     expert_intermediate: int
     num_experts: int
     capacity_factor: float = 1.25
+    top_k: int = 1  # 1 = switch; 2 = mixtral-style (dropless path only)
 
     def capacity(self, num_tokens: int) -> int:
         c = int(self.capacity_factor * num_tokens / self.num_experts)
@@ -145,10 +146,18 @@ def moe_ffn_dropless(params: Params, x: jax.Array, cfg: MoEConfig):
 
     logits = xt.astype(jnp.float32) @ params["router"].astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                    # [T, E]
-    expert = jnp.argmax(probs, axis=-1)                        # [T]
-    gate = jnp.take_along_axis(probs, expert[:, None], axis=1)[:, 0]
-    sel = (jax.nn.one_hot(expert, E, dtype=x.dtype)
-           * gate.astype(x.dtype)[:, None])                    # [T, E]
+    if cfg.top_k == 1:
+        expert = jnp.argmax(probs, axis=-1)                    # [T]
+        gate = jnp.take_along_axis(probs, expert[:, None], axis=1)[:, 0]
+        sel = (jax.nn.one_hot(expert, E, dtype=x.dtype)
+               * gate.astype(x.dtype)[:, None])                # [T, E]
+    else:
+        # mixtral-style top-k: gates renormalized over the selected experts
+        top_p, top_e = jax.lax.top_k(probs, cfg.top_k)         # [T, k]
+        top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        sel = jnp.sum(jax.nn.one_hot(top_e, E, dtype=jnp.float32)
+                      * top_p[..., None], axis=1).astype(x.dtype)  # [T, E]
+        expert = top_e[:, 0]  # primary expert, for the load statistic
 
     g = jnp.einsum("td,edf->tef", xt, params["gate_kernel"].astype(x.dtype))
     u = jnp.einsum("td,edf->tef", xt, params["up_kernel"].astype(x.dtype))

@@ -104,3 +104,29 @@ def test_moe_guards():
     with pytest.raises(ValueError, match="dense MLPs"):
         llama_forward(params, np.zeros((1, 8), np.int32), MOE_CFG,
                       collect_mlp_stats=True)
+
+
+def test_moe_top2_serving_matches_full_recompute():
+    """Mixtral-style top-2 routing: renormalized gates over the selected
+    pair; KV-cached greedy still equals full recompute (dropless path is
+    length-independent for any k)."""
+    from ssp_x_vit_tpu.llm.generate import greedy_generate
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, num_experts=4,
+                      moe_top_k=2)
+    params = init_llama_params(jax.random.PRNGKey(6), cfg)
+    prompt = np.asarray([2, 4, 6, 8], np.int32)
+    full = greedy_generate(params, cfg, prompt, max_length=14,
+                           no_repeat_ngram_size=0, compute_dtype=jnp.float32)
+    kv = generate_kv_scan(params, cfg, prompt, max_length=14,
+                          cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(kv), np.asarray(full))
+
+    # top-2 must actually mix two experts: output differs from top-1 routing
+    cfg1 = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                       num_kv_heads=2, intermediate_size=64, num_experts=4)
+    l2, _ = llama_forward(params, _tokens(cfg), cfg, compute_dtype=jnp.float32)
+    l1, _ = llama_forward(params, _tokens(cfg), cfg1, compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(l2), np.asarray(l1))
