@@ -130,3 +130,21 @@ def test_moe_top2_serving_matches_full_recompute():
     l2, _ = llama_forward(params, _tokens(cfg), cfg, compute_dtype=jnp.float32)
     l1, _ = llama_forward(params, _tokens(cfg), cfg1, compute_dtype=jnp.float32)
     assert not np.allclose(np.asarray(l2), np.asarray(l1))
+
+
+def test_moe_persistence_round_trip(tmp_path):
+    """save/load preserves the MoE config fields and the expert pytree
+    (f32 load is bit-exact; default bf16 load is the deployment artifact)."""
+    from ssp_x_vit_tpu.llm.checkpoints import load_llm_model, save_llm_model
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, num_experts=4,
+                      moe_top_k=2)
+    params = init_llama_params(jax.random.PRNGKey(7), cfg)
+    save_llm_model(str(tmp_path), params, cfg)
+    p2, c2 = load_llm_model(str(tmp_path), dtype=jnp.float32)
+    assert c2 == cfg
+    toks = _tokens(cfg, seed=9)
+    l1, _ = llama_forward(params, toks, cfg, compute_dtype=jnp.float32)
+    l2, _ = llama_forward(p2, toks, c2, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
