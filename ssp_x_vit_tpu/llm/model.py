@@ -489,6 +489,12 @@ def llama_forward_materialized(
 ) -> jax.Array:
     """Unrolled forward for depth-materialized models (attention weights of
     pruned blocks physically absent; cf. vit_forward_materialized)."""
+    if cfg.num_experts:
+        raise ValueError(
+            "MoE configs do not support depth materialization (2SSP depth "
+            "pruning targets the dense block layout); this guard prevents "
+            "the 4-D expert kernels from silently broadcasting through the "
+            "dense _mlp contraction")
     x = params["embed"].astype(compute_dtype)[input_ids]
     if cfg.is_opt:
         pos = 2 + jnp.arange(input_ids.shape[1])

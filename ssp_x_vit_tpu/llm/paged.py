@@ -271,6 +271,9 @@ def paged_generate(params: Params, cfg: LlamaConfig, prompts, *,
     on-device scan for the whole batch (greedy). Different prompt lengths
     decode at their own positions — no left padding. Returns a list of
     per-prompt token arrays (prompt + generation, trimmed at eos)."""
+    if getattr(cfg, "num_experts", 0):
+        raise ValueError("MoE configs are not supported by the paged serving "
+                         "paths (dense-MLP layer step); use generate_kv_scan")
     prompts = [np.asarray(p).reshape(-1).astype(np.int32) for p in prompts]
     b = len(prompts)
     if max_new_tokens <= 0:
@@ -339,6 +342,10 @@ class PagedServer:
     def __init__(self, params: Params, cfg: LlamaConfig, *, max_batch: int = 4,
                  num_pages: int = 128, page_size: int = 64,
                  max_context: int = 1024, cache_dtype=jnp.bfloat16):
+        if getattr(cfg, "num_experts", 0):
+            raise ValueError("MoE configs are not supported by the paged "
+                             "serving paths (dense-MLP layer step); use "
+                             "generate_kv_scan")
         self.params, self.cfg = params, cfg
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_context // page_size)

@@ -237,6 +237,9 @@ def materialize_llm_depth_pruning(
     """Physically drop pruned blocks' attention weights (reference deletes
     q/k/v/o projections, src/utilities.py:486-503)."""
     pruned = tuple(sorted(set(int(i) for i in blocks_to_prune)))
+    if getattr(cfg, "num_experts", 0):
+        raise ValueError("depth materialization targets dense-MLP configs; "
+                         "MoE models are not 2SSP targets")
     if not pruned:
         return params, cfg
     if cfg.pruned_attention_blocks:

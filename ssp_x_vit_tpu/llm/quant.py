@@ -66,6 +66,11 @@ def quantize_llm_params_int8(params: Params, cfg: LlamaConfig) -> Params:
     replaced by ``k + "_q"`` (int8) and ``k + "_scale"`` (f32 per-out-channel).
     Original bf16 kernels are dropped (that's the point: no double storage).
     Works on dense, width-pruned and depth-materialized stacked pytrees."""
+    if getattr(cfg, "num_experts", 0):
+        raise ValueError(
+            "quantized MoE expert weights are unsupported: the dropless "
+            "expert contractions are bf16/f32 (docs/serving.md)")
+
     out = {k: v for k, v in params.items() if k != "blocks"}
     blocks = {}
     for k, v in params["blocks"].items():
@@ -90,6 +95,11 @@ def quantize_llm_params_int4(params: Params, cfg: LlamaConfig) -> Params:
     int8: the 15-level absmax grid is coarse, and keeping the head at int8
     is the standard accuracy/size tradeoff (head bytes are a small fraction
     of the stream)."""
+    if getattr(cfg, "num_experts", 0):
+        raise ValueError(
+            "quantized MoE expert weights are unsupported: the dropless "
+            "expert contractions are bf16/f32 (docs/serving.md)")
+
     from ssp_x_vit_tpu.ops.pallas.quant_matmul import quantize_weight_int4
 
     out = {k: v for k, v in params.items() if k != "blocks"}

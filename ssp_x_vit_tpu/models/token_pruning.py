@@ -40,7 +40,14 @@ def cls_attention_scores(x: jax.Array, bp: Params, cfg: ViTConfig) -> jax.Array:
     one q-row projection + one [b, h, s] dot — no [s, s] logits."""
     h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], cfg.layernorm_eps)
     d = cfg.hidden_size
-    qkv_k = bp["qkv_kernel"].astype(x.dtype)
+    if "qkv_kernel" in bp:
+        qkv_k = bp["qkv_kernel"].astype(x.dtype)
+    else:
+        # int8-quantized pytree (models/quant.py): dequantize the q/k halves
+        # (per-out-channel scales) — scoring is a tiny side computation, the
+        # block itself keeps its int8 epilogue-scale matmuls
+        qkv_k = (bp["qkv_kernel_q"].astype(x.dtype)
+                 * bp["qkv_kernel_scale"].astype(x.dtype)[None, :])
     q_cls = h[:, 0] @ qkv_k[:, :d]               # [b, d]
     k = h @ qkv_k[:, d:2 * d]                    # [b, s, d]
     if bp.get("qkv_bias") is not None:
@@ -97,6 +104,9 @@ def vit_forward_token_pruned(
         raise ValueError("token pruning + depth-materialized configs: prune "
                          "tokens on the gate-parameterized model instead")
     sched: Dict[int, int] = dict(keep_schedule)
+    if len(sched) != len(tuple(keep_schedule)):
+        raise ValueError(f"duplicate layer indices in keep_schedule "
+                         f"{tuple(keep_schedule)}")
     x = embed(params, cfg, pixel_values, compute_dtype)
     blocks = params["blocks"]
 

@@ -68,11 +68,19 @@ def _block_key_spec(key: str, ndim: int):
     elif key.endswith("_scale"):
         base, kind = key[:-6], "scale"
     if base in _COL:
-        return P(None, "model") if kind == "scale" else P(None, None, "model")
+        if kind == "scale":
+            return P(*([None] * (ndim - 1)), "model")
+        # last axis is the column/output dim for both dense [L, d, f] and
+        # MoE expert-stacked [L, E, d, f] kernels
+        return P(*([None] * (ndim - 1)), "model")
     if base in _ROW:
         if kind == "q4":
-            return P(None, None, None)
-        return P(None, None) if kind == "scale" else P(None, "model", None)
+            return P(*([None] * ndim))
+        if kind == "scale":
+            return P(*([None] * ndim))
+        # second-to-last axis is the contracting/row dim for dense
+        # [L, f, d] and MoE [L, E, f, d] kernels (sharded contraction psums)
+        return P(*([None] * (ndim - 2)), "model", None)
     if base in _COL_BIAS:
         return P(None, "model")
     return P(*([None] * ndim))  # norms, o/fc2 bias, anything replicated
@@ -338,8 +346,12 @@ def moe_llama_param_specs_like(params: Params) -> Dict[str, Any]:
     """Specs for a MoE-llama pytree (LlamaConfig.num_experts > 0): the
     expert axis of the stacked per-layer expert kernels [L, E, ...] shards
     over 'expert'; everything else (attention, norms, router, embeddings)
-    replicates. GSPMD propagates the expert placement into moe_ffn's
-    dispatched [E, C, d] activations, inserting the all_to_all pair."""
+    replicates. The integrated forward is the DROPLESS path
+    (moe_ffn_dropless): GSPMD shards its [T, E, f] all-expert intermediates
+    over 'expert' from the weight placement and psums the gate-combined
+    output over E. (Tensor parallelism for MoE instead rides
+    shard_llama_params, whose ndim-aware megatron specs shard the expert
+    kernels' f axis over 'model'.)"""
     moe_keys = {"gate_kernel", "up_kernel", "down_kernel"}
     specs: Dict[str, Any] = {}
     for k, v in params.items():

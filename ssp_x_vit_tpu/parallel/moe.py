@@ -157,7 +157,6 @@ def moe_ffn_dropless(params: Params, x: jax.Array, cfg: MoEConfig):
         top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
         sel = jnp.sum(jax.nn.one_hot(top_e, E, dtype=jnp.float32)
                       * top_p[..., None], axis=1).astype(x.dtype)  # [T, E]
-        expert = top_e[:, 0]  # primary expert, for the load statistic
 
     g = jnp.einsum("td,edf->tef", xt, params["gate_kernel"].astype(x.dtype))
     u = jnp.einsum("td,edf->tef", xt, params["up_kernel"].astype(x.dtype))
@@ -165,8 +164,12 @@ def moe_ffn_dropless(params: Params, x: jax.Array, cfg: MoEConfig):
                    params["down_kernel"].astype(x.dtype))      # [T, E, d]
     out = jnp.einsum("te,ted->td", sel, y).reshape(b, s, d)
 
-    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)
-    load = jnp.mean(onehot, axis=0)
+    # load counts membership in the top-k (GShard/mixtral convention) — a
+    # primary-expert-only count would leave second-slot routing
+    # unregularized by the balance loss
+    member = (sel > 0).astype(jnp.float32) if cfg.top_k > 1 else \
+        jax.nn.one_hot(jnp.argmax(probs, axis=-1), E, dtype=jnp.float32)
+    load = jnp.mean(member, axis=0)
     aux = {
         "load": load,
         "dropped": jnp.zeros((), jnp.float32),

@@ -148,3 +148,68 @@ def test_moe_persistence_round_trip(tmp_path):
     l1, _ = llama_forward(params, toks, cfg, compute_dtype=jnp.float32)
     l2, _ = llama_forward(p2, toks, c2, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+
+def test_moe_composition_guards():
+    """MoE configs are refused by every dense-MLP-only path with a clear
+    error instead of silently broadcasting 4-D expert kernels."""
+    from ssp_x_vit_tpu.llm.model import llama_forward_materialized
+    from ssp_x_vit_tpu.llm.paged import PagedServer, paged_generate
+    from ssp_x_vit_tpu.llm.pruning import materialize_llm_depth_pruning
+    from ssp_x_vit_tpu.llm.quant import (
+        quantize_llm_params_int4, quantize_llm_params_int8,
+    )
+
+    params = init_llama_params(jax.random.PRNGKey(8), MOE_CFG)
+    for fn in (quantize_llm_params_int8, quantize_llm_params_int4):
+        with pytest.raises(ValueError, match="quantized MoE"):
+            fn(params, MOE_CFG)
+    with pytest.raises(ValueError, match="2SSP targets"):
+        materialize_llm_depth_pruning(params, MOE_CFG, [1])
+    with pytest.raises(ValueError, match="paged"):
+        paged_generate(params, MOE_CFG, [np.arange(4)], max_new_tokens=4)
+    with pytest.raises(ValueError, match="paged"):
+        PagedServer(params, MOE_CFG)
+    import dataclasses
+    bad = dataclasses.replace(MOE_CFG, pruned_attention_blocks=(1,))
+    with pytest.raises(ValueError, match="depth materialization"):
+        llama_forward_materialized(params, np.zeros((1, 8), np.int32), bad)
+
+
+def test_moe_top2_load_counts_both_slots():
+    """The balance statistic counts top-k MEMBERSHIP: per-expert load sums
+    to k across experts (every token contributes k assignments)."""
+    from ssp_x_vit_tpu.parallel.moe import MoEConfig, moe_ffn_dropless
+
+    rng = jax.random.PRNGKey(9)
+    ks = jax.random.split(rng, 5)
+    d, f, E = 16, 32, 4
+    p = {"router": jax.random.normal(ks[0], (d, E)),
+         "gate_kernel": jax.random.normal(ks[1], (E, d, f)) * 0.05,
+         "up_kernel": jax.random.normal(ks[2], (E, d, f)) * 0.05,
+         "down_kernel": jax.random.normal(ks[3], (E, f, d)) * 0.05}
+    x = jax.random.normal(ks[4], (2, 8, d))
+    _, aux2 = moe_ffn_dropless(p, x, MoEConfig(d, f, E, top_k=2))
+    np.testing.assert_allclose(float(jnp.sum(aux2["load"])), 2.0, rtol=1e-6)
+    _, aux1 = moe_ffn_dropless(p, x, MoEConfig(d, f, E, top_k=1))
+    np.testing.assert_allclose(float(jnp.sum(aux1["load"])), 1.0, rtol=1e-6)
+
+
+def test_moe_tensor_parallel_matches_single_device():
+    """ndim-aware megatron specs: MoE expert kernels shard their f axis over
+    'model' (column gate/up, row down -> psum); forward == single device."""
+    from ssp_x_vit_tpu.parallel import make_mesh
+    from ssp_x_vit_tpu.parallel.llm_sharding import shard_llama_params
+
+    params = init_llama_params(jax.random.PRNGKey(10), MOE_CFG)
+    toks = _tokens(MOE_CFG, seed=11)
+    single, _ = llama_forward(params, toks, MOE_CFG, compute_dtype=jnp.float32)
+
+    mesh = make_mesh(model=4)  # dp=2 x tp=4
+    sp = shard_llama_params(params, mesh, MOE_CFG)
+    gspec = tuple(sp["blocks"]["gate_kernel"].sharding.spec)
+    assert gspec[-1] == "model" and gspec[1] is None, gspec  # f sharded, E not
+    sharded, _ = jax.jit(lambda p, t: llama_forward(
+        p, t, MOE_CFG, compute_dtype=jnp.float32))(sp, toks)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)

@@ -79,3 +79,24 @@ def test_composes_with_width_materialized():
     mp, mcfg = materialize_width_pruning(params, CFG, keeps)
     out = vit_forward_token_pruned(mp, pixels, mcfg, [(3, 10)])
     assert out.shape == (4, 10) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_composes_with_int8_quantized():
+    """Scoring dequantizes the q/k halves of the int8 pytree; the blocks
+    themselves keep their epilogue-scale int8 matmuls."""
+    from ssp_x_vit_tpu.models.quant import quantize_vit_params_int8
+
+    params, pixels = _setup(6)
+    qp = quantize_vit_params_int8(params, CFG)
+    out = vit_forward_token_pruned(qp, pixels, CFG, [(2, 12)])
+    ref = vit_forward_token_pruned(params, pixels, CFG, [(2, 12)])
+    assert out.shape == (4, 10) and bool(jnp.all(jnp.isfinite(out)))
+    # int8 error is bounded, and the KEPT token selection should agree on
+    # well-separated scores most of the time; just bound the logit error
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.5
+
+
+def test_duplicate_schedule_rejected():
+    params, pixels = _setup(7)
+    with pytest.raises(ValueError, match="duplicate"):
+        vit_forward_token_pruned(params, pixels, CFG, [(2, 12), (2, 10)])
