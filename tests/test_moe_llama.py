@@ -213,3 +213,26 @@ def test_moe_tensor_parallel_matches_single_device():
         p, t, MOE_CFG, compute_dtype=jnp.float32))(sp, toks)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_moe_fsdp_train_step():
+    """FSDP composes with MoE: expert kernels shard a dp-divisible weight
+    axis over 'data'; one training step runs and keeps placements."""
+    import optax
+
+    from ssp_x_vit_tpu.parallel import make_mesh
+    from ssp_x_vit_tpu.parallel.llm_sharding import (
+        make_fsdp_llama_train_step, shard_llama_params_fsdp,
+    )
+
+    mesh = make_mesh(model=1)
+    params = shard_llama_params_fsdp(
+        init_llama_params(jax.random.PRNGKey(12), MOE_CFG), mesh)
+    opt = optax.adamw(1e-3)
+    step = make_fsdp_llama_train_step(mesh, MOE_CFG, opt,
+                                      compute_dtype=jnp.float32)
+    toks = np.asarray(_tokens(MOE_CFG, b=8, seed=13))
+    params, _, loss = step(params, opt.init(params), toks)
+    assert np.isfinite(float(loss))
+    spec = tuple(params["blocks"]["gate_kernel"].sharding.spec)
+    assert "data" in spec, spec
