@@ -236,3 +236,14 @@ def test_moe_fsdp_train_step():
     assert np.isfinite(float(loss))
     spec = tuple(params["blocks"]["gate_kernel"].sharding.spec)
     assert "data" in spec, spec
+
+
+def test_moe_int8_kv_cache_serving():
+    """int8 KV quantization touches only the attention cache, so it composes
+    with the MoE MLP; generation runs and stays finite."""
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    params = init_llama_params(jax.random.PRNGKey(14), MOE_CFG)
+    out = generate_kv_scan(params, MOE_CFG, np.asarray([3, 5, 7], np.int32),
+                           max_length=12, cache_dtype=jnp.int8)
+    assert np.asarray(out).shape == (12,)
