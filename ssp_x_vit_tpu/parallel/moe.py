@@ -75,36 +75,52 @@ def shard_moe_params(params: Params, mesh: Mesh) -> Params:
 
 def moe_ffn(params: Params, x: jax.Array, cfg: MoEConfig,
             mesh: Optional[Mesh] = None):
-    """x [b, s, d] -> (y [b, s, d], aux) via switch-routed expert FFNs.
+    """x [b, s, d] -> (y [b, s, d], aux) via capacity-routed expert FFNs
+    (top-1 switch by default; ``cfg.top_k=2`` gives GShard/mixtral top-2
+    with renormalized gates and choice-major queue slotting).
 
     ``mesh`` (with an 'expert' axis) adds sharding constraints on the expert
     axis of the dispatched activations; pass None for single-device.
-    aux: {'load': fraction of tokens per expert [E], 'dropped': fraction of
-    tokens that overflowed capacity, 'aux_loss': switch load-balance loss}.
+    aux: {'load': fraction of tokens per expert [E] (primary choice),
+    'dropped': fraction of tokens with no surviving assignment,
+    'aux_loss': switch load-balance loss}.
     """
     b, s, d = x.shape
     E = cfg.num_experts
     T = b * s
-    C = cfg.capacity(T)
+    # top-2 needs room for both assignment rounds in the expert queues
+    C = cfg.capacity(T) * max(1, cfg.top_k)
     xt = x.reshape(T, d)
 
     logits = (xt.astype(jnp.float32) @ params["router"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                    # [T, E]
-    expert = jnp.argmax(probs, axis=-1)                        # [T]
-    gate = jnp.take_along_axis(probs, expert[:, None], axis=1)[:, 0]
+    top_p, top_e = jax.lax.top_k(probs, cfg.top_k)             # [T, k]
+    if cfg.top_k > 1:
+        top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
 
-    # position of each token within its expert's queue (capacity slotting)
-    onehot = jax.nn.one_hot(expert, E, dtype=jnp.int32)        # [T, E]
-    pos_in_expert = (jnp.cumsum(onehot, axis=0) - onehot)      # [T, E]
-    pos = jnp.sum(pos_in_expert * onehot, axis=-1)             # [T]
-    keep = pos < C
-    gate = jnp.where(keep, gate, 0.0)
-
-    # dense one-hot dispatch/combine tensors (GShard formulation)
-    dispatch = (jax.nn.one_hot(expert, E, dtype=x.dtype)[:, :, None]
-                * jax.nn.one_hot(jnp.where(keep, pos, C), C + 1,
-                                 dtype=x.dtype)[:, None, :C])  # [T, E, C]
-    combine = dispatch * gate.astype(x.dtype)[:, None, None]
+    # GShard-style capacity slotting, choice-major: all primary assignments
+    # claim queue slots first, then each later choice appends after the
+    # counts of the earlier rounds (flaxformer convention).
+    dispatch = jnp.zeros((T, E, C), x.dtype)
+    combine = jnp.zeros((T, E, C), x.dtype)
+    counts = jnp.zeros((E,), jnp.int32)
+    keep_any = jnp.zeros((T,), bool)
+    for kk in range(cfg.top_k):
+        e_k = top_e[:, kk]
+        onehot_k = jax.nn.one_hot(e_k, E, dtype=jnp.int32)     # [T, E]
+        pos_k = jnp.sum((jnp.cumsum(onehot_k, axis=0) - onehot_k) * onehot_k,
+                        axis=-1) + counts[e_k]                 # [T]
+        counts = counts + jnp.sum(onehot_k, axis=0)
+        keep_k = pos_k < C
+        keep_any = jnp.logical_or(keep_any, keep_k)
+        gate_k = jnp.where(keep_k, top_p[:, kk], 0.0)
+        d_k = (jax.nn.one_hot(e_k, E, dtype=x.dtype)[:, :, None]
+               * jax.nn.one_hot(jnp.where(keep_k, pos_k, C), C + 1,
+                                dtype=x.dtype)[:, None, :C])   # [T, E, C]
+        dispatch = dispatch + d_k
+        combine = combine + d_k * gate_k.astype(x.dtype)[:, None, None]
+    onehot = jax.nn.one_hot(top_e[:, 0], E, dtype=jnp.int32)   # primary
+    keep = keep_any
 
     ex_in = jnp.einsum("tec,td->ecd", dispatch, xt)            # [E, C, d]
     if mesh is not None:

@@ -78,3 +78,25 @@ def test_moe_differentiable():
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k
     assert float(jnp.abs(grads["router"]).sum()) > 0.0
+
+
+def test_capacity_top2_matches_dropless_when_roomy():
+    """GShard top-2 with capacity >= all assignments must equal the dropless
+    top-2 path exactly (same routing, same renormalized gates, no drops)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssp_x_vit_tpu.parallel.moe import (
+        MoEConfig, init_moe_params, moe_ffn, moe_ffn_dropless,
+    )
+
+    d, f, E = 16, 32, 4
+    cfg = MoEConfig(d, f, E, capacity_factor=float(E), top_k=2)  # C >= T
+    params = init_moe_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, d), jnp.float32)
+    y_cap, aux_cap = moe_ffn(params, x, cfg)
+    y_free, _ = moe_ffn_dropless(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(y_cap), np.asarray(y_free),
+                               rtol=1e-5, atol=1e-6)
+    assert float(aux_cap["dropped"]) == 0.0
