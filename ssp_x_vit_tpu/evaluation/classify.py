@@ -47,9 +47,24 @@ def evaluate_top1(
     batches: Iterable[dict],
     *,
     max_batches: Optional[int] = None,
+    token_keep_schedule: tuple = (),
 ) -> float:
-    """Top-1 accuracy over (up to max_batches of) a batch iterator."""
+    """Top-1 accuracy over (up to max_batches of) a batch iterator.
+
+    ``token_keep_schedule``: optional EViT-style static token-pruning
+    schedule (models/token_pruning.py) — ((layer, kept_seq_len), ...) — for
+    measuring the token-pruned accuracy/speed trade-off."""
     materialized = bool(cfg.pruned_attention_blocks)
+    if token_keep_schedule:
+        from ssp_x_vit_tpu.models.token_pruning import vit_forward_token_pruned
+
+        sched = tuple(tuple(p) for p in token_keep_schedule)
+
+        @functools.partial(jax.jit, static_argnames=("c", "dtype"))
+        def _tp_correct(p, px, labels, c, dtype):
+            logits = vit_forward_token_pruned(p, px, c, sched,
+                                              compute_dtype=dtype)
+            return jnp.sum(jnp.argmax(logits, axis=-1) == labels)
     correct = 0
     total = 0
     for i, batch in enumerate(batches):
@@ -57,7 +72,11 @@ def evaluate_top1(
             break
         px = jnp.asarray(batch["pixel_values"])
         labels = jnp.asarray(batch["labels"])
-        correct += int(_correct_in_batch(params, px, labels, cfg, materialized, _eval_dtype()))
+        if token_keep_schedule:
+            correct += int(_tp_correct(params, px, labels, cfg, _eval_dtype()))
+        else:
+            correct += int(_correct_in_batch(params, px, labels, cfg,
+                                             materialized, _eval_dtype()))
         total += int(labels.shape[0])
     return correct / max(1, total)
 

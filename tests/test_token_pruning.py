@@ -100,3 +100,19 @@ def test_duplicate_schedule_rejected():
     params, pixels = _setup(7)
     with pytest.raises(ValueError, match="duplicate"):
         vit_forward_token_pruned(params, pixels, CFG, [(2, 12), (2, 10)])
+
+
+def test_evaluate_top1_with_schedule():
+    """evaluate_top1 accepts a token-pruning schedule; empty schedule takes
+    the standard path and both return a valid accuracy."""
+    from ssp_x_vit_tpu.data import DataPipeline, synthetic_dataset
+    from ssp_x_vit_tpu.evaluation.classify import evaluate_top1
+
+    params, _ = _setup(8)
+    imgs, labels = synthetic_dataset(32, 10, image_size=32, seed=2)
+    batches = list(DataPipeline(imgs, labels, img_size=32,
+                                batch_size=16).batches())
+    acc = evaluate_top1(params, CFG, batches)
+    acc_tp = evaluate_top1(params, CFG, batches,
+                           token_keep_schedule=((2, 12), (4, 8)))
+    assert 0.0 <= acc <= 1.0 and 0.0 <= acc_tp <= 1.0
