@@ -247,3 +247,24 @@ def test_moe_int8_kv_cache_serving():
     out = generate_kv_scan(params, MOE_CFG, np.asarray([3, 5, 7], np.int32),
                            max_length=12, cache_dtype=jnp.int8)
     assert np.asarray(out).shape == (12,)
+
+
+def test_moe_speculative_exact():
+    """Speculative decoding on a MoE target is exact: the dropless MLP is
+    length-independent, so the multi-token verify forward equals per-token
+    decode and self-draft acceptance is 1.0 at f32."""
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+    from ssp_x_vit_tpu.llm.speculative import speculative_generate
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, num_experts=4,
+                      moe_top_k=2)
+    params = init_llama_params(jax.random.PRNGKey(15), cfg)
+    prompt = np.asarray([3, 5, 7, 11], np.int32)
+    ref = generate_kv_scan(params, cfg, prompt, max_length=16,
+                           cache_dtype=jnp.float32)
+    out, stats = speculative_generate(params, cfg, params, cfg, prompt,
+                                      max_length=16, k=3,
+                                      cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert stats["acceptance_rate"] == 1.0
