@@ -78,6 +78,13 @@ def _write_many_masked(kp, vp, k_new, v_new, page_table, seq_len):
 
 
 def _mlp_branch(h2, bp, cfg: LlamaConfig, compute_dtype):
+    if getattr(cfg, "num_experts", 0):
+        # dropless switch/top-k expert MLP — same path and exactness
+        # argument as contiguous serving (docs/serving.md MoE section)
+        from ssp_x_vit_tpu.llm.model import _moe_mlp
+
+        mlp, _ = _moe_mlp(h2, bp, cfg, compute_dtype)
+        return mlp
     if cfg.is_phi:
         from ssp_x_vit_tpu.ops.common import gelu
 
@@ -271,9 +278,6 @@ def paged_generate(params: Params, cfg: LlamaConfig, prompts, *,
     on-device scan for the whole batch (greedy). Different prompt lengths
     decode at their own positions — no left padding. Returns a list of
     per-prompt token arrays (prompt + generation, trimmed at eos)."""
-    if getattr(cfg, "num_experts", 0):
-        raise ValueError("MoE configs are not supported by the paged serving "
-                         "paths (dense-MLP layer step); use generate_kv_scan")
     prompts = [np.asarray(p).reshape(-1).astype(np.int32) for p in prompts]
     b = len(prompts)
     if max_new_tokens <= 0:
@@ -342,10 +346,6 @@ class PagedServer:
     def __init__(self, params: Params, cfg: LlamaConfig, *, max_batch: int = 4,
                  num_pages: int = 128, page_size: int = 64,
                  max_context: int = 1024, cache_dtype=jnp.bfloat16):
-        if getattr(cfg, "num_experts", 0):
-            raise ValueError("MoE configs are not supported by the paged "
-                             "serving paths (dense-MLP layer step); use "
-                             "generate_kv_scan")
         self.params, self.cfg = params, cfg
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_context // page_size)

@@ -154,7 +154,6 @@ def test_moe_composition_guards():
     """MoE configs are refused by every dense-MLP-only path with a clear
     error instead of silently broadcasting 4-D expert kernels."""
     from ssp_x_vit_tpu.llm.model import llama_forward_materialized
-    from ssp_x_vit_tpu.llm.paged import PagedServer, paged_generate
     from ssp_x_vit_tpu.llm.pruning import materialize_llm_depth_pruning
     from ssp_x_vit_tpu.llm.quant import (
         quantize_llm_params_int4, quantize_llm_params_int8,
@@ -166,10 +165,6 @@ def test_moe_composition_guards():
             fn(params, MOE_CFG)
     with pytest.raises(ValueError, match="2SSP targets"):
         materialize_llm_depth_pruning(params, MOE_CFG, [1])
-    with pytest.raises(ValueError, match="paged"):
-        paged_generate(params, MOE_CFG, [np.arange(4)], max_new_tokens=4)
-    with pytest.raises(ValueError, match="paged"):
-        PagedServer(params, MOE_CFG)
     import dataclasses
     bad = dataclasses.replace(MOE_CFG, pruned_attention_blocks=(1,))
     with pytest.raises(ValueError, match="depth materialization"):
@@ -268,3 +263,21 @@ def test_moe_speculative_exact():
                                       cache_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     assert stats["acceptance_rate"] == 1.0
+
+
+def test_moe_paged_matches_contiguous():
+    """Paged MoE generation == contiguous KV-cached greedy (the paged MLP
+    branch is the same dropless expert path)."""
+    from ssp_x_vit_tpu.llm.paged import paged_generate
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    params = init_llama_params(jax.random.PRNGKey(16), MOE_CFG)
+    prompts = [np.asarray([3, 5, 7], np.int32),
+               np.asarray([2, 4, 6, 8, 10], np.int32)]
+    paged = paged_generate(params, MOE_CFG, prompts, max_new_tokens=8,
+                           cache_dtype=jnp.float32, page_size=8)
+    for p, out in zip(prompts, paged):
+        ref = generate_kv_scan(params, MOE_CFG, p,
+                               max_length=len(p) + 8,
+                               cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
