@@ -320,7 +320,13 @@ def _moe_mlp(x, bp, cfg: LlamaConfig, compute_dtype):
 
     mcfg = MoEConfig(cfg.hidden_size, cfg.intermediate_size, cfg.num_experts,
                      cfg.expert_capacity_factor, top_k=cfg.moe_top_k)
-    p = {k: bp[k] for k in ("router", "gate_kernel", "up_kernel", "down_kernel")}
+    p = {"router": bp["router"]}
+    for k in ("gate_kernel", "up_kernel", "down_kernel"):
+        if k in bp:
+            p[k] = bp[k]
+        else:  # int8-quantized expert kernels (llm/quant.py)
+            p[k + "_q"] = bp[k + "_q"]
+            p[k + "_scale"] = bp[k + "_scale"]
     y, aux = moe_ffn_dropless(p, x.astype(compute_dtype), mcfg)
     return y.astype(compute_dtype), aux["aux_loss"]
 

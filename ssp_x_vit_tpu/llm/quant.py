@@ -65,12 +65,10 @@ def quantize_llm_params_int8(params: Params, cfg: LlamaConfig) -> Params:
     """Return a serving pytree where every projection kernel ``k`` is
     replaced by ``k + "_q"`` (int8) and ``k + "_scale"`` (f32 per-out-channel).
     Original bf16 kernels are dropped (that's the point: no double storage).
-    Works on dense, width-pruned and depth-materialized stacked pytrees."""
-    if getattr(cfg, "num_experts", 0):
-        raise ValueError(
-            "quantized MoE expert weights are unsupported: the dropless "
-            "expert contractions are bf16/f32 (docs/serving.md)")
-
+    Works on dense, width-pruned, depth-materialized AND MoE stacked
+    pytrees (expert kernels [L, E, d_in, d_out] quantize per-(expert,
+    out-channel); the router stays float — it is tiny and argmax-critical).
+    """
     out = {k: v for k, v in params.items() if k != "blocks"}
     blocks = {}
     for k, v in params["blocks"].items():
@@ -97,8 +95,9 @@ def quantize_llm_params_int4(params: Params, cfg: LlamaConfig) -> Params:
     of the stream)."""
     if getattr(cfg, "num_experts", 0):
         raise ValueError(
-            "quantized MoE expert weights are unsupported: the dropless "
-            "expert contractions are bf16/f32 (docs/serving.md)")
+            "int4 quantized MoE expert weights are unsupported: the nibble "
+            "packing + pallas quant4 kernel are 2-D weight layouts "
+            "(use int8 for MoE — quantize_llm_params_int8)")
 
     from ssp_x_vit_tpu.ops.pallas.quant_matmul import quantize_weight_int4
 

@@ -534,10 +534,6 @@ def generate_kv_scan(
     cache — e.g. tensor-parallel head sharding over a mesh
     (parallel.llm_sharding.tp_cache_factory); computation follows the
     params/cache shardings through the jitted prefill/decode."""
-    if cfg.num_experts and any(
-            k.endswith(("_q", "_q4")) for k in params["blocks"]):
-        raise ValueError("quantized MoE expert weights are not supported "
-                         "(moe_ffn contracts bf16/f32 expert kernels)")
     single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
         not isinstance(input_ids, np.ndarray) and input_ids
         and isinstance(input_ids[0], (int, np.integer)))

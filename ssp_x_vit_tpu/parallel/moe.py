@@ -174,10 +174,19 @@ def moe_ffn_dropless(params: Params, x: jax.Array, cfg: MoEConfig):
         sel = jnp.sum(jax.nn.one_hot(top_e, E, dtype=jnp.float32)
                       * top_p[..., None], axis=1).astype(x.dtype)  # [T, E]
 
-    g = jnp.einsum("td,edf->tef", xt, params["gate_kernel"].astype(x.dtype))
-    u = jnp.einsum("td,edf->tef", xt, params["up_kernel"].astype(x.dtype))
-    y = jnp.einsum("tef,efd->ted", jax.nn.silu(g) * u,
-                   params["down_kernel"].astype(x.dtype))      # [T, E, d]
+    def expert_mm(spec, t, name, scale_shape):
+        """einsum against a bf16/f32 OR int8-quantized expert kernel —
+        per-(expert, out-channel) scales fold into the epilogue, so the
+        int8 codes stream straight into the MXU contraction."""
+        if name in params:
+            return jnp.einsum(spec, t, params[name].astype(x.dtype))
+        y = jnp.einsum(spec, t, params[name + "_q"].astype(x.dtype))
+        return y * params[name + "_scale"].astype(x.dtype).reshape(scale_shape)
+
+    g = expert_mm("td,edf->tef", xt, "gate_kernel", (1, E, -1))
+    u = expert_mm("td,edf->tef", xt, "up_kernel", (1, E, -1))
+    y = expert_mm("tef,efd->ted", jax.nn.silu(g) * u, "down_kernel",
+                  (1, E, -1))                                  # [T, E, d]
     out = jnp.einsum("te,ted->td", sel, y).reshape(b, s, d)
 
     # load counts membership in the top-k (GShard/mixtral convention) — a

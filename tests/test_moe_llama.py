@@ -92,15 +92,7 @@ def test_moe_kv_serving_matches_full_recompute():
 
 
 def test_moe_guards():
-    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
-
     params = init_llama_params(jax.random.PRNGKey(3), MOE_CFG)
-    qparams = dict(params)
-    qparams["blocks"] = dict(params["blocks"])
-    qparams["blocks"]["gate_kernel_q"] = qparams["blocks"].pop("gate_kernel")
-    with pytest.raises(ValueError, match="quantized MoE"):
-        generate_kv_scan(qparams, MOE_CFG, np.arange(8, dtype=np.int32),
-                         max_length=16)
     with pytest.raises(ValueError, match="dense MLPs"):
         llama_forward(params, np.zeros((1, 8), np.int32), MOE_CFG,
                       collect_mlp_stats=True)
@@ -160,9 +152,8 @@ def test_moe_composition_guards():
     )
 
     params = init_llama_params(jax.random.PRNGKey(8), MOE_CFG)
-    for fn in (quantize_llm_params_int8, quantize_llm_params_int4):
-        with pytest.raises(ValueError, match="quantized MoE"):
-            fn(params, MOE_CFG)
+    with pytest.raises(ValueError, match="quantized MoE"):
+        quantize_llm_params_int4(params, MOE_CFG)  # int4 packing is 2-D only
     with pytest.raises(ValueError, match="2SSP targets"):
         materialize_llm_depth_pruning(params, MOE_CFG, [1])
     import dataclasses
@@ -281,3 +272,30 @@ def test_moe_paged_matches_contiguous():
                                max_length=len(p) + 8,
                                cache_dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_moe_int8_weights():
+    """int8 expert weights: per-(expert, out-channel) scales fold into the
+    dropless einsums; error vs dense is bounded; quantized KV-cached greedy
+    equals quantized full recompute exactly (dequant is deterministic)."""
+    from ssp_x_vit_tpu.llm.generate import greedy_generate
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int8
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    params = init_llama_params(jax.random.PRNGKey(17), MOE_CFG)
+    qp = quantize_llm_params_int8(params, MOE_CFG)
+    assert "gate_kernel_q" in qp["blocks"]
+    assert qp["blocks"]["gate_kernel_q"].dtype == jnp.int8
+    assert "router" in qp["blocks"]  # router stays float
+
+    toks = _tokens(MOE_CFG, seed=18)
+    dense, _ = llama_forward(params, toks, MOE_CFG, compute_dtype=jnp.float32)
+    quant, _ = llama_forward(qp, toks, MOE_CFG, compute_dtype=jnp.float32)
+    assert float(jnp.max(jnp.abs(dense - quant))) < 0.2
+
+    prompt = np.asarray([3, 5, 7], np.int32)
+    full = greedy_generate(qp, MOE_CFG, prompt, max_length=14,
+                           no_repeat_ngram_size=0, compute_dtype=jnp.float32)
+    kv = generate_kv_scan(qp, MOE_CFG, prompt, max_length=14,
+                          cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(kv), np.asarray(full))
