@@ -88,3 +88,25 @@ def test_lora_on_moe_base():
     with pytest.raises(ValueError, match="2-D"):
         init_lora(jax.random.PRNGKey(11), params, rank=4,
                   targets=("gate_kernel",))
+
+
+def test_lora_with_sharded_base():
+    """LoRA over a megatron-sharded frozen base: GSPMD derives the tp
+    collectives from the base placement while only the (replicated)
+    adapters are updated."""
+    from ssp_x_vit_tpu.parallel import make_mesh
+    from ssp_x_vit_tpu.parallel.llm_sharding import shard_llama_params
+
+    params = init_llama_params(jax.random.PRNGKey(12), CFG)
+    mesh = make_mesh(model=4)
+    sp = shard_llama_params(params, mesh, CFG)
+    lora = init_lora(jax.random.PRNGKey(13), params, rank=4)
+    opt = optax.adam(1e-2)
+    step = make_lora_train_step(CFG, opt, compute_dtype=jnp.float32)
+    st = opt.init(lora)
+    toks = _tokens(14, b=4)
+    l0 = None
+    for _ in range(4):
+        lora, st, loss = step(sp, lora, st, toks)
+        l0 = l0 or float(loss)
+    assert float(loss) < l0
