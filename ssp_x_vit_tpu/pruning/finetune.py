@@ -107,3 +107,41 @@ def finetune(
     if verbose:
         print("[INFO] Fine-tuning complete.")
     return params
+
+
+def make_lora_train_step(cfg: ViTConfig,
+                         optimizer: optax.GradientTransformation,
+                         *, alpha: float = 16.0, compute_dtype=jnp.bfloat16):
+    """LoRA finetuning for the ViT: ``step(base, head?, lora, opt_state,
+    pixel_values, labels) -> (lora, opt_state, loss)``. Reuses the generic
+    stacked-adapter machinery from llm/lora.py (apply_lora works on any
+    pytree with a "blocks" dict); the classic ViT targets are the fused
+    qkv and output projections. Backbone stays frozen; only the rank-r
+    adapters carry grads/optimizer state — the parameter-efficient
+    counterpart of trainable="all" (docs/training.md)."""
+    from ssp_x_vit_tpu.llm.lora import apply_lora
+
+    materialized = bool(cfg.pruned_attention_blocks)
+
+    def loss_fn(lora, base, pixel_values, labels):
+        p = apply_lora(base, lora, alpha=alpha)
+        if materialized:
+            logits = vit_forward_materialized(p, pixel_values, cfg,
+                                              compute_dtype=compute_dtype)
+        else:
+            logits, _ = vit_forward(p, pixel_values, cfg,
+                                    compute_dtype=compute_dtype)
+        return cross_entropy_loss(logits, labels)
+
+    @jax.jit
+    def step(base, lora, opt_state, pixel_values, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(lora, base, pixel_values,
+                                                  labels)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss
+
+    return step
+
+
+VIT_LORA_TARGETS = ("qkv_kernel", "proj_kernel")

@@ -110,3 +110,35 @@ def test_lora_with_sharded_base():
         lora, st, loss = step(sp, lora, st, toks)
         l0 = l0 or float(loss)
     assert float(loss) < l0
+
+
+def test_vit_lora_finetune():
+    """ViT LoRA: adapters on the fused qkv/proj kernels descend the
+    classification loss with the backbone frozen."""
+    from ssp_x_vit_tpu.llm.lora import init_lora, merge_lora
+    from ssp_x_vit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+    from ssp_x_vit_tpu.pruning.finetune import (
+        VIT_LORA_TARGETS, make_lora_train_step as make_vit_lora_step,
+    )
+
+    vcfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=4,
+                     num_heads=4, intermediate_size=128, num_classes=10)
+    base = init_vit_params(jax.random.PRNGKey(0), vcfg)
+    frozen = jax.tree.map(np.asarray, base)
+    lora = init_lora(jax.random.PRNGKey(1), base, rank=4,
+                     targets=VIT_LORA_TARGETS)
+    opt = optax.adam(1e-2)
+    step = make_vit_lora_step(vcfg, opt, compute_dtype=jnp.float32)
+    st = opt.init(lora)
+    px = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(3), (8,), 0, 10)
+    losses = []
+    for _ in range(8):
+        lora, st, loss = step(base, lora, st, px, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.05, losses
+    for a, b in zip(jax.tree.leaves(frozen), jax.tree.leaves(base)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    merged = merge_lora(base, lora)
+    logits, _ = vit_forward(merged, px, vcfg, compute_dtype=jnp.float32)
+    assert bool(jnp.all(jnp.isfinite(logits)))
