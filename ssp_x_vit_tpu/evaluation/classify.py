@@ -55,16 +55,7 @@ def evaluate_top1(
     schedule (models/token_pruning.py) — ((layer, kept_seq_len), ...) — for
     measuring the token-pruned accuracy/speed trade-off."""
     materialized = bool(cfg.pruned_attention_blocks)
-    if token_keep_schedule:
-        from ssp_x_vit_tpu.models.token_pruning import vit_forward_token_pruned
-
-        sched = tuple(tuple(p) for p in token_keep_schedule)
-
-        @functools.partial(jax.jit, static_argnames=("c", "dtype"))
-        def _tp_correct(p, px, labels, c, dtype):
-            logits = vit_forward_token_pruned(p, px, c, sched,
-                                              compute_dtype=dtype)
-            return jnp.sum(jnp.argmax(logits, axis=-1) == labels)
+    sched = tuple(tuple(p) for p in token_keep_schedule)
     correct = 0
     total = 0
     for i, batch in enumerate(batches):
@@ -72,13 +63,26 @@ def evaluate_top1(
             break
         px = jnp.asarray(batch["pixel_values"])
         labels = jnp.asarray(batch["labels"])
-        if token_keep_schedule:
-            correct += int(_tp_correct(params, px, labels, cfg, _eval_dtype()))
+        if sched:
+            correct += int(_tp_correct_in_batch(params, px, labels, cfg,
+                                                sched, _eval_dtype()))
         else:
             correct += int(_correct_in_batch(params, px, labels, cfg,
                                              materialized, _eval_dtype()))
         total += int(labels.shape[0])
     return correct / max(1, total)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sched", "dtype"))
+def _tp_correct_in_batch(params, pixel_values, labels, cfg: ViTConfig,
+                         sched, dtype):
+    """Module-level so repeated evaluate_top1 calls with the same schedule
+    hit the jit cache (compiles are minutes on this host)."""
+    from ssp_x_vit_tpu.models.token_pruning import vit_forward_token_pruned
+
+    logits = vit_forward_token_pruned(params, pixel_values, cfg, sched,
+                                      compute_dtype=dtype)
+    return jnp.sum(jnp.argmax(logits, axis=-1) == labels)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype"))

@@ -13,8 +13,9 @@ Design (TPU-native):
   so the train step stays ONE scan-compatible program.
 - The effective weight W + (alpha/r)·A@B is materialized functionally
   inside the loss (`apply_lora`) — XLA fuses the rank-r outer product into
-  the surrounding graph; the base pytree is donated through the step
-  unchanged, and autodiff touches only the adapter leaves.
+  the surrounding graph; the base pytree rides the step as a plain frozen
+  input (NOT donated — it is reused every step), and autodiff touches only
+  the adapter leaves. The adapters and their optimizer state ARE donated.
 - Works on dense, GQA, width-materialized AND MoE pytrees (adapters target
   the 2-D-per-layer attention projections by default; MoE expert kernels
   stay frozen).
@@ -22,6 +23,7 @@ Design (TPU-native):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -83,9 +85,9 @@ def make_lora_train_step(cfg: LlamaConfig,
                          *, alpha: float = 16.0, compute_dtype=jnp.bfloat16,
                          remat: bool = True):
     """Returns jitted ``step(base_params, lora, opt_state, tokens) ->
-    (lora, opt_state, loss)``. Only the adapters are differentiated/updated;
-    the base pytree is a frozen donated input (never duplicated in the
-    optimizer). opt_state = optimizer.init(lora)."""
+    (lora, opt_state, loss)``. Only the adapters are differentiated/updated
+    (lora/opt_state donated); the base pytree is a frozen, NON-donated
+    input reused across steps. opt_state = optimizer.init(lora)."""
     if optimizer is None:
         optimizer = optax.adamw(1e-4)
 
@@ -93,7 +95,7 @@ def make_lora_train_step(cfg: LlamaConfig,
         return next_token_loss(apply_lora(base, lora, alpha=alpha), tokens,
                                cfg, compute_dtype=compute_dtype, remat=remat)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def step(base, lora, opt_state, tokens):
         loss, grads = jax.value_and_grad(loss_fn)(lora, base, tokens)
         updates, opt_state = optimizer.update(grads, opt_state, lora)

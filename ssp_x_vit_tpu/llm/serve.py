@@ -249,8 +249,9 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
     if cfg.num_experts:
-        # switch-MoE block MLP (bf16 expert weights; the router/expert
-        # kernels ride the same scanned pytree slices as dense kernels)
+        # switch-MoE block MLP (bf16 OR int8-quantized expert weights —
+        # _moe_mlp dispatches on the _q keys; the router/expert kernels
+        # ride the same scanned pytree slices as dense kernels)
         from ssp_x_vit_tpu.llm.model import _moe_mlp
 
         mlp, _ = _moe_mlp(h2, bp, cfg, compute_dtype)
@@ -294,7 +295,8 @@ def pack_llm_params_for_serving(params: Params, cfg: LlamaConfig) -> Params:
         # dense MLP only: MoE expert kernels [L, E, d, f] stay unfused
         # (moe_ffn contracts gate/up separately per expert)
         blocks["gateup_kernel"] = cat(("gate_kernel", "up_kernel"), "", -1)
-    elif "gate_kernel_q" in blocks:
+    elif "gate_kernel_q" in blocks and blocks["gate_kernel_q"].ndim == 3:
+        # dense-quantized only: 4-D MoE expert codes stay unfused too
         blocks["gateup_kernel_q"] = cat(("gate_kernel", "up_kernel"), "_q", -1)
         blocks["gateup_kernel_scale"] = cat(
             ("gate_kernel", "up_kernel"), "_scale", -1)

@@ -36,7 +36,7 @@ class MoEConfig:
     expert_intermediate: int
     num_experts: int
     capacity_factor: float = 1.25
-    top_k: int = 1  # 1 = switch; 2 = mixtral-style (dropless path only)
+    top_k: int = 1  # 1 = switch; 2 = mixtral-style (capacity AND dropless)
 
     def capacity(self, num_tokens: int) -> int:
         c = int(self.capacity_factor * num_tokens / self.num_experts)
@@ -81,7 +81,7 @@ def moe_ffn(params: Params, x: jax.Array, cfg: MoEConfig,
 
     ``mesh`` (with an 'expert' axis) adds sharding constraints on the expert
     axis of the dispatched activations; pass None for single-device.
-    aux: {'load': fraction of tokens per expert [E] (primary choice),
+    aux: {'load': per-expert fraction of routed top-k assignments [E],
     'dropped': fraction of tokens with no surviving assignment,
     'aux_loss': switch load-balance loss}.
     """
@@ -119,7 +119,10 @@ def moe_ffn(params: Params, x: jax.Array, cfg: MoEConfig,
                                 dtype=x.dtype)[:, None, :C])   # [T, E, C]
         dispatch = dispatch + d_k
         combine = combine + d_k * gate_k.astype(x.dtype)[:, None, None]
-    onehot = jax.nn.one_hot(top_e[:, 0], E, dtype=jnp.int32)   # primary
+    # membership count over ALL routed choices (same convention as the
+    # dropless path — a primary-only count would leave second-slot routing
+    # unregularized by the balance loss)
+    onehot = jnp.sum(jax.nn.one_hot(top_e, E, dtype=jnp.int32), axis=1)
     keep = keep_any
 
     ex_in = jnp.einsum("tec,td->ecd", dispatch, xt)            # [E, C, d]

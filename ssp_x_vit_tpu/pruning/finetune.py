@@ -112,7 +112,7 @@ def finetune(
 def make_lora_train_step(cfg: ViTConfig,
                          optimizer: optax.GradientTransformation,
                          *, alpha: float = 16.0, compute_dtype=jnp.bfloat16):
-    """LoRA finetuning for the ViT: ``step(base, head?, lora, opt_state,
+    """LoRA finetuning for the ViT: ``step(base, lora, opt_state,
     pixel_values, labels) -> (lora, opt_state, loss)``. Reuses the generic
     stacked-adapter machinery from llm/lora.py (apply_lora works on any
     pytree with a "blocks" dict); the classic ViT targets are the fused

@@ -299,3 +299,25 @@ def test_moe_int8_weights():
     kv = generate_kv_scan(qp, MOE_CFG, prompt, max_length=14,
                           cache_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(kv), np.asarray(full))
+
+
+def test_moe_int8_pack_serve():
+    """quantize -> pack -> serve composition on MoE: packing fuses the 3-D
+    attention codes but leaves the 4-D expert codes unfused, and serving
+    still equals the unpacked quantized model exactly."""
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int8
+    from ssp_x_vit_tpu.llm.serve import (
+        generate_kv_scan, pack_llm_params_for_serving,
+    )
+
+    params = init_llama_params(jax.random.PRNGKey(19), MOE_CFG)
+    qp = quantize_llm_params_int8(params, MOE_CFG)
+    packed = pack_llm_params_for_serving(qp, MOE_CFG)
+    assert "qkv_kernel_q" in packed["blocks"]          # attention fused
+    assert "gate_kernel_q" in packed["blocks"]         # experts NOT fused
+    prompt = np.asarray([3, 5, 7], np.int32)
+    a = generate_kv_scan(qp, MOE_CFG, prompt, max_length=12,
+                         cache_dtype=jnp.float32)
+    b = generate_kv_scan(packed, MOE_CFG, prompt, max_length=12,
+                         cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
