@@ -71,3 +71,52 @@ def make_llama_train_step(cfg: LlamaConfig,
         return params, opt_state, loss
 
     return step
+
+
+def make_distill_train_step(teacher_params: Params, teacher_cfg: LlamaConfig,
+                            student_cfg: LlamaConfig,
+                            optimizer: Optional[optax.GradientTransformation] = None,
+                            *, alpha: float = 0.5, temperature: float = 2.0,
+                            compute_dtype=jnp.bfloat16, remat: bool = True):
+    """Knowledge-distillation step for pruned-model recovery:
+    ``step(student_params, opt_state, tokens) -> (student, opt_state, loss)``
+    with loss = alpha * next-token CE + (1-alpha) * T^2 * KL(teacher || student)
+    at softmax temperature T (Hinton KD). The dense teacher runs forward-only
+    (no grads, its logits under stop_gradient); the student may be any config
+    sharing the tokenizer/vocab — 2SSP width/depth-materialized, MoE, or a
+    smaller architecture. Distillation typically recovers pruned-model
+    quality faster than CE alone because the teacher's full distribution
+    carries more signal per token than the one-hot target."""
+    if optimizer is None:
+        optimizer = optax.adamw(1e-4)
+
+    def fwd(params, cfg, tokens):
+        if cfg.pruned_attention_blocks:
+            from ssp_x_vit_tpu.llm.model import llama_forward_materialized
+
+            return llama_forward_materialized(params, tokens, cfg,
+                                              compute_dtype=compute_dtype)
+        logits, _ = llama_forward(params, tokens, cfg,
+                                  compute_dtype=compute_dtype, remat=remat)
+        return logits
+
+    def loss_fn(student, tokens):
+        s_logits = fwd(student, student_cfg, tokens[:, :-1]).astype(jnp.float32)
+        t_logits = jax.lax.stop_gradient(
+            fwd(teacher_params, teacher_cfg, tokens[:, :-1]).astype(jnp.float32))
+        logp = jax.nn.log_softmax(s_logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1).mean()
+        t_prob = jax.nn.softmax(t_logits / temperature, axis=-1)
+        s_logp_T = jax.nn.log_softmax(s_logits / temperature, axis=-1)
+        kl = jnp.mean(jnp.sum(
+            t_prob * (jnp.log(t_prob + 1e-9) - s_logp_T), axis=-1))
+        return alpha * ce + (1.0 - alpha) * (temperature ** 2) * kl
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(student, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(student, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        return student, opt_state, loss
+
+    return step

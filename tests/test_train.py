@@ -82,3 +82,58 @@ def test_recovery_finetune_pruned_model():
         params, opt_state, loss = step(params, opt_state, toks)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.1, losses
+
+
+def test_distill_recovery_step():
+    """KD recovery: a width+depth-pruned student distilled from its dense
+    teacher descends the combined loss, and moves its logits TOWARD the
+    teacher's (mean KL drops)."""
+    from ssp_x_vit_tpu.llm.model import llama_forward_materialized
+    from ssp_x_vit_tpu.llm.pruning import (
+        materialize_llm_depth_pruning, materialize_llm_width_pruning,
+    )
+    from ssp_x_vit_tpu.llm.train import make_distill_train_step
+
+    teacher = init_llama_params(jax.random.PRNGKey(20), CFG)
+    keeps = [np.arange(32) for _ in range(CFG.num_layers)]
+    student, scfg = materialize_llm_width_pruning(
+        jax.tree.map(jnp.copy, teacher), CFG, keeps)
+    student, scfg = materialize_llm_depth_pruning(student, scfg, [1])
+    # Perturb the student away from the teacher so there is a real KL gap
+    # for distillation to close (at random tiny-model init both produce
+    # near-uniform logits and the KL floor is ~1e-4).
+    noise_keys = jax.random.split(jax.random.PRNGKey(99),
+                                  len(jax.tree.leaves(student)))
+    flat, treedef = jax.tree.flatten(student)
+    student = jax.tree.unflatten(treedef, [
+        p + 0.08 * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(flat, noise_keys)])
+
+    toks = _tokens(CFG, seed=21)
+
+    def _teacher_logits(tk):
+        from ssp_x_vit_tpu.llm.model import llama_forward
+        logits, _ = llama_forward(teacher, tk[:, :-1], CFG,
+                                  compute_dtype=jnp.float32)
+        return logits
+
+    def mean_kl(stu):
+        t = jax.nn.softmax(_teacher_logits(toks), axis=-1)
+        s = jax.nn.log_softmax(
+            llama_forward_materialized(stu, toks[:, :-1], scfg,
+                                       compute_dtype=jnp.float32), axis=-1)
+        return float(jnp.mean(jnp.sum(t * (jnp.log(t + 1e-9) - s), axis=-1)))
+
+    kl0 = mean_kl(student)
+    assert kl0 > 0.01, kl0  # the perturbation opened a real gap
+    opt = optax.adam(3e-3)
+    step = make_distill_train_step(teacher, CFG, scfg, opt, alpha=0.0,
+                                   temperature=1.0,
+                                   compute_dtype=jnp.float32)
+    st = opt.init(student)
+    losses = []
+    for _ in range(30):
+        student, st, loss = step(student, st, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert mean_kl(student) < 0.5 * kl0
