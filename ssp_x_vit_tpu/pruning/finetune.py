@@ -109,6 +109,50 @@ def finetune(
     return params
 
 
+def make_distill_train_step(teacher_params: Params, teacher_cfg: ViTConfig,
+                            student_cfg: ViTConfig,
+                            optimizer: optax.GradientTransformation,
+                            *, alpha: float = 0.5, temperature: float = 2.0,
+                            compute_dtype=jnp.bfloat16):
+    """Knowledge-distillation recovery for a pruned ViT:
+    ``step(student, opt_state, pixel_values, labels) -> (student, opt_state,
+    loss)`` with loss = alpha * CE(labels) + (1-alpha) * T^2 * KL(teacher ||
+    student) at softmax temperature T (Hinton KD). The dense teacher runs
+    forward-only under stop_gradient; the student may be width/depth-
+    materialized or any config sharing the label space. Complements the
+    reference's CE-only recovery (experiments/vit_pruning/auto_2ssp.py:231-290)
+    — the teacher's full class distribution carries more signal per image
+    than the one-hot target, which matters most right after pruning."""
+
+    def fwd(params, cfg, pixel_values):
+        if cfg.pruned_attention_blocks:
+            return vit_forward_materialized(params, pixel_values, cfg,
+                                            compute_dtype=compute_dtype)
+        logits, _ = vit_forward(params, pixel_values, cfg,
+                                compute_dtype=compute_dtype)
+        return logits
+
+    def loss_fn(student, pixel_values, labels):
+        s_logits = fwd(student, student_cfg, pixel_values).astype(jnp.float32)
+        t_logits = jax.lax.stop_gradient(
+            fwd(teacher_params, teacher_cfg, pixel_values).astype(jnp.float32))
+        ce = cross_entropy_loss(s_logits, labels)
+        t_prob = jax.nn.softmax(t_logits / temperature, axis=-1)
+        s_logp_T = jax.nn.log_softmax(s_logits / temperature, axis=-1)
+        kl = jnp.mean(jnp.sum(
+            t_prob * (jnp.log(t_prob + 1e-9) - s_logp_T), axis=-1))
+        return alpha * ce + (1.0 - alpha) * (temperature ** 2) * kl
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(student, opt_state, pixel_values, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(student, pixel_values, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        return student, opt_state, loss
+
+    return step
+
+
 def make_lora_train_step(cfg: ViTConfig,
                          optimizer: optax.GradientTransformation,
                          *, alpha: float = 16.0, compute_dtype=jnp.bfloat16):

@@ -137,3 +137,58 @@ def test_distill_recovery_step():
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert mean_kl(student) < 0.5 * kl0
+
+
+def test_vit_distill_recovery_step():
+    """ViT KD recovery mirrors the LLM path: a perturbed pruned student
+    distilled from the dense teacher closes the teacher-student KL gap."""
+    from ssp_x_vit_tpu.models.vit import (
+        ViTConfig, init_vit_params, vit_forward, vit_forward_materialized,
+    )
+    from ssp_x_vit_tpu.pruning import (
+        materialize_depth_pruning, materialize_width_pruning,
+        select_keep_indices, weight_l1_importance,
+    )
+    from ssp_x_vit_tpu.pruning.finetune import make_distill_train_step
+
+    vcfg = ViTConfig(image_size=32, patch_size=8, hidden_size=48,
+                     num_layers=3, num_heads=4, intermediate_size=96,
+                     num_classes=10)
+    teacher = init_vit_params(jax.random.PRNGKey(30), vcfg)
+    imp = weight_l1_importance(teacher)
+    res = select_keep_indices(imp, n_to_prune_per_block=[24] * vcfg.num_layers,
+                              min_remaining=8, verbose=False)
+    student, scfg = materialize_width_pruning(
+        jax.tree.map(jnp.copy, teacher), vcfg, res.keep_indices)
+    student, scfg = materialize_depth_pruning(student, scfg, [1])
+
+    flat, treedef = jax.tree.flatten(student)
+    noise_keys = jax.random.split(jax.random.PRNGKey(31), len(flat))
+    student = jax.tree.unflatten(treedef, [
+        p + 0.08 * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(flat, noise_keys)])
+
+    px = jax.random.normal(jax.random.PRNGKey(32), (8, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(33), (8,), 0, 10)
+
+    def mean_kl(stu):
+        t_logits, _ = vit_forward(teacher, px, vcfg, compute_dtype=jnp.float32)
+        t = jax.nn.softmax(t_logits, axis=-1)
+        s = jax.nn.log_softmax(
+            vit_forward_materialized(stu, px, scfg,
+                                     compute_dtype=jnp.float32), axis=-1)
+        return float(jnp.mean(jnp.sum(t * (jnp.log(t + 1e-9) - s), axis=-1)))
+
+    kl0 = mean_kl(student)
+    assert kl0 > 0.01, kl0
+    opt = optax.adam(3e-3)
+    step = make_distill_train_step(teacher, vcfg, scfg, opt, alpha=0.0,
+                                   temperature=1.0,
+                                   compute_dtype=jnp.float32)
+    st = opt.init(student)
+    losses = []
+    for _ in range(30):
+        student, st, loss = step(student, st, px, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert mean_kl(student) < 0.5 * kl0
