@@ -59,6 +59,12 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         rope_theta=d.get("rope_theta", 10000.0),
         tie_embeddings=d.get("tie_word_embeddings", False),
         model_type=mt,
+        # mistral applies sliding_window unconditionally when set; qwen2
+        # ships the field but only honors it under use_sliding_window
+        # (HF modeling_qwen2). null/absent means full causal attention.
+        sliding_window=(d.get("sliding_window")
+                        if mt == "mistral" or d.get("use_sliding_window", False)
+                        else None),
         qkv_bias=(mt == "qwen2"),
         rotary_dim=rotary_dim,
         layer_norm_eps=d.get("layer_norm_eps", 1e-5),

@@ -40,6 +40,11 @@ class LlamaConfig:
     # "opt" the sequential LayerNorm block with learned positions + ReLU MLP
     # (reference src/slicegpt_utils/adapters/opt_adapter.py).
     model_type: str = "llama"
+    # Sliding-window attention (mistral): each position attends the most
+    # recent `sliding_window` keys including itself (HF convention). None =
+    # full causal. Serving keeps absolute-position RoPE keys in the cache and
+    # masks beyond the window, so cached decode == full recompute exactly.
+    sliding_window: Optional[int] = None
     qkv_bias: bool = False     # qwen2/phi/opt use attention biases
     # phi-2 specifics
     rotary_dim: Optional[int] = None   # partial rotary (e.g. 32 of head_dim 80)
@@ -256,19 +261,24 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
         q, k = _rope(q, k, cfg.rope_theta)
     from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
 
+    window = cfg.sliding_window
+    if window is not None and window >= s:
+        window = None  # full causal within this sequence — same program
     if use_pallas() and s >= FLASH_MIN_SEQ:
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 
         # GQA-native kernel: K/V stay at nkv heads; the query group shares
         # the resident K/V in-kernel (no jnp.repeat HBM materialization).
-        out = flash_attention(q, k, v, causal=True)
+        # Sliding windows (mistral) ride the same kernels with out-of-band
+        # k-blocks predicated off — no [s, s] logits materialization.
+        out = flash_attention(q, k, v, causal=True, window=window)
     else:
         from ssp_x_vit_tpu.ops.attention import sdpa_reference
 
         if nkv != nq:
             k = jnp.repeat(k, nq // nkv, axis=1)
             v = jnp.repeat(v, nq // nkv, axis=1)
-        out = sdpa_reference(q, k, v, causal=True)
+        out = sdpa_reference(q, k, v, causal=True, window=window)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     out = _mm(out, bp, "o_kernel", compute_dtype)

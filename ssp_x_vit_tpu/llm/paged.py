@@ -118,7 +118,13 @@ def _paged_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_tables, seq_lens,
         q, k, v = _block_qkv(h, bp, cfg, seq_lens[:, None], compute_dtype)
         kp, vp = paged_cache_write(kp_l, vp_l, k[:, 0], v[:, 0],
                                    page_tables, seq_lens)
-        attn = paged_attention(q[:, 0], kp, vp, page_tables, seq_lens + 1)
+        starts = None
+        if cfg.sliding_window is not None:
+            # query position == seq_lens; HF window: keys k with
+            # q - k < window  ->  k >= seq_lens + 1 - window.
+            starts = jnp.maximum(seq_lens + 1 - cfg.sliding_window, 0)
+        attn = paged_attention(q[:, 0], kp, vp, page_tables, seq_lens + 1,
+                               start_lens=starts)
         return _o_proj(attn.reshape(b, 1, -1), bp, compute_dtype), kp, vp
 
     if cfg.is_phi:
@@ -153,6 +159,8 @@ def _prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table, seq_len,
         row = jnp.arange(p_pad)[:, None]
         col = jnp.arange(p_pad)[None, :]
         mask = (col <= row) & (col < seq_len)
+        if cfg.sliding_window is not None:
+            mask = mask & (row - col < cfg.sliding_window)
         logits = jnp.where(mask[None, None], logits, _NEG_INF)
         w = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, vf).reshape(1, p_pad, -1)

@@ -135,6 +135,11 @@ def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig):
     k_raw, v_raw = (ck["q"], cv["q"]) if quant else (ck, cv)
     key_idx = jnp.arange(k_raw.shape[1])                 # [max_len]
     causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
+    if cfg.sliding_window is not None:
+        # Sliding window (mistral): cache indices and query positions share
+        # one global index space, so the window is a second diagonal band.
+        causal = causal & (query_positions[:, :, None] - key_idx[None, None, :]
+                           < cfg.sliding_window)
     valid = key_idx[None, None, :] >= pad_lens[:, None, None]
     if rep > 1:
         # GQA: contract each kv head against its whole query group through

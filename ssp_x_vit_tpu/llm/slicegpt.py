@@ -34,23 +34,27 @@ from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _rope
 from ssp_x_vit_tpu.ops.attention import sdpa_reference
 
 
-def _sdpa(q, k, v):
+def _sdpa(q, k, v, window=None):
     """Causal attention through the measured dispatch layer: the flash kernel
     wins at LLM sequence lengths (s >= FLASH_MIN_SEQ, docs/tpu_notes.md), so
     sliced-model perplexity evals at s=2048 should not forgo it. GQA K/V
     (fewer heads than q) pass through un-repeated on the flash path — the
-    kernel shares each kv-head's resident K/V across its query group."""
+    kernel shares each kv-head's resident K/V across its query group.
+    ``window`` = sliding-window attention (mistral); rides the flash kernels
+    with out-of-band k-blocks predicated off."""
     from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
 
+    if window is not None and window >= q.shape[2]:
+        window = None
     if use_pallas() and q.shape[2] >= FLASH_MIN_SEQ:
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=True)
+        return flash_attention(q, k, v, causal=True, window=window)
     if k.shape[1] != q.shape[1]:
         rep = q.shape[1] // k.shape[1]
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    return sdpa_reference(q, k, v, causal=True)
+    return sdpa_reference(q, k, v, causal=True, window=window)
 
 RMSN_EPS = 1e-5  # reference modules.py:20 (fixed, regardless of model eps)
 
@@ -92,7 +96,7 @@ def _sliced_attention(h, lp, cfg: LlamaConfig, compute_dtype):
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     q, k = _rope(q, k, cfg.rope_theta)
-    out = _sdpa(q, k, v)  # GQA-aware dispatch (repeat only on the sdpa fallback)
+    out = _sdpa(q, k, v, window=cfg.sliding_window)  # GQA-aware dispatch
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     return out @ lp["o_kernel"].astype(compute_dtype)
 
@@ -132,7 +136,7 @@ def _sliced_attention_phi(h, lp, cfg: LlamaConfig, compute_dtype):
         k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
     else:
         q, k = _rope(q, k, cfg.rope_theta)
-    out = _sdpa(q, k, v)  # GQA-aware dispatch (repeat only on the sdpa fallback)
+    out = _sdpa(q, k, v, window=cfg.sliding_window)  # GQA-aware dispatch
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     return out @ lp["o_kernel"].astype(compute_dtype) + lp["o_bias"].astype(compute_dtype)
 

@@ -76,8 +76,14 @@ def multi_head_attention(
     return out
 
 
-def sdpa_reference(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False) -> jax.Array:
-    """Scaled dot-product attention, fp32 softmax ([b, h, s, hd] layout)."""
+def sdpa_reference(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False,
+                   window: Optional[int] = None) -> jax.Array:
+    """Scaled dot-product attention, fp32 softmax ([b, h, s, hd] layout).
+
+    ``window`` adds sliding-window attention (mistral, HF convention:
+    query position q attends keys k with ``k <= q`` and ``q - k < window``,
+    i.e. the most recent ``window`` positions including itself). Requires
+    ``causal=True``."""
     head_dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -85,6 +91,12 @@ def sdpa_reference(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = F
     if causal:
         s = q.shape[2]
         mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        if window is not None:
+            qi = jnp.arange(s)[:, None]
+            ki = jnp.arange(s)[None, :]
+            mask = mask & (qi - ki < window)
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    elif window is not None:
+        raise ValueError("sliding window requires causal attention")
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)

@@ -34,7 +34,7 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
-                  causal: bool):
+                  causal: bool, window):
     # Grid: (batch*kv_heads, group member, q-tile) — GQA shares the
     # VMEM-resident K/V across the whole query group without ever
     # materializing repeated K/V in HBM. MHA is the rep=1 special case.
@@ -53,6 +53,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
         mask = jnp.logical_and(mask, col <= row)
+        if window is not None:
+            # sliding window (HF convention): row - col < window
+            mask = jnp.logical_and(mask, row - col < window)
     logits = jnp.where(mask, logits, _NEG_INF)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
@@ -161,13 +164,16 @@ BLOCK_KS = 512
 
 
 def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
-                            scale: float, seq_len: int, causal: bool, nk: int):
+                            scale: float, seq_len: int, causal: bool, nk: int,
+                            window):
     """Grid (batch*kv_heads, group member, q-tile, k-block): the q tile stays
     resident across the innermost k-block axis while BLOCK_KS-wide K/V
     blocks stream through double-buffered VMEM windows; online-softmax state
     (m, l, acc) lives in scratch that persists across the sequential grid.
     Causal upper-triangular k-blocks are predicated off entirely (no MXU or
-    exp work). Unbounded in s — HBM is the only limit."""
+    exp work) — and with a sliding window, so are blocks entirely BELOW the
+    band: long-context SWA work is O(s*window), not O(s^2/2). Unbounded in
+    s — HBM is the only limit."""
     iq = pl.program_id(2)
     kb = pl.program_id(3)
 
@@ -180,6 +186,10 @@ def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
     needed = True
     if causal:
         needed = kb * BLOCK_KS <= iq * BLOCK_Q + (BLOCK_Q - 1)
+        if window is not None:
+            # block's last col must reach the tile's lowest in-window col
+            needed = jnp.logical_and(
+                needed, (kb + 1) * BLOCK_KS - 1 >= iq * BLOCK_Q - (window - 1))
 
     @pl.when(needed)
     def _():
@@ -194,6 +204,8 @@ def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
             mask = jnp.logical_and(mask, col <= row)
+            if window is not None:
+                mask = jnp.logical_and(mask, row - col < window)
         logits = jnp.where(mask, logits, _NEG_INF)
 
         m_old = m_s[:]
@@ -212,7 +224,7 @@ def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
         o_ref[0, 0] = (acc_s[:] / l_s[:]).astype(o_ref.dtype)
 
 
-def _flash_forward_streaming(q, k, v, *, causal: bool):
+def _flash_forward_streaming(q, k, v, *, causal: bool, window=None):
     b, h, s, hd = q.shape
     hkv = k.shape[1]
     rep = h // hkv
@@ -238,13 +250,19 @@ def _flash_forward_streaming(q, k, v, *, causal: bool):
                           lambda bh, r, iq, kb: (bh, r, iq, 0),
                           memory_space=pltpu.VMEM)
     if causal:
-        # Clamp predicated-off upper-triangle k-blocks to the last needed
-        # block index: pallas skips the re-fetch when the mapped index
-        # repeats, so the skipped blocks cost no HBM bandwidth either
-        # (the pl.when in the kernel already skips their compute).
+        # Clamp predicated-off k-blocks (upper triangle, and below the
+        # sliding-window band) to the nearest needed block index: pallas
+        # skips the re-fetch when the mapped index repeats, so the skipped
+        # blocks cost no HBM bandwidth either (the pl.when in the kernel
+        # already skips their compute).
         def kv_index(bh, r, iq, kb):
             last_needed = (iq * BLOCK_Q + (BLOCK_Q - 1)) // BLOCK_KS
-            return (bh, jnp.minimum(kb, last_needed), 0)
+            idx = jnp.minimum(kb, last_needed)
+            if window is not None:
+                first_needed = jnp.maximum(
+                    iq * BLOCK_Q - (window - 1), 0) // BLOCK_KS
+                idx = jnp.maximum(idx, first_needed)
+            return (bh, idx, 0)
     else:
         def kv_index(bh, r, iq, kb):
             return (bh, kb, 0)
@@ -252,7 +270,7 @@ def _flash_forward_streaming(q, k, v, *, causal: bool):
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_flash_kernel_streaming, scale=scale, seq_len=s,
-                          causal=causal, nk=nk),
+                          causal=causal, nk=nk, window=window),
         grid=(b * hkv, rep, nq, nk),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
@@ -282,7 +300,7 @@ GROUP_BATCH = 2
 
 
 def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
-                      num_heads: int, causal: bool, group: int):
+                      num_heads: int, causal: bool, group: int, window):
     """One program per GROUP of batch elements; loops over (image, head) pairs
     with K/V resident. For short sequences (ViT: 197->256) per-(batch,head)
     programs are dominated by program/DMA overhead — fatter programs win.
@@ -301,6 +319,8 @@ def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
             mask = jnp.logical_and(mask, col <= row)
+            if window is not None:
+                mask = jnp.logical_and(mask, row - col < window)
         logits = jnp.where(mask, logits, _NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
@@ -314,7 +334,7 @@ def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     jax.lax.fori_loop(0, group * num_heads, head_body, 0)
 
 
-def _flash_forward_multihead(q, k, v, *, causal: bool):
+def _flash_forward_multihead(q, k, v, *, causal: bool, window=None):
     b, h, s, hd = q.shape
     scale = 1.0 / (hd**0.5)
     s_pad = max(-(-s // 128) * 128, 128)
@@ -332,7 +352,8 @@ def _flash_forward_multihead(q, k, v, *, causal: bool):
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_multihead_kernel, scale=scale, seq_len=s,
-                          num_heads=h, causal=causal, group=group),
+                          num_heads=h, causal=causal, group=group,
+                          window=window),
         grid=(b // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -351,7 +372,7 @@ def _flash_forward_multihead(q, k, v, *, causal: bool):
 MULTIHEAD_MAX_SEQ = 512
 
 
-def _flash_forward(q, k, v, *, causal: bool):
+def _flash_forward(q, k, v, *, causal: bool, window=None):
     b, h, s, hd = q.shape
     hkv = k.shape[1]
     rep = h // hkv
@@ -359,14 +380,18 @@ def _flash_forward(q, k, v, *, causal: bool):
     # q/k/v/o buffers must fit scoped VMEM (double-buffered by the pipeline).
     mh_vmem = 2 * h * s_pad_mh * hd * q.dtype.itemsize * 4
     if rep == 1 and s <= MULTIHEAD_MAX_SEQ and mh_vmem <= 12 * 1024 * 1024:
-        return _flash_forward_multihead(q, k, v, causal=causal)
+        return _flash_forward_multihead(q, k, v, causal=causal, window=window)
     # The resident q-tiled kernel keeps full K/V in (double-buffered) VMEM;
     # past the budget (~12k tokens at hd=128 bf16) stream K/V blocks instead.
+    # A sliding window also prefers streaming once s spans several k-blocks:
+    # the band predication makes the work O(s*window) instead of the resident
+    # rectangle's O(s^2).
     resident_vmem = 4 * (-(-s // BLOCK_Q) * BLOCK_Q) * hd * k.dtype.itemsize
-    if resident_vmem > 12 * 1024 * 1024:
-        return _flash_forward_streaming(q, k, v, causal=causal)
+    if resident_vmem > 12 * 1024 * 1024 or (
+            window is not None and s >= window + 2 * BLOCK_KS):
+        return _flash_forward_streaming(q, k, v, causal=causal, window=window)
     scale = 1.0 / (hd**0.5)
-    block_skip = causal and rep == 1 and _use_block_skip()
+    block_skip = causal and rep == 1 and window is None and _use_block_skip()
     # The block-skip kernel unrolls K blocks of BLOCK_K, so pad the sequence
     # to a BLOCK_K multiple there (fully-masked padding blocks are exact
     # no-ops in the online-softmax update).
@@ -402,7 +427,7 @@ def _flash_forward(q, k, v, *, causal: bool):
         ]
     else:
         kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
-                                   causal=causal)
+                                   causal=causal, window=window)
         flops = 4 * b * h * s_pad * s_pad * hd
         transcendentals = b * h * s_pad * s_pad
         scratch = []
@@ -430,7 +455,7 @@ def _flash_forward(q, k, v, *, causal: bool):
 
 def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
                       dk_acc, dv_acc, *, scale: float, seq_len: int,
-                      causal: bool, rep: int, nq: int):
+                      causal: bool, rep: int, nq: int, window):
     """Single-pass backward: grid (batch*heads, q-tiles), full K/V resident.
 
     The softmax row is RECOMPUTED from the resident full row (same rationale
@@ -469,11 +494,16 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
         mask = jnp.logical_and(mask, col <= row)
+        if window is not None:
+            mask = jnp.logical_and(mask, row - col < window)
     logits = jnp.where(mask, logits, _NEG_INF)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [BLOCK_Q, S_pad] f32
+    # denom guard: with a sliding window, PADDING rows past seq_len can be
+    # FULLY masked (row - window + 1 >= seq_len) — 0/0 NaN here would ride
+    # the dk/dv accumulation into real rows (do=0 kills finite p, not NaN).
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -512,7 +542,7 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_backward_pallas(q, k, v, g, *, causal: bool):
+def _flash_backward_pallas(q, k, v, g, *, causal: bool, window=None):
     b, h, s, hd = q.shape
     hkv = k.shape[1]
     rep = h // hkv
@@ -541,7 +571,7 @@ def _flash_backward_pallas(q, k, v, g, *, causal: bool):
                              memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, scale=scale, seq_len=s,
-                          causal=causal, rep=rep, nq=nq),
+                          causal=causal, rep=rep, nq=nq, window=window),
         grid=(b * hkv, rep, nq),
         in_specs=[tile_spec, tile_spec, full_spec, full_spec],
         out_specs=[tile_spec, full_spec, full_spec],
@@ -569,7 +599,7 @@ def _flash_backward_pallas(q, k, v, g, *, causal: bool):
 def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
                          dq_ref, lse_ref, delta_ref,
                          m_s, l_s, d_s, acc_s, *, scale: float, seq_len: int,
-                         causal: bool, nk: int):
+                         causal: bool, nk: int, window):
     """Streaming dq: grid (batch*kv_heads, group, q-tile, 3*nk). The inner
     axis makes THREE k-block sweeps per q-tile — phase 0 accumulates the
     online row max/sum (m, l), phase 1 the softmax-jacobian row term
@@ -595,6 +625,9 @@ def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
     needed = True
     if causal:
         needed = kb * BLOCK_KS <= iq * BLOCK_Q + (BLOCK_Q - 1)
+        if window is not None:
+            needed = jnp.logical_and(
+                needed, (kb + 1) * BLOCK_KS - 1 >= iq * BLOCK_Q - (window - 1))
 
     @pl.when(needed)
     def _():
@@ -608,6 +641,8 @@ def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
             mask = jnp.logical_and(mask, col <= row)
+            if window is not None:
+                mask = jnp.logical_and(mask, row - col < window)
         logits = jnp.where(mask, logits, _NEG_INF)
 
         @pl.when(phase == 0)
@@ -649,7 +684,8 @@ def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
 
 def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                           dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
-                          seq_len: int, causal: bool, rep: int, nq: int):
+                          seq_len: int, causal: bool, rep: int, nq: int,
+                          window):
     """Streaming dk/dv: grid (batch*kv_heads, k-block, group, q-tile). The
     K/V block stays resident while q/do/lse/delta tiles stream; f32
     accumulators sum contributions over the whole (group x q-tile) sweep —
@@ -670,6 +706,11 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     if causal:
         # q-tile contributes to k-block kb iff its last row reaches the block
         needed = iq * BLOCK_Q + (BLOCK_Q - 1) >= kb * BLOCK_KS
+        if window is not None:
+            # ... and its first row is still inside the band for the block's
+            # last column: row - col < window for some (row, col) pair
+            needed = jnp.logical_and(
+                needed, iq * BLOCK_Q - ((kb + 1) * BLOCK_KS - 1) < window)
 
     @pl.when(needed)
     def _():
@@ -687,6 +728,8 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + iq * BLOCK_Q
             mask = jnp.logical_and(mask, col <= row)
+            if window is not None:
+                mask = jnp.logical_and(mask, row - col < window)
         logits = jnp.where(mask, logits, _NEG_INF)
         p = jnp.exp(logits - lse)  # normalized probabilities directly
         dp = jax.lax.dot_general(
@@ -705,7 +748,7 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_backward_streaming(q, k, v, g, *, causal: bool):
+def _flash_backward_streaming(q, k, v, g, *, causal: bool, window=None):
     """Two-pass streaming backward for sequences past the resident VMEM
     budget: HBM-bound like the streaming forward. Intermediate lse/delta
     ride a lane-broadcast [..., s_pad, 128] f32 layout (s_pad*512 bytes per
@@ -740,7 +783,12 @@ def _flash_backward_streaming(q, k, v, g, *, causal: bool):
     if causal:
         def kv_index(bh, r, iq, st):
             last_needed = (iq * BLOCK_Q + (BLOCK_Q - 1)) // BLOCK_KS
-            return (bh, jnp.minimum(st % nk, last_needed), 0)
+            idx = jnp.minimum(st % nk, last_needed)
+            if window is not None:
+                first_needed = jnp.maximum(
+                    iq * BLOCK_Q - (window - 1), 0) // BLOCK_KS
+                idx = jnp.maximum(idx, first_needed)
+            return (bh, idx, 0)
     else:
         def kv_index(bh, r, iq, st):
             return (bh, st % nk, 0)
@@ -748,7 +796,7 @@ def _flash_backward_streaming(q, k, v, g, *, causal: bool):
 
     dq, lse, delta = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, seq_len=s,
-                          causal=causal, nk=nk),
+                          causal=causal, nk=nk, window=window),
         grid=(b * hkv, rep, nq, 3 * nk),
         in_specs=[tile, tile, kv, kv],
         out_specs=[tile, stat, stat],
@@ -781,7 +829,7 @@ def _flash_backward_streaming(q, k, v, g, *, causal: bool):
                        memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, seq_len=s,
-                          causal=causal, rep=rep, nq=nq),
+                          causal=causal, rep=rep, nq=nq, window=window),
         grid=(b * hkv, nk, rep, nq),
         in_specs=[tile2, tile2, stat2, stat2, kv2, kv2],
         out_specs=[kv2, kv2],
@@ -806,16 +854,16 @@ def _flash_backward_streaming(q, k, v, g, *, causal: bool):
     return unpad_q(dq), unpad_kv(dk), unpad_kv(dv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, causal):
-    return _flash_forward(q, k, v, causal=causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, causal, window):
+    return _flash_forward(q, k, v, causal=causal, window=window)
 
 
-def _flash_fwd(q, k, v, causal):
-    return _flash_forward(q, k, v, causal=causal), (q, k, v)
+def _flash_fwd(q, k, v, causal, window):
+    return _flash_forward(q, k, v, causal=causal, window=window), (q, k, v)
 
 
-def _flash_bwd(causal, res, g):
+def _flash_bwd(causal, window, res, g):
     q, k, v = res
     b, h, s, hd = q.shape
     rep = h // k.shape[1]
@@ -834,15 +882,18 @@ def _flash_bwd(causal, res, g):
     isz = q.dtype.itemsize
     bwd_vmem = (4 * isz + 2 * 4 + 3 * isz) * s_pad * hd + 2 * 4 * s_pad * hd
     if (rep > 1 or s > MULTIHEAD_MAX_SEQ):
-        if bwd_vmem <= 12 * 1024 * 1024:
-            return _flash_backward_pallas(q, k, v, g, causal=causal)
-        return _flash_backward_streaming(q, k, v, g, causal=causal)
+        if bwd_vmem <= 12 * 1024 * 1024 and not (
+                window is not None and s >= window + 2 * BLOCK_KS):
+            return _flash_backward_pallas(q, k, v, g, causal=causal,
+                                          window=window)
+        return _flash_backward_streaming(q, k, v, g, causal=causal,
+                                         window=window)
 
     def ref(q_, k_, v_):
         if rep > 1:
             k_ = jnp.repeat(k_, rep, axis=1)
             v_ = jnp.repeat(v_, rep, axis=1)
-        return sdpa_reference(q_, k_, v_, causal=causal)
+        return sdpa_reference(q_, k_, v_, causal=causal, window=window)
 
     _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
@@ -851,7 +902,8 @@ def _flash_bwd(causal, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False) -> jax.Array:
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False, window=None) -> jax.Array:
     """q [b, h, s, hd], k/v [b, hkv, s, hd] -> [b, h, s, hd].
 
     GQA-native: when hkv < h (h % hkv == 0), each query group shares its
@@ -859,8 +911,20 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = 
     pre-repeat K/V (that would re-materialize them rep x in HBM). Numerics
     match ``sdpa_reference`` on repeated K/V; grads flow to the [b, hkv]
     shapes (the group-sum happens in-kernel).
+
+    ``window`` adds sliding-window attention (mistral, HF convention:
+    row - col < window; requires ``causal=True``). Long sequences ride the
+    streaming kernels with out-of-band k-blocks predicated off — O(s*window)
+    work and bandwidth instead of O(s^2/2).
     """
     if q.shape[1] % k.shape[1]:
         raise ValueError(
             f"num_heads {q.shape[1]} not a multiple of num_kv_heads {k.shape[1]}")
-    return _flash(q, k, v, causal)
+    if window is not None:
+        if not causal:
+            raise ValueError("sliding window requires causal attention")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if window >= q.shape[2]:
+            window = None  # full causal within this sequence — same program
+    return _flash(q, k, v, causal, window)

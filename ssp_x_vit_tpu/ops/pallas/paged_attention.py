@@ -41,14 +41,17 @@ def _dequant_pages(pages):
     return pages["q"].astype(jnp.float32) * pages["s"][..., None]
 
 
-def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens):
+def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens,
+                              start_lens=None):
     """Exact softmax over the paged cache (jnp; CPU/test path).
 
     q: [b, nq, hd] one query token per sequence;
     k_pages/v_pages: [nkv, P, ps, hd] — or int8 pool pytrees ({"q","s"},
     per-token-per-head scales; cf. serve.init_cache); page_table: [b, mp]
     int32 (entries for unused logical pages must be valid indices, e.g. 0);
-    seq_lens: [b] valid cached tokens per sequence. Returns [b, nq, hd].
+    seq_lens: [b] valid cached tokens per sequence. ``start_lens`` [b] is an
+    optional lower bound (sliding-window decode: keys below it are masked).
+    Returns [b, nq, hd].
     """
     if isinstance(k_pages, dict):
         k_pages = _dequant_pages(k_pages).astype(q.dtype)
@@ -63,13 +66,15 @@ def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens):
     scores = jnp.einsum("bkrd,bksd->bkrs", qh, k.astype(jnp.float32))
     pos = jnp.arange(mp * ps)
     mask = pos[None, None, None, :] < seq_lens[:, None, None, None]
+    if start_lens is not None:
+        mask = mask & (pos[None, None, None, :] >= start_lens[:, None, None, None])
     scores = jnp.where(mask, scores, _NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkrs,bksd->bkrd", w, v.astype(jnp.float32))
     return out.reshape(b, nq, hd).astype(q.dtype)
 
 
-def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
+def _paged_kernel(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
                   m_s, l_s, acc_s, *, ps: int, mp: int, scale: float):
     i = pl.program_id(0)       # batch (sequence)
     j = pl.program_id(2)       # page step (innermost -> scratch carries)
@@ -81,8 +86,9 @@ def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
         acc_s[...] = jnp.zeros_like(acc_s)
 
     seq_len = len_ref[i]
+    start = st_ref[i]  # sliding-window lower bound (0 = full causal)
 
-    @pl.when(j * ps < seq_len)
+    @pl.when(((j + 1) * ps > start) & (j * ps < seq_len))
     def _step():
         q = q_ref[0, 0].astype(jnp.float32)       # [group, hd]
         k = k_ref[0, 0]                           # [ps, hd]
@@ -90,7 +96,7 @@ def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
             q * scale, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [group, ps]
         kpos = j * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kpos < seq_len, s, _NEG_INF)
+        s = jnp.where((kpos >= start) & (kpos < seq_len), s, _NEG_INF)
         m_prev, l_prev = m_s[...], l_s[...]
         m_cur = jnp.max(s, axis=-1, keepdims=True)        # [group, 1]
         m_new = jnp.maximum(m_prev, m_cur)
@@ -108,7 +114,7 @@ def _paged_kernel(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
-def _paged_kernel_grouped(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
+def _paged_kernel_grouped(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
                           m_s, l_s, acc_s, *, ps: int, mp: int, nkv: int,
                           rep: int, scale: float):
     """All kv heads of one (sequence, page) step in ONE program — 16x fewer
@@ -125,8 +131,9 @@ def _paged_kernel_grouped(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
         acc_s[...] = jnp.zeros_like(acc_s)
 
     seq_len = len_ref[i]
+    start = st_ref[i]  # sliding-window lower bound (0 = full causal)
 
-    @pl.when(j * ps < seq_len)
+    @pl.when(((j + 1) * ps > start) & (j * ps < seq_len))
     def _step():
         kpos1 = j * ps + jax.lax.broadcasted_iota(jnp.int32, (rep, ps), 1)
 
@@ -136,7 +143,7 @@ def _paged_kernel_grouped(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
             s = jax.lax.dot_general(
                 q * scale, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [rep, ps]
-            s = jnp.where(kpos1 < seq_len, s, _NEG_INF)
+            s = jnp.where((kpos1 >= start) & (kpos1 < seq_len), s, _NEG_INF)
             sl = pl.ds(h * rep, rep)
             m_prev, l_prev = m_s[sl], l_s[sl]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -157,7 +164,7 @@ def _paged_kernel_grouped(pt_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
-def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens):
+def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens):
     b, nq, hd = q.shape
     nkv, num_pages, ps, _ = k_pages.shape
     mp = page_table.shape[1]
@@ -168,17 +175,17 @@ def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens):
     kernel = functools.partial(_paged_kernel_grouped, ps=ps, mp=mp, nkv=nkv,
                                rep=rep, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, mp),
         in_specs=[
-            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln: (i, 0, 0, 0),
+            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln, st: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln, st: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nq, 1), jnp.float32),
@@ -195,12 +202,13 @@ def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens):
             bytes_accessed=2 * b * nkv * mp * ps * hd * k_pages.dtype.itemsize,
             transcendentals=b * nq * mp * ps,
         ),
-    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh, k_pages, v_pages)
+    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      start_lens.astype(jnp.int32), qh, k_pages, v_pages)
     return out
 
 
-def _paged_kernel_grouped_q8(pt_ref, len_ref, q_ref, k_ref, ks_ref, v_ref,
-                             vs_ref, o_ref, m_s, l_s, acc_s, *, ps: int,
+def _paged_kernel_grouped_q8(pt_ref, len_ref, st_ref, q_ref, k_ref, ks_ref,
+                             v_ref, vs_ref, o_ref, m_s, l_s, acc_s, *, ps: int,
                              mp: int, nkv: int, rep: int, scale: float):
     """int8-pool variant of the grouped kernel: per-token-per-head scales
     fold into the score (key side) and into the softmax weights (value
@@ -215,8 +223,9 @@ def _paged_kernel_grouped_q8(pt_ref, len_ref, q_ref, k_ref, ks_ref, v_ref,
         acc_s[...] = jnp.zeros_like(acc_s)
 
     seq_len = len_ref[i]
+    start = st_ref[i]  # sliding-window lower bound (0 = full causal)
 
-    @pl.when(j * ps < seq_len)
+    @pl.when(((j + 1) * ps > start) & (j * ps < seq_len))
     def _step():
         kpos1 = j * ps + jax.lax.broadcasted_iota(jnp.int32, (rep, ps), 1)
 
@@ -227,7 +236,7 @@ def _paged_kernel_grouped_q8(pt_ref, len_ref, q_ref, k_ref, ks_ref, v_ref,
                 q * scale, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [rep, ps]
             s = s * ks_ref[h, 0, 0][None, :]               # key dequant scale
-            s = jnp.where(kpos1 < seq_len, s, _NEG_INF)
+            s = jnp.where((kpos1 >= start) & (kpos1 < seq_len), s, _NEG_INF)
             sl = pl.ds(h * rep, rep)
             m_prev, l_prev = m_s[sl], l_s[sl]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -249,7 +258,8 @@ def _paged_kernel_grouped_q8(pt_ref, len_ref, q_ref, k_ref, ks_ref, v_ref,
         o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
-def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens):
+def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens,
+                             start_lens):
     b, nq, hd = q.shape
     nkv, num_pages, ps, _ = k_pages["q"].shape
     mp = page_table.shape[1]
@@ -260,21 +270,21 @@ def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens):
     kernel = functools.partial(_paged_kernel_grouped_q8, ps=ps, mp=mp,
                                nkv=nkv, rep=rep, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, mp),
         in_specs=[
-            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln: (i, 0, 0, 0),
+            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln, st: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln: (0, pt[i, j], 0, 0),
+            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln, st: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nq, 1), jnp.float32),
@@ -291,7 +301,8 @@ def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens):
             bytes_accessed=2 * b * nkv * mp * ps * (hd + 4),
             transcendentals=b * nq * mp * ps,
         ),
-    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh,
+    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      start_lens.astype(jnp.int32), qh,
       k_pages["q"], k_pages["s"].astype(jnp.float32)[:, :, None, :],
       v_pages["q"], v_pages["s"].astype(jnp.float32)[:, :, None, :])
 
@@ -300,25 +311,30 @@ def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens):
 _GROUPED_VMEM_LIMIT = 12 * 1024 * 1024
 
 
-def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens):
+def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens,
+                           start_lens=None):
     """Pallas TPU paged decode attention; contract == the jnp reference."""
     b, nq, hd = q.shape
+    if start_lens is None:
+        start_lens = jnp.zeros_like(seq_lens)  # 0 = full causal
     if isinstance(k_pages, dict):
         nkv, _, ps, _ = k_pages["q"].shape
         grouped_vmem = 2 * 2 * nkv * ps * (hd + 4)
         if grouped_vmem <= _GROUPED_VMEM_LIMIT:
             return _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table,
-                                            seq_lens)
+                                            seq_lens, start_lens)
         return paged_attention_reference(q, k_pages, v_pages, page_table,
-                                         seq_lens)
+                                         seq_lens, start_lens)
     nkv, _, ps, _ = k_pages.shape
     grouped_vmem = 2 * 2 * nkv * ps * hd * k_pages.dtype.itemsize
     if grouped_vmem <= _GROUPED_VMEM_LIMIT:
-        return _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens)
-    return _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens)
+        return _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens,
+                                     start_lens)
+    return _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens,
+                                 start_lens)
 
 
-def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens):
+def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens, start_lens):
     """Per-(sequence, kv head, page) grid — fallback for huge pages."""
     b, nq, hd = q.shape
     nkv, num_pages, ps, _ = k_pages.shape
@@ -330,17 +346,17 @@ def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens):
     grid = (b, nkv, mp)
     kernel = functools.partial(_paged_kernel, ps=ps, mp=mp, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, rep, hd), lambda i, h, j, pt, ln: (i, h, 0, 0),
+            pl.BlockSpec((1, 1, rep, hd), lambda i, h, j, pt, ln, st: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ps, hd), lambda i, h, j, pt, ln: (h, pt[i, j], 0, 0),
+            pl.BlockSpec((1, 1, ps, hd), lambda i, h, j, pt, ln, st: (h, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ps, hd), lambda i, h, j, pt, ln: (h, pt[i, j], 0, 0),
+            pl.BlockSpec((1, 1, ps, hd), lambda i, h, j, pt, ln, st: (h, pt[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, h, j, pt, ln: (i, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, h, j, pt, ln, st: (i, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((rep, 1), jnp.float32),    # m
@@ -357,17 +373,22 @@ def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens):
             bytes_accessed=2 * b * nkv * mp * ps * hd * k_pages.dtype.itemsize,
             transcendentals=b * nq * mp * ps,
         ),
-    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qh, k_pages, v_pages)
+    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      start_lens.astype(jnp.int32), qh, k_pages, v_pages)
     return out.reshape(b, nq, hd)
 
 
-def paged_attention(q, k_pages, v_pages, page_table, seq_lens):
-    """Dispatch: pallas on TPU, jnp reference elsewhere."""
+def paged_attention(q, k_pages, v_pages, page_table, seq_lens,
+                    start_lens=None):
+    """Dispatch: pallas on TPU, jnp reference elsewhere. ``start_lens`` [b]
+    masks keys below it (sliding-window decode; None = full causal)."""
     from ssp_x_vit_tpu.ops.dispatch import use_pallas
 
     if use_pallas():
-        return paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens)
-    return paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens)
+        return paged_attention_pallas(q, k_pages, v_pages, page_table,
+                                      seq_lens, start_lens)
+    return paged_attention_reference(q, k_pages, v_pages, page_table,
+                                     seq_lens, start_lens)
 
 
 def _quantize_token_kv(t):

@@ -120,7 +120,9 @@ def _tp_block(x, bp, cfg: LlamaConfig, compute_dtype, tp: int):
         rep = nq // nkv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    out = sdpa_reference(q, k, v, causal=True)
+    _w = cfg.sliding_window
+    _w = None if (_w is None or _w >= s) else _w
+    out = sdpa_reference(q, k, v, causal=True, window=_w)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     out = lax.psum(out @ bp["o_kernel"].astype(compute_dtype), "model")
     x = x + out
@@ -161,7 +163,9 @@ def _tp_block_phi(x, bp, cfg: LlamaConfig, compute_dtype, tp: int):
         rep = nq // nkv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    out = sdpa_reference(q, k, v, causal=True)
+    _w = cfg.sliding_window
+    _w = None if (_w is None or _w >= s) else _w
+    out = sdpa_reference(q, k, v, causal=True, window=_w)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     attn = lax.psum(out @ bp["o_kernel"].astype(compute_dtype), "model") \
         + bp["o_bias"].astype(compute_dtype)

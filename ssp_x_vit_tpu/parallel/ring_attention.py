@@ -112,6 +112,13 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
         raise ValueError("seq-parallel path covers llama-layout and phi "
                          "configs (OPT's learned-position table is bounded "
                          "at 2048 — no long-context use case)")
+    if cfg.sliding_window is not None:
+        raise ValueError(
+            "seq-parallel ring attention computes full causal attention; "
+            "sliding-window configs would silently widen their context. "
+            "Evaluate SWA models on the dp x tp path (sliding-window "
+            "attention is local — ring context parallelism buys nothing "
+            "past window size).")
 
     def inner(params, tokens):
         """tokens: [b_local, s] (full windows, replicated over 'seq')."""

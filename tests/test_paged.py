@@ -195,3 +195,59 @@ def test_paged_generate_zero_and_one_new_tokens(model):
     outs = paged_generate(params, cfg, [[5, 9, 2]], max_new_tokens=1,
                           page_size=8, cache_dtype=jnp.float32)
     assert outs[0].shape == (4,)
+
+
+def test_paged_attention_start_lens_masks_window():
+    """start_lens masks keys below the bound — matches a dense softmax over
+    only the [start, len) slice (sliding-window decode mask)."""
+    b, nq, nkv, hd, ps, mp, P = 2, 4, 2, 8, 4, 4, 12
+    rng = np.random.default_rng(1)
+    seq_lens = np.asarray([14, 9], np.int32)
+    start_lens = np.asarray([6, 0], np.int32)
+    q = rng.normal(size=(b, nq, hd)).astype(np.float32)
+    kc = rng.normal(size=(b, nkv, mp * ps, hd)).astype(np.float32)
+    vc = rng.normal(size=(b, nkv, mp * ps, hd)).astype(np.float32)
+    k_pages = np.zeros((nkv, P, ps, hd), np.float32)
+    v_pages = np.zeros((nkv, P, ps, hd), np.float32)
+    pt = np.zeros((b, mp), np.int32)
+    nxt = 1
+    for i in range(b):
+        for j in range(mp):
+            pt[i, j] = nxt
+            k_pages[:, nxt] = kc[i, :, j * ps:(j + 1) * ps]
+            v_pages[:, nxt] = vc[i, :, j * ps:(j + 1) * ps]
+            nxt += 1
+
+    out = paged_attention_reference(
+        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(pt), jnp.asarray(seq_lens), jnp.asarray(start_lens))
+    rep = nq // nkv
+    for i in range(b):
+        lo, hi = int(start_lens[i]), int(seq_lens[i])
+        kf = np.repeat(kc[i][:, lo:hi], rep, axis=0)
+        vf = np.repeat(vc[i][:, lo:hi], rep, axis=0)
+        sc = np.einsum("hd,hld->hl", q[i] / np.sqrt(hd), kf)
+        w = np.exp(sc - sc.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        ref = np.einsum("hl,hld->hd", w, vf)
+        np.testing.assert_allclose(np.asarray(out[i]), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_paged_server_sliding_window_matches_contiguous():
+    """Mistral-style SWA through the paged server == the contiguous-cache
+    scan decode (both mask the same global-index window band)."""
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=64,
+                      model_type="mistral", sliding_window=6)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    prompts = [np.arange(9) % 64 + 1, np.asarray([5, 3, 8])]
+
+    srv = PagedServer(params, cfg, max_batch=2, num_pages=32, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32)
+    ids = [srv.add_request(p, max_new_tokens=12) for p in prompts]
+    outs = srv.run()
+
+    for p, rid in zip(prompts, ids):
+        ref = generate_kv_scan(params, cfg, np.asarray(p, np.int32),
+                               max_length=len(p) + 12, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(outs[rid], np.asarray(ref))

@@ -423,3 +423,79 @@ def test_fused_mlp_int8_contract_interpret():
     out = fused_mlp_int8(x, gq, gs, uq, us, dq, ds, f_tile=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("hkv,s,window", [
+    (2, 600, 150),   # resident q-tiled kernel, GQA; pallas backward
+    (4, 300, 60),    # multihead short-seq kernel; XLA-vjp backward
+    (1, 300, 60),    # q-tiled via rep=4 at short seq
+    (2, 130, 8),     # fully-masked PADDING rows (130->256 pad, window 8)
+])
+def test_flash_attention_window_matches_sdpa(hkv, s, window):
+    """Sliding-window flash (mistral band mask) forward + backward vs the
+    windowed reference, across the resident kernels. The (130, 8) case pads
+    to 256 rows where rows >= 138 attend NOTHING — the backward denominator
+    guard must keep those rows from poisoning dk/dv."""
+    from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(29)
+    b, h, hd = 1, 4, 64
+    rep = h // hkv
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+
+    def ref(q_, k_, v_):
+        return sdpa_reference(q_, jnp.repeat(k_, rep, axis=1),
+                              jnp.repeat(v_, rep, axis=1), causal=True,
+                              window=window)
+
+    ref_out = ref(q, k, v)
+    ref_grads = jax.grad(lambda *t: jnp.vdot(ref(*t), g), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal=True, window=window)
+        out_grads = jax.grad(
+            lambda *t: jnp.vdot(flash_attention(*t, causal=True, window=window), g),
+            argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    for got, want, name in zip(out_grads, ref_grads, "q k v".split()):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("hkv", [2, 1])
+def test_flash_attention_window_streaming_matches_sdpa(hkv):
+    """Streaming kernels with a window: k-blocks outside the band are
+    predicated off on BOTH sides (O(s*window) work). Direct calls — CPU
+    dispatch would need s >= window + 2*BLOCK_KS. Window 150 over s=700
+    leaves blocks both above the diagonal and below the band."""
+    from ssp_x_vit_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(31)
+    b, h, s, hd, window = 1, 2, 700, 64, 150
+    rep = h // hkv
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+
+    def ref(q_, k_, v_):
+        return sdpa_reference(q_, jnp.repeat(k_, rep, axis=1),
+                              jnp.repeat(v_, rep, axis=1), causal=True,
+                              window=window)
+
+    ref_out = ref(q, k, v)
+    ref_grads = jax.grad(lambda *t: jnp.vdot(ref(*t), g), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa._flash_forward_streaming(q, k, v, causal=True, window=window)
+        out_grads = fa._flash_backward_streaming(q, k, v, g, causal=True,
+                                                 window=window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    for got, want, name in zip(out_grads, ref_grads, "q k v".split()):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
