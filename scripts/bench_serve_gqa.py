@@ -62,8 +62,9 @@ def main():
 
     grouped = serve._attend_cached  # the shipped grouped-einsum path
 
-    def attend_repeat(q, ck, cv, query_positions, pad_lens, c):
+    def attend_repeat(q, ck, cv, query_positions, pad_lens, c, rolling=None):
         """Round-2 behavior: repeat the cache to h heads, MHA einsum."""
+        assert rolling is None  # bench models have no sliding window
         b, s_q, h, hd = q.shape
         rep = c.num_heads // c.num_kv_heads
         quant = isinstance(ck, dict)

@@ -89,6 +89,19 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def init_rolling_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
+    """ROLLING cache for sliding-window models: exactly ``sliding_window``
+    slots per layer (slot = global position mod window) instead of
+    ``max_len`` — cache memory is bounded by the window no matter how long
+    the generation runs (the mistral serving memory model). Requires
+    ``cfg.sliding_window``; llama-layout only (OPT has no window)."""
+    if cfg.sliding_window is None:
+        raise ValueError("rolling cache requires cfg.sliding_window")
+    if cfg.is_opt:
+        raise ValueError("rolling cache covers llama-layout/phi models")
+    return init_cache(cfg, batch, cfg.sliding_window, dtype)
+
+
 def cache_compute_dtype(ck):
     """Activation dtype implied by a cache leaf (int8 caches compute bf16)."""
     return jnp.bfloat16 if isinstance(ck, dict) else ck.dtype
@@ -121,9 +134,16 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
     return q, k, v
 
 
-def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig):
+def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig,
+                   rolling: Optional[int] = None):
     """q [b, s_q, h, hd] over cached k/v [b, max_len, nkv, hd]; query at global
     index g attends keys with pad_len[i] <= key_index <= g (left-pad masked).
+
+    ``rolling`` = slot count W of a ROLLING cache (sliding-window models,
+    cf. init_rolling_cache): slot s holds the key with global index
+    g - ((g - s) mod W) — the newest index congruent to s that is <= g. The
+    window bound is implicit (all retained keys are within W = window of g);
+    only the left-pad/unwritten-slot validity needs masking.
 
     int8 caches ({"q","s"} pytrees): per-token-per-head scales commute with
     the hd contraction, so they fold into epilogues — key scales multiply the
@@ -134,13 +154,20 @@ def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig):
     quant = isinstance(ck, dict)
     k_raw, v_raw = (ck["q"], cv["q"]) if quant else (ck, cv)
     key_idx = jnp.arange(k_raw.shape[1])                 # [max_len]
-    causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
-    if cfg.sliding_window is not None:
-        # Sliding window (mistral): cache indices and query positions share
-        # one global index space, so the window is a second diagonal band.
-        causal = causal & (query_positions[:, :, None] - key_idx[None, None, :]
-                           < cfg.sliding_window)
-    valid = key_idx[None, None, :] >= pad_lens[:, None, None]
+    if rolling is not None:
+        g = query_positions[:, :, None]
+        age = jnp.mod(g - key_idx[None, None, :], rolling)   # [b, s_q, W]
+        key_global = g - age
+        causal = age < cfg.sliding_window  # true at W == window; kept for W > w
+        valid = key_global >= pad_lens[:, None, None]  # also kills unwritten
+    else:
+        causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
+        if cfg.sliding_window is not None:
+            # Sliding window (mistral): cache indices and query positions
+            # share one global index space — a second diagonal band.
+            causal = causal & (query_positions[:, :, None] - key_idx[None, None, :]
+                               < cfg.sliding_window)
+        valid = key_idx[None, None, :] >= pad_lens[:, None, None]
     if rep > 1:
         # GQA: contract each kv head against its whole query group through
         # a group axis on q — the cache (the decode-bandwidth hot operand)
@@ -201,23 +228,84 @@ def _write_cache(ck_l, cv_l, k, v, write_pos):
     return ck_l, cv_l
 
 
+def _rolling_prefill_write(ck_l, cv_l, k, v, W: int):
+    """Fill a W-slot rolling buffer from prefill k/v [b, p_pad, nkv, hd]:
+    slot s receives the NEWEST prompt key with global index ≡ s (mod W) —
+    j(s) = p_pad-1 - ((p_pad-1-s) mod W); slots with no such index (short
+    prompts) get garbage that the attend mask kills (key_global < 0). The
+    index map is STATIC (p_pad, W are trace constants): one gather, whole
+    buffers replaced (donation-friendly)."""
+    p_pad = k.shape[1]
+    j = (p_pad - 1) - np.mod(p_pad - 1 - np.arange(W), W)      # [W] static
+    jidx = jnp.asarray(np.maximum(j, 0), jnp.int32)
+    kj, vj = k[:, jidx], v[:, jidx]                            # [b, W, nkv, hd]
+    if isinstance(ck_l, dict):
+        kq, ks = _quantize_kv(kj)
+        vq, vs = _quantize_kv(vj)
+        return ({"q": kq, "s": ks}, {"q": vq, "s": vs})
+    return kj.astype(ck_l.dtype), vj.astype(cv_l.dtype)
+
+
+def _attend_direct(q, k, v, positions, pad_lens, cfg: LlamaConfig):
+    """Full-sequence attention on in-layer k/v (rolling-cache prefill: the
+    rolling buffer only retains the last W keys, but early prompt queries
+    need earlier ones). Causal + sliding-window band + left-pad mask;
+    q [b, s, h, hd], k/v [b, s, nkv, hd] -> [b, s, h*hd]."""
+    b, s, h, hd = q.shape
+    rep = cfg.num_heads // cfg.num_kv_heads
+    kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
+    vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kf,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    g = positions[:, :, None]                                  # [b, s, 1]
+    j = positions[:, None, :]                                  # [b, 1, s]
+    mask = (j <= g) & (j >= pad_lens[:, None, None])
+    if cfg.sliding_window is not None:
+        mask = mask & (g - j < cfg.sliding_window)
+    logits = jnp.where(mask[:, None], logits, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, vf).reshape(b, s, h * hd)
+
+
+def _attn_branch(h, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
+                 rope_positions, pad_lens, write_pos, compute_dtype, rolling):
+    """qkv + cache write + cached attention, shared by the three block
+    layouts. Rolling-cache PREFILL (s > 1) attends directly on the in-layer
+    k/v — the W-slot buffer cannot hold the early prompt keys that early
+    queries need — and then fills the buffer with the newest W keys."""
+    q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
+    if rolling is not None and q.shape[1] > 1:
+        attn = _attend_direct(q, k, v, global_positions, pad_lens, cfg)
+        ck_l, cv_l = _rolling_prefill_write(ck_l, cv_l, k, v, rolling)
+        return attn, ck_l, cv_l
+    ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
+    attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg,
+                          rolling)
+    return attn, ck_l, cv_l
+
+
 def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
-                rope_positions, pad_lens, write_pos, compute_dtype, has_attn=True):
+                rope_positions, pad_lens, write_pos, compute_dtype,
+                has_attn=True, rolling: Optional[int] = None):
     """One transformer layer over cached attention.
 
     global_positions [b, s]: indices into the cache for the mask;
     rope_positions [b, s]: pad-corrected rotary positions;
-    write_pos: scalar cache write offset (shared — prompts are left-padded).
+    write_pos: scalar cache write offset (shared — prompts are left-padded;
+    rolling callers pass pos mod W);
+    rolling: W slot count of a rolling cache (None = contiguous).
     """
+    attn_kw = dict(global_positions=global_positions,
+                   rope_positions=rope_positions, pad_lens=pad_lens,
+                   write_pos=write_pos, compute_dtype=compute_dtype,
+                   rolling=rolling)
     if cfg.is_opt:
         # OPT sequential pre-LN block: LN1 -> attn -> residual, LN2 -> ReLU
         # fc MLP -> residual; no rope (learned absolute positions at the
         # embedding). Reference adapters/opt_adapter.py:18-113.
         if has_attn:
             h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
-            q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
-            ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
-            attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
+            attn, ck_l, cv_l = _attn_branch(h, bp, ck_l, cv_l, cfg, **attn_kw)
             x = x + _mm(attn, bp, "o_kernel", compute_dtype) + \
                 bp["o_bias"].astype(compute_dtype)
         h2 = _layer_norm(x, bp["ln2"], bp["ln2_bias"], cfg.layer_norm_eps)
@@ -231,9 +319,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
         h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
         delta = jnp.zeros_like(x)
         if has_attn:
-            q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
-            ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
-            attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
+            attn, ck_l, cv_l = _attn_branch(h, bp, ck_l, cv_l, cfg, **attn_kw)
             delta = _mm(attn, bp, "o_kernel", compute_dtype) + \
                 bp["o_bias"].astype(compute_dtype)
         from ssp_x_vit_tpu.ops.common import gelu
@@ -245,9 +331,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
 
     if has_attn:
         h = rms_norm(x, bp["ln1"], cfg.rms_eps)
-        q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
-        ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
-        attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg)
+        attn, ck_l, cv_l = _attn_branch(h, bp, ck_l, cv_l, cfg, **attn_kw)
         attn = _mm(attn, bp, "o_kernel", compute_dtype)
         if "o_bias" in bp:
             attn = attn + bp["o_bias"].astype(compute_dtype)
@@ -321,13 +405,14 @@ def _base_key(k: str) -> str:
 
 def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
                 global_positions, rope_positions, pad_lens, write_pos,
-                compute_dtype):
+                compute_dtype, rolling: Optional[int] = None):
     """All transformer layers. Dense models scan over the stacked pytree;
     depth-materialized models (attention arrays shorter than MLP arrays)
     unroll with attn_store_index (cf. llama_forward_materialized)."""
     blocks = params["blocks"]
     kw = dict(global_positions=global_positions, rope_positions=rope_positions,
-              pad_lens=pad_lens, write_pos=write_pos, compute_dtype=compute_dtype)
+              pad_lens=pad_lens, write_pos=write_pos, compute_dtype=compute_dtype,
+              rolling=rolling)
 
     if not cfg.pruned_attention_blocks:
         def body(x, scanned):
@@ -386,11 +471,13 @@ def _final_logits(params, x, cfg: LlamaConfig, compute_dtype):
     return logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnames=("cfg", "rolling"),
+                   donate_argnums=(2, 3))
 def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfig,
-            pad_lens: jax.Array):
+            pad_lens: jax.Array, rolling: Optional[int] = None):
     """Run LEFT-padded prompts ([b, p_pad]) through the model, filling the
-    cache; ``pad_lens [b]`` = p_pad - prompt_len per sequence. Returns
+    cache; ``pad_lens [b]`` = p_pad - prompt_len per sequence. ``rolling`` =
+    W slot count of a rolling cache (init_rolling_cache). Returns
     (logits at the last position [b, V], cache_k, cache_v)."""
     compute_dtype = cache_compute_dtype(cache_k)
     b, p_pad = tokens.shape
@@ -406,12 +493,14 @@ def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfi
     x, cache_k, cache_v = _run_layers(
         params, x, cache_k, cache_v, cfg,
         global_positions=global_positions, rope_positions=rope_positions,
-        pad_lens=pad_lens, write_pos=0, compute_dtype=compute_dtype)
+        pad_lens=pad_lens, write_pos=0, compute_dtype=compute_dtype,
+        rolling=rolling)
     return _final_logits(params, x[:, -1:], cfg, compute_dtype)[:, 0], cache_k, cache_v
 
 
 def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
-                 cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array):
+                 cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array,
+                 rolling: Optional[int] = None):
     compute_dtype = cache_compute_dtype(cache_k)
     b = token.shape[0]
     x = params["embed"].astype(compute_dtype)[token][:, None, :]  # [b, 1, d]
@@ -419,19 +508,24 @@ def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
     rope_positions = pos[None, None] - pad_lens[:, None]
     if cfg.is_opt:
         x = x + params["pos_embed"].astype(compute_dtype)[2 + rope_positions]
+    write_pos = pos if rolling is None else jnp.mod(pos, rolling)
     x, cache_k, cache_v = _run_layers(
         params, x, cache_k, cache_v, cfg,
         global_positions=global_positions, rope_positions=rope_positions,
-        pad_lens=pad_lens, write_pos=pos, compute_dtype=compute_dtype)
+        pad_lens=pad_lens, write_pos=write_pos, compute_dtype=compute_dtype,
+        rolling=rolling)
     return _final_logits(params, x, cfg, compute_dtype)[:, 0], cache_k, cache_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnames=("cfg", "rolling"),
+                   donate_argnums=(2, 3))
 def decode_step(params: Params, token: jax.Array, cache_k, cache_v,
-                cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array):
+                cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array,
+                rolling: Optional[int] = None):
     """One token ([b] int32) at shared global position ``pos``;
     returns (logits [b, V], caches)."""
-    return _decode_body(params, token, cache_k, cache_v, cfg, pos, pad_lens)
+    return _decode_body(params, token, cache_k, cache_v, cfg, pos, pad_lens,
+                        rolling)
 
 
 def _sample_token(logits, rng, temperature: float, top_k: Optional[int]):
@@ -446,13 +540,14 @@ def _sample_token(logits, rng, temperature: float, top_k: Optional[int]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "temperature", "top_k"),
+    static_argnames=("cfg", "num_steps", "temperature", "top_k", "rolling"),
     donate_argnums=(2, 3),
 )
 def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
                 cfg: LlamaConfig, start_pos: jax.Array, pad_lens: jax.Array,
                 num_steps: int, rng: Optional[jax.Array] = None,
-                temperature: float = 0.0, top_k: Optional[int] = None):
+                temperature: float = 0.0, top_k: Optional[int] = None,
+                rolling: Optional[int] = None):
     """Run ``num_steps`` decode steps ENTIRELY on device (lax.scan with token
     feedback) — one dispatch for the whole generation, which matters on
     dispatch-latency-bound links (docs/tpu_notes.md). Greedy when
@@ -463,7 +558,8 @@ def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
 
     def step(carry, _):
         token, ck, cv, pos, key = carry
-        logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos, pad_lens)
+        logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos, pad_lens,
+                                      rolling)
         key, sub = jax.random.split(key)
         nxt = _sample_token(logits, sub, temperature, top_k)
         return (nxt, ck, cv, pos + 1, key), nxt
@@ -530,6 +626,7 @@ def generate_kv_scan(
     top_k: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     cache_factory=None,
+    rolling: bool = False,
 ):
     """Whole-generation-on-device decoding: prefill + ONE scan dispatch (no
     per-token host round trips). Batched: ``input_ids`` may be one prompt or a
@@ -540,17 +637,28 @@ def generate_kv_scan(
     ``cache_factory`` (same signature as init_cache) lets callers place the
     cache — e.g. tensor-parallel head sharding over a mesh
     (parallel.llm_sharding.tp_cache_factory); computation follows the
-    params/cache shardings through the jitted prefill/decode."""
+    params/cache shardings through the jitted prefill/decode.
+
+    ``rolling=True`` (sliding-window models) bounds the cache to
+    ``cfg.sliding_window`` slots regardless of generation length — exact,
+    because the window already hides everything older."""
     single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
         not isinstance(input_ids, np.ndarray) and input_ids
         and isinstance(input_ids[0], (int, np.integer)))
     tokens, pad_lens, lens, p_pad = _prepare_prompts(input_ids, max_length)
     b = tokens.shape[0]
     num_steps = max_length - int(lens.min()) - 1
+    W = None
+    if rolling:
+        if cfg.sliding_window is None:
+            raise ValueError("rolling=True requires cfg.sliding_window")
+        W = cfg.sliding_window
     factory = cache_factory if cache_factory is not None else init_cache
-    cache_k, cache_v = factory(cfg, b, p_pad + max(num_steps, 0) + 1, cache_dtype)
+    cache_len = W if W is not None else p_pad + max(num_steps, 0) + 1
+    cache_k, cache_v = factory(cfg, b, cache_len, cache_dtype)
     logits, cache_k, cache_v = prefill(
-        params, jnp.asarray(tokens), cache_k, cache_v, cfg, jnp.asarray(pad_lens))
+        params, jnp.asarray(tokens), cache_k, cache_v, cfg,
+        jnp.asarray(pad_lens), rolling=W)
     if temperature <= 0.0:
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
@@ -563,7 +671,7 @@ def generate_kv_scan(
         toks, _, _ = decode_scan(
             params, first, cache_k, cache_v, cfg,
             jnp.asarray(p_pad, jnp.int32), jnp.asarray(pad_lens), num_steps,
-            rng=rng, temperature=temperature, top_k=top_k)
+            rng=rng, temperature=temperature, top_k=top_k, rolling=W)
         gen = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0)
     outs = _trim_outputs(lens, pad_lens, p_pad, tokens, gen, max_length,
                          eos_token_id)
@@ -585,20 +693,30 @@ def greedy_generate_kv(
     max_length: int = 64,
     eos_token_id: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
+    rolling: bool = False,
 ):
     """KV-cached greedy decoding with per-token host feedback (early eos stop).
     Functionally equals generate.greedy_generate without n-gram banning.
     One prefill compile per prompt bucket + one decode-step compile. Batched:
-    sequences that hit eos keep decoding but their outputs are trimmed."""
+    sequences that hit eos keep decoding but their outputs are trimmed.
+    ``rolling=True``: window-bounded cache (see generate_kv_scan)."""
     single = (isinstance(input_ids, np.ndarray) and input_ids.ndim == 1) or (
         not isinstance(input_ids, np.ndarray) and input_ids
         and isinstance(input_ids[0], (int, np.integer)))
     tokens, pad_lens, lens, p_pad = _prepare_prompts(input_ids, max_length)
     b = tokens.shape[0]
     max_steps = max_length - int(lens.min())
-    cache_k, cache_v = init_cache(cfg, b, p_pad + max_steps, cache_dtype)
+    W = None
+    if rolling:
+        if cfg.sliding_window is None:
+            raise ValueError("rolling=True requires cfg.sliding_window")
+        W = cfg.sliding_window
+        cache_k, cache_v = init_rolling_cache(cfg, b, cache_dtype)
+    else:
+        cache_k, cache_v = init_cache(cfg, b, p_pad + max_steps, cache_dtype)
     logits, cache_k, cache_v = prefill(
-        params, jnp.asarray(tokens), cache_k, cache_v, cfg, jnp.asarray(pad_lens))
+        params, jnp.asarray(tokens), cache_k, cache_v, cfg,
+        jnp.asarray(pad_lens), rolling=W)
 
     generated = [[] for _ in range(b)]
     done = np.zeros(b, bool)
@@ -616,7 +734,7 @@ def greedy_generate_kv(
             break
         logits, cache_k, cache_v = decode_step(
             params, jnp.asarray(nxt), cache_k, cache_v, cfg,
-            jnp.asarray(pos, jnp.int32), jnp.asarray(pad_lens))
+            jnp.asarray(pos, jnp.int32), jnp.asarray(pad_lens), rolling=W)
         pos += 1
 
     outs = [np.asarray(tokens[i, pad_lens[i]:].tolist() + generated[i], np.int32)

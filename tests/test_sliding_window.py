@@ -118,3 +118,48 @@ def test_mistral_swa_logits_match_hf(tmp_path):
     ours, _ = llama_forward(params, jnp.asarray(tokens), cfg,
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_rolling_cache_matches_recompute(params):
+    """W-slot rolling cache (slot = position mod window): greedy through the
+    bounded cache == full recompute, with generation running well past the
+    window so slots wrap several times. Batch mixes a prompt longer than the
+    window (prefill gather keeps only the newest W keys) with a shorter one
+    (left-padded; unwritten slots masked via key_global < pad)."""
+    prompts = [np.asarray([3, 1, 4, 1, 5, 9, 2, 6, 5, 3], np.int32),  # > W=6
+               np.asarray([7, 2, 9], np.int32)]                       # < W
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+    outs = generate_kv_scan(params, CFG_SWA, prompts, max_length=30,
+                            cache_dtype=jnp.float32, rolling=True)
+    for p, got in zip(prompts, outs):
+        ref = greedy_generate(params, CFG_SWA, p, max_length=30,
+                              no_repeat_ngram_size=0, compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_rolling_cache_is_window_bounded(params):
+    from ssp_x_vit_tpu.llm.serve import init_rolling_cache
+    ck, cv = init_rolling_cache(CFG_SWA, batch=2, dtype=jnp.float32)
+    assert ck.shape[2] == CFG_SWA.sliding_window  # [A, b, W, nkv, hd]
+    with pytest.raises(ValueError):
+        init_rolling_cache(CFG_FULL, batch=1)
+
+
+def test_rolling_cache_int8_matches_contiguous_int8(params):
+    """int8 rolling == int8 contiguous exactly: both quantize the same
+    per-token k/v with the same quantizer; the rolling layout changes only
+    WHERE codes live, not their values."""
+    from ssp_x_vit_tpu.llm.serve import greedy_generate_kv
+    prompt = np.asarray([3, 1, 4, 1, 5, 9, 2, 6], np.int32)
+    a = greedy_generate_kv(params, CFG_SWA, prompt, max_length=26,
+                           cache_dtype=jnp.int8)
+    b = greedy_generate_kv(params, CFG_SWA, prompt, max_length=26,
+                           cache_dtype=jnp.int8, rolling=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rolling_requires_window(params):
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+    with pytest.raises(ValueError):
+        generate_kv_scan(params, CFG_FULL, np.asarray([1, 2, 3], np.int32),
+                         max_length=10, rolling=True)
