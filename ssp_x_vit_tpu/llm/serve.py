@@ -528,26 +528,39 @@ def decode_step(params: Params, token: jax.Array, cache_k, cache_v,
                         rolling)
 
 
-def _sample_token(logits, rng, temperature: float, top_k: Optional[int]):
+def _sample_token(logits, rng, temperature: float, top_k: Optional[int],
+                  top_p: Optional[float] = None):
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / temperature
     if top_k is not None:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+    if top_p is not None and top_p < 1.0:
+        # nucleus: keep the smallest prefix of the sorted distribution whose
+        # mass reaches top_p, INCLUDING the crossing token (HF convention) —
+        # token kept iff the cumulative mass BEFORE it is < top_p, so the
+        # top-1 token always survives.
+        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        kept = jnp.where(before < top_p, srt, jnp.inf)
+        thresh = jnp.min(kept, axis=-1, keepdims=True)
+        scaled = jnp.where(scaled >= thresh, scaled, -jnp.inf)
     return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "temperature", "top_k", "rolling"),
+    static_argnames=("cfg", "num_steps", "temperature", "top_k", "top_p",
+                     "rolling"),
     donate_argnums=(2, 3),
 )
 def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
                 cfg: LlamaConfig, start_pos: jax.Array, pad_lens: jax.Array,
                 num_steps: int, rng: Optional[jax.Array] = None,
                 temperature: float = 0.0, top_k: Optional[int] = None,
-                rolling: Optional[int] = None):
+                rolling: Optional[int] = None, top_p: Optional[float] = None):
     """Run ``num_steps`` decode steps ENTIRELY on device (lax.scan with token
     feedback) — one dispatch for the whole generation, which matters on
     dispatch-latency-bound links (docs/tpu_notes.md). Greedy when
@@ -561,7 +574,7 @@ def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
         logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos, pad_lens,
                                       rolling)
         key, sub = jax.random.split(key)
-        nxt = _sample_token(logits, sub, temperature, top_k)
+        nxt = _sample_token(logits, sub, temperature, top_k, top_p)
         return (nxt, ck, cv, pos + 1, key), nxt
 
     (_, cache_k, cache_v, _, _), tokens = jax.lax.scan(
@@ -624,6 +637,7 @@ def generate_kv_scan(
     cache_dtype=jnp.bfloat16,
     temperature: float = 0.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     rng: Optional[jax.Array] = None,
     cache_factory=None,
     rolling: bool = False,
@@ -664,14 +678,15 @@ def generate_kv_scan(
     else:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, sub = jax.random.split(rng)
-        first = _sample_token(logits, sub, temperature, top_k)
+        first = _sample_token(logits, sub, temperature, top_k, top_p)
     if num_steps <= 0:
         gen = np.asarray(first)[None]
     else:
         toks, _, _ = decode_scan(
             params, first, cache_k, cache_v, cfg,
             jnp.asarray(p_pad, jnp.int32), jnp.asarray(pad_lens), num_steps,
-            rng=rng, temperature=temperature, top_k=top_k, rolling=W)
+            rng=rng, temperature=temperature, top_k=top_k, top_p=top_p,
+            rolling=W)
         gen = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0)
     outs = _trim_outputs(lens, pad_lens, p_pad, tokens, gen, max_length,
                          eos_token_id)

@@ -258,3 +258,36 @@ def test_opt_packed_serving_matches_unpacked(opt):
     out = generate_kv_scan(packed, cfg, prompt, max_length=14,
                            cache_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_top_p_nucleus_restriction():
+    """Nucleus sampling: tokens outside the smallest prefix of sorted
+    probability mass reaching top_p (crossing token INCLUDED — the HF
+    convention) are never sampled; tiny top_p degenerates to argmax."""
+    from ssp_x_vit_tpu.llm.serve import _sample_token
+
+    # distribution: probs ~ [0.5, 0.25, 0.125, ...] over 8 tokens
+    logits = jnp.log(jnp.asarray([[0.5 ** (i + 1) for i in range(8)]],
+                                 jnp.float32))
+    draws = []
+    for i in range(200):
+        t = _sample_token(logits, jax.random.PRNGKey(i), 1.0, None, 0.7)
+        draws.append(int(t[0]))
+    # mass before: t0=0 < .7 keep; t1=.5 < .7 keep; t2=.75 >= .7 drop
+    assert set(draws) <= {0, 1}
+    assert set(draws) == {0, 1}  # both nucleus members actually drawn
+    for i in range(20):
+        t = _sample_token(logits, jax.random.PRNGKey(i), 1.0, None, 1e-6)
+        assert int(t[0]) == 0  # top-1 always survives
+
+
+def test_top_p_generation_runs(llm):
+    params, cfg = llm
+    prompt = np.asarray([5, 6], np.int32)
+    rng = jax.random.PRNGKey(42)
+    a = generate_kv_scan(params, cfg, prompt, max_length=12, temperature=0.8,
+                         top_p=0.9, rng=rng, cache_dtype=jnp.float32)
+    b = generate_kv_scan(params, cfg, prompt, max_length=12, temperature=0.8,
+                         top_p=0.9, rng=rng, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == 12 and a.min() >= 0 and a.max() < cfg.vocab_size
