@@ -43,7 +43,7 @@ from ssp_x_vit_tpu.llm.serve import (
     cache_compute_dtype, num_attn_layers,
 )
 from ssp_x_vit_tpu.ops.pallas.paged_attention import (
-    paged_attention, paged_cache_write,
+    _page_size_of, paged_attention, paged_cache_write, paged_cache_write_many,
 )
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -221,6 +221,105 @@ def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
     return x, k_pools, v_pools
 
 
+def _chunk_prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table,
+                         seq_len, compute_dtype, has_attn=True, *,
+                         chunk_start):
+    """One layer of CHUNKED prefill: C tokens at global positions
+    [chunk_start, chunk_start + C) attend over the whole paged cache
+    (earlier chunks' keys ride the pages; in-chunk keys are written first,
+    exactly like the decode path). One compiled shape serves any prompt
+    length — the vLLM chunked-prefill memory model."""
+    _, C, _ = x.shape
+    ps = _page_size_of(kp_l)
+    mp = page_table.shape[0]
+
+    def attend(h):
+        positions = chunk_start + jnp.arange(C)[None]           # [1, C]
+        q, k, v = _block_qkv(h, bp, cfg, positions, compute_dtype)
+        kp, vp = paged_cache_write_many(
+            kp_l, vp_l, k[0], v[0], page_table, chunk_start,
+            valid_len=jnp.maximum(seq_len - chunk_start, 0))
+        from ssp_x_vit_tpu.ops.pallas.paged_attention import _dequant_pages
+
+        if isinstance(kp, dict):
+            ka = _dequant_pages(kp).astype(compute_dtype)
+            va = _dequant_pages(vp).astype(compute_dtype)
+        else:
+            ka, va = kp, vp
+        kf = ka[:, page_table].reshape(cfg.num_kv_heads, mp * ps, cfg.head_dim)
+        vf = va[:, page_table].reshape(cfg.num_kv_heads, mp * ps, cfg.head_dim)
+        rep = cfg.num_heads // cfg.num_kv_heads
+        if rep > 1:
+            kf = jnp.repeat(kf, rep, axis=0)
+            vf = jnp.repeat(vf, rep, axis=0)
+        logits = jnp.einsum("qhd,hkd->hqk", q[0], kf,
+                            preferred_element_type=jnp.float32) / cfg.head_dim**0.5
+        row = chunk_start + jnp.arange(C)[:, None]              # global q pos
+        col = jnp.arange(mp * ps)[None, :]
+        mask = (col <= row) & (col < seq_len)
+        if cfg.sliding_window is not None:
+            mask = mask & (row - col < cfg.sliding_window)
+        logits = jnp.where(mask[None], logits, _NEG_INF)
+        w = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
+        attn = jnp.einsum("hqk,hkd->qhd", w, vf).reshape(1, C, -1)
+        return _o_proj(attn, bp, compute_dtype), kp, vp
+
+    if cfg.is_phi:
+        h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
+        delta = jnp.zeros_like(x)
+        if has_attn:
+            delta, kp_l, vp_l = attend(h)
+        return x + delta + _mlp_branch(h, bp, cfg, compute_dtype), kp_l, vp_l
+
+    if has_attn:
+        attn, kp_l, vp_l = attend(rms_norm(x, bp["ln1"], cfg.rms_eps))
+        x = x + attn
+    h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
+    return x + _mlp_branch(h2, bp, cfg, compute_dtype), kp_l, vp_l
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def paged_prefill_chunk(params: Params, tokens: jax.Array, k_pools, v_pools,
+                        cfg: LlamaConfig, page_table: jax.Array,
+                        chunk_start: jax.Array, seq_len: jax.Array):
+    """One chunk ([1, C] tokens at global [chunk_start, chunk_start+C)) of a
+    chunked prefill. Returns (logits at min(seq_len, chunk_start+C) - 1 [V],
+    pools). ONE compile per chunk size C — prompt length only changes how
+    many chunks the caller runs (bounded activation memory: O(C * mp*ps)
+    logits instead of O(p_pad^2))."""
+    compute_dtype = cache_compute_dtype(k_pools)
+    C = tokens.shape[1]
+    x = params["embed"].astype(compute_dtype)[tokens]
+    layer_fn = functools.partial(_chunk_prefill_layer, chunk_start=chunk_start)
+    x, k_pools, v_pools = _run_paged_layers(
+        layer_fn, params, x, k_pools, v_pools, cfg, page_table, seq_len)
+    last = jnp.clip(jnp.minimum(seq_len, chunk_start + C) - 1 - chunk_start,
+                    0, C - 1)
+    out = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=1)
+    logits = _final_logits(params, out, cfg, compute_dtype)[0, 0]
+    return logits, k_pools, v_pools
+
+
+def paged_prefill_chunked(params: Params, prompt, k_pools, v_pools,
+                          cfg: LlamaConfig, page_table, *, chunk_size: int = 64):
+    """Prefill one prompt through fixed-size chunks (see paged_prefill_chunk).
+    Returns (next-token logits [V], pools). The logits come from the chunk
+    containing the last prompt token."""
+    prompt = np.asarray(prompt, np.int32).reshape(-1)
+    n = len(prompt)
+    seq_len = jnp.asarray(n, jnp.int32)
+    logits = None
+    for c0 in range(0, n, chunk_size):
+        chunk = np.zeros((1, chunk_size), np.int32)
+        chunk[0, : min(chunk_size, n - c0)] = prompt[c0: c0 + chunk_size]
+        lg, k_pools, v_pools = paged_prefill_chunk(
+            params, jnp.asarray(chunk), k_pools, v_pools, cfg,
+            jnp.asarray(page_table), jnp.asarray(c0, jnp.int32), seq_len)
+        if c0 <= n - 1 < c0 + chunk_size:
+            logits = lg
+    return logits, k_pools, v_pools
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
 def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
                   cfg: LlamaConfig, page_table: jax.Array, seq_len: jax.Array):
@@ -353,9 +452,14 @@ class PagedServer:
 
     def __init__(self, params: Params, cfg: LlamaConfig, *, max_batch: int = 4,
                  num_pages: int = 128, page_size: int = 64,
-                 max_context: int = 1024, cache_dtype=jnp.bfloat16):
+                 max_context: int = 1024, cache_dtype=jnp.bfloat16,
+                 chunked_prefill: Optional[int] = None):
         self.params, self.cfg = params, cfg
         self.page_size = page_size
+        # chunked_prefill = C: admit prompts through fixed C-token chunks
+        # (ONE compiled prefill shape for all prompt lengths, O(C * pages)
+        # activation memory) instead of one whole-prompt bucket compile.
+        self.chunked_prefill = chunked_prefill
         self.max_pages_per_seq = -(-max_context // page_size)
         self.k_pools, self.v_pools = init_paged_pools(
             cfg, num_pages, page_size, cache_dtype)
@@ -388,13 +492,18 @@ class PagedServer:
         pt = np.zeros((self.max_pages_per_seq,), np.int32)
         pt[: len(pages)] = pages
 
-        p_pad = min(bucket_prompt_pad(len(prompt)),
-                    self.max_pages_per_seq * self.page_size)
-        toks = np.zeros((1, p_pad), np.int32)
-        toks[0, : len(prompt)] = prompt
-        logits, self.k_pools, self.v_pools = paged_prefill(
-            self.params, jnp.asarray(toks), self.k_pools, self.v_pools,
-            self.cfg, jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
+        if self.chunked_prefill is not None:
+            logits, self.k_pools, self.v_pools = paged_prefill_chunked(
+                self.params, prompt, self.k_pools, self.v_pools, self.cfg,
+                pt, chunk_size=self.chunked_prefill)
+        else:
+            p_pad = min(bucket_prompt_pad(len(prompt)),
+                        self.max_pages_per_seq * self.page_size)
+            toks = np.zeros((1, p_pad), np.int32)
+            toks[0, : len(prompt)] = prompt
+            logits, self.k_pools, self.v_pools = paged_prefill(
+                self.params, jnp.asarray(toks), self.k_pools, self.v_pools,
+                self.cfg, jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
         first = int(np.argmax(np.asarray(logits)))
 
         slot.active = True

@@ -251,3 +251,44 @@ def test_paged_server_sliding_window_matches_contiguous():
         ref = generate_kv_scan(params, cfg, np.asarray(p, np.int32),
                                max_length=len(p) + 12, cache_dtype=jnp.float32)
         np.testing.assert_array_equal(outs[rid], np.asarray(ref))
+
+
+def test_chunked_prefill_matches_whole(model):
+    """Chunked prefill (fixed C-token chunks over the paged cache) must
+    produce the SAME first-token logits and pools as the whole-prompt
+    prefill: greedy generations through a chunked-prefill server equal the
+    whole-prefill server's, with prompt lengths hitting mid-chunk tails."""
+    params, cfg = model
+    prompts = [np.arange(11) % 64 + 1,          # 11 = 2 chunks of 4 + tail 3
+               np.asarray([9, 3]),              # shorter than one chunk
+               np.arange(8) % 64 + 1]           # exact chunk multiple
+    ref_srv = PagedServer(params, cfg, max_batch=4, num_pages=32, page_size=4,
+                          max_context=64, cache_dtype=jnp.float32)
+    chk_srv = PagedServer(params, cfg, max_batch=4, num_pages=32, page_size=4,
+                          max_context=64, cache_dtype=jnp.float32,
+                          chunked_prefill=4)
+    ref_ids = [ref_srv.add_request(p, max_new_tokens=8) for p in prompts]
+    chk_ids = [chk_srv.add_request(p, max_new_tokens=8) for p in prompts]
+    ref_outs, chk_outs = ref_srv.run(), chk_srv.run()
+    for r, c in zip(ref_ids, chk_ids):
+        np.testing.assert_array_equal(ref_outs[r], chk_outs[c])
+
+
+def test_chunked_prefill_int8_and_sliding_window():
+    """Chunked prefill composes with int8 pools and sliding-window configs
+    (same per-token quantizer as whole prefill -> identical codes; window
+    band applied at global positions across chunks)."""
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=64,
+                      model_type="mistral", sliding_window=6)
+    params = init_llama_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    prompt = np.arange(10) % 64 + 1
+    for dtype in (jnp.float32, jnp.int8):
+        ref_srv = PagedServer(params, cfg, max_batch=1, num_pages=32,
+                              page_size=4, max_context=64, cache_dtype=dtype)
+        chk_srv = PagedServer(params, cfg, max_batch=1, num_pages=32,
+                              page_size=4, max_context=64, cache_dtype=dtype,
+                              chunked_prefill=4)
+        r = ref_srv.add_request(prompt, max_new_tokens=10)
+        c = chk_srv.add_request(prompt, max_new_tokens=10)
+        np.testing.assert_array_equal(ref_srv.run()[r], chk_srv.run()[c])
