@@ -301,15 +301,18 @@ def paged_prefill_chunk(params: Params, tokens: jax.Array, k_pools, v_pools,
 
 
 def paged_prefill_chunked(params: Params, prompt, k_pools, v_pools,
-                          cfg: LlamaConfig, page_table, *, chunk_size: int = 64):
+                          cfg: LlamaConfig, page_table, *, chunk_size: int = 64,
+                          start: int = 0):
     """Prefill one prompt through fixed-size chunks (see paged_prefill_chunk).
     Returns (next-token logits [V], pools). The logits come from the chunk
-    containing the last prompt token."""
+    containing the last prompt token. ``start`` skips tokens whose K/V the
+    pages already hold (prefix caching) — must be page-aligned so writes
+    never touch the shared pages."""
     prompt = np.asarray(prompt, np.int32).reshape(-1)
     n = len(prompt)
     seq_len = jnp.asarray(n, jnp.int32)
     logits = None
-    for c0 in range(0, n, chunk_size):
+    for c0 in range(start, n, chunk_size):
         chunk = np.zeros((1, chunk_size), np.int32)
         chunk[0, : min(chunk_size, n - c0)] = prompt[c0: c0 + chunk_size]
         lg, k_pools, v_pools = paged_prefill_chunk(
@@ -448,18 +451,30 @@ class PagedServer:
     ``max_batch`` slots decode together each ``step()``; ``add_request``
     prefills into freshly allocated pages and joins the next step. Completed
     requests free their pages immediately. Raises if the pool cannot cover a
-    request's worst case at admit time (simple admission control)."""
+    request's worst case at admit time (simple admission control).
+
+    ``prefix_cache=True`` enables AUTOMATIC PREFIX CACHING (the vLLM design):
+    full pages of a prompt are registered under the hash of the token prefix
+    they complete; a later prompt sharing that prefix reuses the pages
+    (refcounted, read-only — decode writes only ever target a sequence's own
+    tail/appended pages) and prefills only the remainder through the chunked
+    path. Finished requests' registered pages stay cached (LRU) until pool
+    pressure evicts them. Exact: shared pages hold identical K/V (same
+    tokens, same absolute positions — and for int8 pools, the same
+    per-token quantizer, hence identical codes)."""
 
     def __init__(self, params: Params, cfg: LlamaConfig, *, max_batch: int = 4,
                  num_pages: int = 128, page_size: int = 64,
                  max_context: int = 1024, cache_dtype=jnp.bfloat16,
-                 chunked_prefill: Optional[int] = None):
+                 chunked_prefill: Optional[int] = None,
+                 prefix_cache: bool = False):
         self.params, self.cfg = params, cfg
         self.page_size = page_size
         # chunked_prefill = C: admit prompts through fixed C-token chunks
         # (ONE compiled prefill shape for all prompt lengths, O(C * pages)
         # activation memory) instead of one whole-prompt bucket compile.
         self.chunked_prefill = chunked_prefill
+        self.prefix_cache = prefix_cache
         self.max_pages_per_seq = -(-max_context // page_size)
         self.k_pools, self.v_pools = init_paged_pools(
             cfg, num_pages, page_size, cache_dtype)
@@ -467,6 +482,39 @@ class PagedServer:
         self.slots = [_Slot() for _ in range(max_batch)]
         self._next_id = 0
         self.finished: Dict[int, np.ndarray] = {}
+        # prefix-cache state: registered page <-> prefix-hash maps, active
+        # refcounts, and an LRU of cached-but-unreferenced pages (evictable).
+        self._registry: Dict[int, int] = {}   # prefix key -> page id
+        self._page_key: Dict[int, int] = {}   # page id -> prefix key
+        self._page_refs: Dict[int, int] = {}  # page id -> active slots
+        self._lru: Dict[int, None] = {}       # insertion-ordered, evictable
+        self.prefix_hit_pages = 0             # stat: pages served from cache
+
+    # ---------------- page accounting ----------------
+
+    def _alloc_page(self) -> int:
+        if self.free_pages:
+            return self.free_pages.pop()
+        if self._lru:  # evict the least-recently-used cached prefix page
+            pid = next(iter(self._lru))
+            del self._lru[pid]
+            del self._registry[self._page_key.pop(pid)]
+            self._page_refs.pop(pid, None)
+            return pid
+        raise RuntimeError("page pool exhausted")
+
+    def _release_page(self, pid: int):
+        if pid in self._page_key:   # registered: stays cached, now evictable
+            self._page_refs[pid] -= 1
+            if self._page_refs[pid] == 0:
+                self._lru[pid] = None  # re-inserted at MRU position
+        else:
+            self.free_pages.append(pid)
+
+    def _prefix_keys(self, prompt):
+        ps = self.page_size
+        return [hash(tuple(prompt[: (i + 1) * ps]))
+                for i in range(len(prompt) // ps)]
 
     # ---------------- admission ----------------
 
@@ -479,23 +527,42 @@ class PagedServer:
         worst = -(-(len(prompt) + max_new_tokens) // self.page_size)
         if worst > self.max_pages_per_seq:
             raise ValueError("request exceeds max_context")
+
+        keys = self._prefix_keys(prompt) if self.prefix_cache else []
+        # reuse at most (len-1)//ps pages: at least one prompt token must
+        # still run through the model to produce the first-token logits
+        limit = (len(prompt) - 1) // self.page_size
+        m = 0
+        while m < min(len(keys), limit) and keys[m] in self._registry:
+            m += 1
+
         # RESERVE the worst case: concurrent requests must never overcommit
         # the pool, or _ensure_page would fail unrecoverably mid-decode.
-        # Unreserved = free pages minus what active slots may still claim.
+        # Unreserved = free + evictable-cache minus what active slots may
+        # still claim; the m reused pages need no new allocation.
         outstanding = sum(max(0, sl.reserved - len(sl.pages))
                           for sl in self.slots if sl.active)
-        if worst > len(self.free_pages) - outstanding:
+        if worst - m > len(self.free_pages) + len(self._lru) - outstanding:
             raise RuntimeError("page pool exhausted")
 
+        reused = [self._registry[keys[i]] for i in range(m)]
+        for pid in reused:
+            if self._page_refs.get(pid, 0) == 0:
+                self._lru.pop(pid, None)  # referenced again: not evictable
+            self._page_refs[pid] = self._page_refs.get(pid, 0) + 1
+        self.prefix_hit_pages += m
+
         n0 = -(-len(prompt) // self.page_size)
-        pages = [self.free_pages.pop() for _ in range(n0)]
+        pages = reused + [self._alloc_page() for _ in range(n0 - m)]
         pt = np.zeros((self.max_pages_per_seq,), np.int32)
         pt[: len(pages)] = pages
 
-        if self.chunked_prefill is not None:
+        if self.chunked_prefill is not None or m > 0:
+            # prefix reuse requires the offset-capable chunked path
             logits, self.k_pools, self.v_pools = paged_prefill_chunked(
                 self.params, prompt, self.k_pools, self.v_pools, self.cfg,
-                pt, chunk_size=self.chunked_prefill)
+                pt, chunk_size=self.chunked_prefill or 64,
+                start=m * self.page_size)
         else:
             p_pad = min(bucket_prompt_pad(len(prompt)),
                         self.max_pages_per_seq * self.page_size)
@@ -505,6 +572,13 @@ class PagedServer:
                 self.params, jnp.asarray(toks), self.k_pools, self.v_pools,
                 self.cfg, jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
         first = int(np.argmax(np.asarray(logits)))
+
+        # register this prompt's freshly computed full-prefix pages
+        for i in range(m, len(keys)):
+            if keys[i] not in self._registry:
+                self._registry[keys[i]] = pages[i]
+                self._page_key[pages[i]] = keys[i]
+                self._page_refs[pages[i]] = 1
 
         slot.active = True
         slot.request_id = self._next_id
@@ -528,14 +602,13 @@ class PagedServer:
     def _ensure_page(self, slot: _Slot):
         need = slot.length // self.page_size  # page for the slot being written
         if need >= len(slot.pages):
-            if not self.free_pages:
-                raise RuntimeError("page pool exhausted mid-decode")
-            slot.pages.append(self.free_pages.pop())
+            slot.pages.append(self._alloc_page())
 
     def _finish(self, slot: _Slot):
         self.finished[slot.request_id] = np.asarray(
             slot.prompt + slot.generated, np.int32)
-        self.free_pages.extend(slot.pages)
+        for pid in slot.pages:
+            self._release_page(pid)
         slot.active = False
         slot.pages = []
         slot.reserved = 0

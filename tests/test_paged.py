@@ -292,3 +292,84 @@ def test_chunked_prefill_int8_and_sliding_window():
         r = ref_srv.add_request(prompt, max_new_tokens=10)
         c = chk_srv.add_request(prompt, max_new_tokens=10)
         np.testing.assert_array_equal(ref_srv.run()[r], chk_srv.run()[c])
+
+
+def test_prefix_cache_reuse_and_exactness(model):
+    """Automatic prefix caching: a second prompt sharing a page-aligned
+    prefix reuses the registered pages (counted in prefix_hit_pages) and the
+    generations equal an uncached server's exactly — including after the
+    first request FINISHED (its prefix pages stay cached until evicted)."""
+    params, cfg = model
+    shared = (np.arange(16) % 64 + 1).tolist()          # 4 full pages at ps=4
+    p1, p2, p3 = shared + [7, 8, 9], shared + [11, 12], shared[:10]
+
+    srv = PagedServer(params, cfg, max_batch=2, num_pages=48, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32,
+                      prefix_cache=True)
+    r1 = srv.add_request(p1, max_new_tokens=8)
+    assert srv.prefix_hit_pages == 0
+    r2 = srv.add_request(p2, max_new_tokens=8)
+    assert srv.prefix_hit_pages == 4                    # whole shared prefix
+    outs = srv.run()
+    r3 = srv.add_request(p3, max_new_tokens=8)          # after r1/r2 finished
+    assert srv.prefix_hit_pages == 6                    # 10 tokens -> 2 pages
+    outs.update(srv.run())
+
+    ref = PagedServer(params, cfg, max_batch=2, num_pages=48, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32)
+    for p, rid in zip((p1, p2, p3), (r1, r2, r3)):
+        rr = ref.add_request(p, max_new_tokens=8)
+        np.testing.assert_array_equal(outs[rid], ref.run()[rr])
+
+
+def test_prefix_cache_exact_page_multiple_keeps_one_token(model):
+    """A fully cached prompt still computes at least its last page so the
+    first-token logits exist (reuse capped at (len-1)//ps)."""
+    params, cfg = model
+    p = (np.arange(12) % 64 + 1).tolist()               # exactly 3 pages
+    srv = PagedServer(params, cfg, max_batch=1, num_pages=32, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32,
+                      prefix_cache=True)
+    r1 = srv.add_request(p, max_new_tokens=6)
+    out1 = srv.run()[r1]
+    r2 = srv.add_request(p, max_new_tokens=6)
+    assert srv.prefix_hit_pages == 2                    # 3rd page recomputed
+    np.testing.assert_array_equal(srv.run()[r2], out1)
+
+
+def test_prefix_cache_eviction_under_pressure(model):
+    """When the free list empties, cached-but-unreferenced pages are evicted
+    LRU to serve new requests; results stay exact."""
+    params, cfg = model
+    srv = PagedServer(params, cfg, max_batch=1, num_pages=12, page_size=4,
+                      max_context=32, cache_dtype=jnp.float32,
+                      prefix_cache=True)
+    outs = {}
+    prompts = [(np.arange(8) % 64 + i).tolist() for i in range(5)]
+    for p in prompts:                                   # 11 usable pages;
+        rid = srv.add_request(p, max_new_tokens=6)      # each run caches 2,
+        outs[rid] = (p, srv.run()[rid])                 # peak demand 4
+    assert len(srv._registry) < 2 * len(prompts)        # eviction happened
+    ref = PagedServer(params, cfg, max_batch=1, num_pages=12, page_size=4,
+                      max_context=32, cache_dtype=jnp.float32)
+    for p, got in outs.values():
+        rr = ref.add_request(p, max_new_tokens=6)
+        np.testing.assert_array_equal(got, ref.run()[rr])
+
+
+def test_prefix_cache_int8_pools(model):
+    """Prefix caching over int8 pools: reused codes are identical to a fresh
+    quantization of the same tokens, so generations match uncached int8."""
+    params, cfg = model
+    shared = (np.arange(12) % 64 + 1).tolist()
+    p1, p2 = shared + [5], shared + [9, 2]
+    srv = PagedServer(params, cfg, max_batch=2, num_pages=32, page_size=4,
+                      max_context=64, cache_dtype=jnp.int8, prefix_cache=True)
+    r1, r2 = (srv.add_request(p, max_new_tokens=6) for p in (p1, p2))
+    assert srv.prefix_hit_pages == 3
+    outs = srv.run()
+    ref = PagedServer(params, cfg, max_batch=2, num_pages=32, page_size=4,
+                      max_context=64, cache_dtype=jnp.int8)
+    for p, rid in zip((p1, p2), (r1, r2)):
+        rr = ref.add_request(p, max_new_tokens=6)
+        np.testing.assert_array_equal(outs[rid], ref.run()[rr])
