@@ -48,6 +48,29 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
             layer_norm_eps=1e-5,
             max_position_embeddings=d.get("max_position_embeddings", 2048),
         )
+    # Sliding window per HF semantics. mistral and phi3 apply
+    # ``sliding_window`` unconditionally when set (modeling_mistral,
+    # modeling_phi3). qwen2 ships the field but honors it only under
+    # ``use_sliding_window``, and then only for layers with
+    # layer_idx >= max_window_layers (the first max_window_layers layers run
+    # FULL attention — Qwen2Config docs); the shipped Qwen2 checkpoints set
+    # max_window_layers == num_hidden_layers, i.e. no layer is windowed.
+    # This config is one window for ALL layers, so the mixed per-layer case
+    # is refused rather than silently mis-masked.
+    sliding_window = None
+    if d.get("sliding_window") is not None:
+        if mt in ("mistral", "phi3"):
+            sliding_window = d["sliding_window"]
+        elif mt == "qwen2" and d.get("use_sliding_window", False):
+            mwl = d.get("max_window_layers", d["num_hidden_layers"])
+            if mwl <= 0:
+                sliding_window = d["sliding_window"]
+            elif mwl < d["num_hidden_layers"]:
+                raise ValueError(
+                    f"qwen2 mixed attention (max_window_layers={mwl} of "
+                    f"{d['num_hidden_layers']}) is unsupported: this config "
+                    "applies one sliding_window to every layer")
+            # mwl >= num_layers: HF windows no layer -> full attention
     return LlamaConfig(
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
@@ -59,12 +82,7 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         rope_theta=d.get("rope_theta", 10000.0),
         tie_embeddings=d.get("tie_word_embeddings", False),
         model_type=mt,
-        # mistral applies sliding_window unconditionally when set; qwen2
-        # ships the field but only honors it under use_sliding_window
-        # (HF modeling_qwen2). null/absent means full causal attention.
-        sliding_window=(d.get("sliding_window")
-                        if mt == "mistral" or d.get("use_sliding_window", False)
-                        else None),
+        sliding_window=sliding_window,
         qkv_bias=(mt == "qwen2"),
         rotary_dim=rotary_dim,
         layer_norm_eps=d.get("layer_norm_eps", 1e-5),

@@ -239,15 +239,18 @@ def _chunk_prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table,
         kp, vp = paged_cache_write_many(
             kp_l, vp_l, k[0], v[0], page_table, chunk_start,
             valid_len=jnp.maximum(seq_len - chunk_start, 0))
-        from ssp_x_vit_tpu.ops.pallas.paged_attention import _dequant_pages
+        def gather(pool):
+            """Gather THIS sequence's mp pages before dequantizing — the
+            int8 pool may hold many more pages than the page table maps."""
+            if isinstance(pool, dict):
+                codes = pool["q"][:, page_table].astype(jnp.float32)
+                scales = pool["s"][:, page_table]
+                out = (codes * scales[..., None]).astype(compute_dtype)
+            else:
+                out = pool[:, page_table]
+            return out.reshape(cfg.num_kv_heads, mp * ps, cfg.head_dim)
 
-        if isinstance(kp, dict):
-            ka = _dequant_pages(kp).astype(compute_dtype)
-            va = _dequant_pages(vp).astype(compute_dtype)
-        else:
-            ka, va = kp, vp
-        kf = ka[:, page_table].reshape(cfg.num_kv_heads, mp * ps, cfg.head_dim)
-        vf = va[:, page_table].reshape(cfg.num_kv_heads, mp * ps, cfg.head_dim)
+        kf, vf = gather(kp), gather(vp)
         rep = cfg.num_heads // cfg.num_kv_heads
         if rep > 1:
             kf = jnp.repeat(kf, rep, axis=0)
@@ -484,10 +487,10 @@ class PagedServer:
         self.finished: Dict[int, np.ndarray] = {}
         # prefix-cache state: registered page <-> prefix-hash maps, active
         # refcounts, and an LRU of cached-but-unreferenced pages (evictable).
-        self._registry: Dict[int, int] = {}   # prefix key -> page id
-        self._page_key: Dict[int, int] = {}   # page id -> prefix key
-        self._page_refs: Dict[int, int] = {}  # page id -> active slots
-        self._lru: Dict[int, None] = {}       # insertion-ordered, evictable
+        self._registry: Dict[bytes, int] = {}  # prefix digest -> page id
+        self._page_key: Dict[int, bytes] = {}  # page id -> prefix digest
+        self._page_refs: Dict[int, int] = {}   # page id -> active slots
+        self._lru: Dict[int, None] = {}        # insertion-ordered, evictable
         self.prefix_hit_pages = 0             # stat: pages served from cache
 
     # ---------------- page accounting ----------------
@@ -512,9 +515,20 @@ class PagedServer:
             self.free_pages.append(pid)
 
     def _prefix_keys(self, prompt):
+        """Chained sha256 digests per full page: key_i = H(key_{i-1} ||
+        tokens of page i). O(len) total (not O(len^2) re-hashes), and
+        content-derived — a digest collision, unlike Python hash(), is not a
+        realistic event, so cached pages can never silently serve a
+        different prefix."""
+        import hashlib
+
         ps = self.page_size
-        return [hash(tuple(prompt[: (i + 1) * ps]))
-                for i in range(len(prompt) // ps)]
+        keys, prev = [], b""
+        for i in range(len(prompt) // ps):
+            block = np.asarray(prompt[i * ps:(i + 1) * ps], np.int32).tobytes()
+            prev = hashlib.sha256(prev + block).digest()
+            keys.append(prev)
+        return keys
 
     # ---------------- admission ----------------
 
@@ -539,10 +553,15 @@ class PagedServer:
         # RESERVE the worst case: concurrent requests must never overcommit
         # the pool, or _ensure_page would fail unrecoverably mid-decode.
         # Unreserved = free + evictable-cache minus what active slots may
-        # still claim; the m reused pages need no new allocation.
+        # still claim. The m reused pages need no new allocation — but the
+        # ones currently sitting in the LRU stop being evictable the moment
+        # we take a reference, so they must NOT be counted as capacity.
         outstanding = sum(max(0, sl.reserved - len(sl.pages))
                           for sl in self.slots if sl.active)
-        if worst - m > len(self.free_pages) + len(self._lru) - outstanding:
+        m_in_lru = sum(1 for i in range(m)
+                       if self._registry[keys[i]] in self._lru)
+        if worst - m > (len(self.free_pages) + len(self._lru) - m_in_lru
+                        - outstanding):
             raise RuntimeError("page pool exhausted")
 
         reused = [self._registry[keys[i]] for i in range(m)]

@@ -537,6 +537,10 @@ def _sample_token(logits, rng, temperature: float, top_k: Optional[int],
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
     if top_p is not None and top_p < 1.0:
+        if top_p <= 0.0:
+            # all-(-inf) logits would make categorical() silently emit
+            # token 0 forever instead of "keep only the top token"
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         # nucleus: keep the smallest prefix of the sorted distribution whose
         # mass reaches top_p, INCLUDING the crossing token (HF convention) —
         # token kept iff the cumulative mass BEFORE it is < top_p, so the

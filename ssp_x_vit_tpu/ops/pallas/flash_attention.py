@@ -385,7 +385,11 @@ def _flash_forward(q, k, v, *, causal: bool, window=None):
     # past the budget (~12k tokens at hd=128 bf16) stream K/V blocks instead.
     # A sliding window also prefers streaming once s spans several k-blocks:
     # the band predication makes the work O(s*window) instead of the resident
-    # rectangle's O(s^2).
+    # rectangle's O(s^2). The `window + 2*BLOCK_KS` switch point is
+    # PROVISIONAL — derived from the block-predication arithmetic (streaming
+    # issues strictly fewer MXU/exp blocks past it), not yet A/B-measured
+    # on-chip (tunnel outage, COVERAGE.md); pending bench listed in
+    # docs/tpu_notes.md round-3 section.
     resident_vmem = 4 * (-(-s // BLOCK_Q) * BLOCK_Q) * hd * k.dtype.itemsize
     if resident_vmem > 12 * 1024 * 1024 or (
             window is not None and s >= window + 2 * BLOCK_KS):

@@ -373,3 +373,28 @@ def test_prefix_cache_int8_pools(model):
     for p, rid in zip((p1, p2), (r1, r2)):
         rr = ref.add_request(p, max_new_tokens=6)
         np.testing.assert_array_equal(outs[rid], ref.run()[rr])
+
+
+def test_prefix_cache_admission_counts_reused_lru_pages(model):
+    """Reused pages that were sitting in the LRU stop being evictable at
+    admit; counting them as capacity would overcommit the pool and kill the
+    server mid-decode. The admission check must refuse instead."""
+    params, cfg = model
+    srv = PagedServer(params, cfg, max_batch=1, num_pages=6, page_size=4,
+                      max_context=32, cache_dtype=jnp.float32,
+                      prefix_cache=True)
+    a = (np.arange(16) % 64 + 1).tolist()       # 4 full pages, all cached
+    r = srv.add_request(a, max_new_tokens=2)    # worst 5 of 5 usable pages
+    srv.run()
+    assert len(srv._lru) == 4 and len(srv.free_pages) == 1
+    with pytest.raises(RuntimeError, match="page pool exhausted"):
+        # m=4 reused (leaves LRU), worst=6: only 1 truly free page remains
+        # for the 2 fresh pages decode will need -> must refuse at ADMIT
+        srv.add_request(a + [9], max_new_tokens=7)
+    # and a request that does fit still works exactly
+    r2 = srv.add_request(a + [9], max_new_tokens=2)
+    out = srv.run()[r2]
+    ref = PagedServer(params, cfg, max_batch=1, num_pages=8, page_size=4,
+                      max_context=32, cache_dtype=jnp.float32)
+    rr = ref.add_request(a + [9], max_new_tokens=2)
+    np.testing.assert_array_equal(out, ref.run()[rr])

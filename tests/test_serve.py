@@ -291,3 +291,10 @@ def test_top_p_generation_runs(llm):
                          top_p=0.9, rng=rng, cache_dtype=jnp.float32)
     np.testing.assert_array_equal(a, b)
     assert len(a) == 12 and a.min() >= 0 and a.max() < cfg.vocab_size
+
+
+def test_top_p_zero_rejected():
+    from ssp_x_vit_tpu.llm.serve import _sample_token
+    logits = jnp.zeros((1, 8), jnp.float32)
+    with pytest.raises(ValueError, match="top_p"):
+        _sample_token(logits, jax.random.PRNGKey(0), 1.0, None, 0.0)

@@ -163,3 +163,36 @@ def test_rolling_requires_window(params):
     with pytest.raises(ValueError):
         generate_kv_scan(params, CFG_FULL, np.asarray([1, 2, 3], np.int32),
                          max_length=10, rolling=True)
+
+
+def test_hf_config_window_semantics():
+    """config_from_hf_dict must mirror each arch's HF behavior: mistral and
+    phi3 apply sliding_window unconditionally; qwen2 only under
+    use_sliding_window AND only when NO layer runs full attention
+    (max_window_layers >= num_layers means HF windows nothing; a genuinely
+    mixed split is refused rather than mis-masked globally)."""
+    from ssp_x_vit_tpu.llm.checkpoints import config_from_hf_dict
+
+    base = dict(vocab_size=96, hidden_size=32, num_hidden_layers=4,
+                num_attention_heads=4, num_key_value_heads=2,
+                intermediate_size=64)
+    assert config_from_hf_dict({**base, "model_type": "mistral",
+                                "sliding_window": 8}).sliding_window == 8
+    assert config_from_hf_dict({**base, "model_type": "phi3",
+                                "sliding_window": 2047}).sliding_window == 2047
+    # qwen2: flag off -> ignored
+    assert config_from_hf_dict({**base, "model_type": "qwen2",
+                                "sliding_window": 8}).sliding_window is None
+    # flag on, but max_window_layers defaults to num_layers -> HF windows
+    # NO layer -> full attention
+    assert config_from_hf_dict({**base, "model_type": "qwen2",
+                                "sliding_window": 8,
+                                "use_sliding_window": True}).sliding_window is None
+    # flag on, every layer windowed
+    assert config_from_hf_dict({**base, "model_type": "qwen2",
+                                "sliding_window": 8, "use_sliding_window": True,
+                                "max_window_layers": 0}).sliding_window == 8
+    # genuinely mixed -> refuse
+    with pytest.raises(ValueError, match="mixed"):
+        config_from_hf_dict({**base, "model_type": "qwen2", "sliding_window": 8,
+                             "use_sliding_window": True, "max_window_layers": 2})
