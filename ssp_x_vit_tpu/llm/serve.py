@@ -107,8 +107,11 @@ def cache_compute_dtype(ck):
     return jnp.bfloat16 if isinstance(ck, dict) else ck.dtype
 
 
-def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
-    """positions: [b, s] per-sequence rotary positions."""
+def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype,
+                lora_ids=None):
+    """positions: [b, s] per-sequence rotary positions. ``lora_ids`` [b]
+    selects each row's adapter from attached multi-LoRA bank slices
+    (llm/multilora.py); None or absent bank keys = base projections."""
     b, s, _ = x.shape
     if any(k.startswith("qkv_kernel") for k in bp):
         # pack_llm_params_for_serving fused the three projections into ONE
@@ -122,6 +125,18 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
         q = _mm(x, bp, "q_kernel", compute_dtype)
         k = _mm(x, bp, "k_kernel", compute_dtype)
         v = _mm(x, bp, "v_kernel", compute_dtype)
+    if lora_ids is not None:
+        from ssp_x_vit_tpu.llm.multilora import lora_delta
+
+        for name, t in (("q", "q_kernel"), ("k", "k_kernel"), ("v", "v_kernel")):
+            d = lora_delta(x, bp, t, lora_ids, compute_dtype)
+            if d is not None:
+                if name == "q":
+                    q = q + d
+                elif name == "k":
+                    k = k + d
+                else:
+                    v = v + d
     if "q_bias" in bp:
         q = q + bp["q_bias"].astype(compute_dtype)
         k = k + bp["k_bias"].astype(compute_dtype)
@@ -132,6 +147,19 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype):
     if not cfg.is_opt:  # OPT: learned absolute positions at the embedding
         q, k = _rope_at(q, k, positions, cfg.rope_theta, cfg.rotary_dim)
     return q, k, v
+
+
+def _proj_o(attn, bp, compute_dtype, lora_ids=None):
+    """o-projection + optional per-row multi-LoRA delta (no bias here —
+    callers add arch-specific biases)."""
+    out = _mm(attn, bp, "o_kernel", compute_dtype)
+    if lora_ids is not None:
+        from ssp_x_vit_tpu.llm.multilora import lora_delta
+
+        d = lora_delta(attn, bp, "o_kernel", lora_ids, compute_dtype)
+        if d is not None:
+            out = out + d
+    return out
 
 
 def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig,
@@ -268,12 +296,13 @@ def _attend_direct(q, k, v, positions, pad_lens, cfg: LlamaConfig):
 
 
 def _attn_branch(h, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
-                 rope_positions, pad_lens, write_pos, compute_dtype, rolling):
+                 rope_positions, pad_lens, write_pos, compute_dtype, rolling,
+                 lora_ids=None):
     """qkv + cache write + cached attention, shared by the three block
     layouts. Rolling-cache PREFILL (s > 1) attends directly on the in-layer
     k/v — the W-slot buffer cannot hold the early prompt keys that early
     queries need — and then fills the buffer with the newest W keys."""
-    q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype)
+    q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype, lora_ids)
     if rolling is not None and q.shape[1] > 1:
         attn = _attend_direct(q, k, v, global_positions, pad_lens, cfg)
         ck_l, cv_l = _rolling_prefill_write(ck_l, cv_l, k, v, rolling)
@@ -286,7 +315,7 @@ def _attn_branch(h, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
 
 def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
                 rope_positions, pad_lens, write_pos, compute_dtype,
-                has_attn=True, rolling: Optional[int] = None):
+                has_attn=True, rolling: Optional[int] = None, lora_ids=None):
     """One transformer layer over cached attention.
 
     global_positions [b, s]: indices into the cache for the mask;
@@ -298,7 +327,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
     attn_kw = dict(global_positions=global_positions,
                    rope_positions=rope_positions, pad_lens=pad_lens,
                    write_pos=write_pos, compute_dtype=compute_dtype,
-                   rolling=rolling)
+                   rolling=rolling, lora_ids=lora_ids)
     if cfg.is_opt:
         # OPT sequential pre-LN block: LN1 -> attn -> residual, LN2 -> ReLU
         # fc MLP -> residual; no rope (learned absolute positions at the
@@ -306,7 +335,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
         if has_attn:
             h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
             attn, ck_l, cv_l = _attn_branch(h, bp, ck_l, cv_l, cfg, **attn_kw)
-            x = x + _mm(attn, bp, "o_kernel", compute_dtype) + \
+            x = x + _proj_o(attn, bp, compute_dtype, lora_ids) + \
                 bp["o_bias"].astype(compute_dtype)
         h2 = _layer_norm(x, bp["ln2"], bp["ln2_bias"], cfg.layer_norm_eps)
         hm = _mm(h2, bp, "fc1_kernel", compute_dtype) + \
@@ -320,7 +349,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
         delta = jnp.zeros_like(x)
         if has_attn:
             attn, ck_l, cv_l = _attn_branch(h, bp, ck_l, cv_l, cfg, **attn_kw)
-            delta = _mm(attn, bp, "o_kernel", compute_dtype) + \
+            delta = _proj_o(attn, bp, compute_dtype, lora_ids) + \
                 bp["o_bias"].astype(compute_dtype)
         from ssp_x_vit_tpu.ops.common import gelu
 
@@ -332,7 +361,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
     if has_attn:
         h = rms_norm(x, bp["ln1"], cfg.rms_eps)
         attn, ck_l, cv_l = _attn_branch(h, bp, ck_l, cv_l, cfg, **attn_kw)
-        attn = _mm(attn, bp, "o_kernel", compute_dtype)
+        attn = _proj_o(attn, bp, compute_dtype, lora_ids)
         if "o_bias" in bp:
             attn = attn + bp["o_bias"].astype(compute_dtype)
         x = x + attn
@@ -397,7 +426,7 @@ def pack_llm_params_for_serving(params: Params, cfg: LlamaConfig) -> Params:
 def _base_key(k: str) -> str:
     """Strip the quantization suffixes so quantized pytrees route through
     the same attention/MLP key split (``q_kernel_q`` -> ``q_kernel``)."""
-    for suf in ("_q4", "_q", "_scale"):
+    for suf in ("_lora_a", "_lora_b", "_q4", "_q", "_scale"):
         if k.endswith(suf):
             return k[: -len(suf)]
     return k
@@ -405,14 +434,14 @@ def _base_key(k: str) -> str:
 
 def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
                 global_positions, rope_positions, pad_lens, write_pos,
-                compute_dtype, rolling: Optional[int] = None):
+                compute_dtype, rolling: Optional[int] = None, lora_ids=None):
     """All transformer layers. Dense models scan over the stacked pytree;
     depth-materialized models (attention arrays shorter than MLP arrays)
     unroll with attn_store_index (cf. llama_forward_materialized)."""
     blocks = params["blocks"]
     kw = dict(global_positions=global_positions, rope_positions=rope_positions,
               pad_lens=pad_lens, write_pos=write_pos, compute_dtype=compute_dtype,
-              rolling=rolling)
+              rolling=rolling, lora_ids=lora_ids)
 
     if not cfg.pruned_attention_blocks:
         def body(x, scanned):
@@ -474,7 +503,8 @@ def _final_logits(params, x, cfg: LlamaConfig, compute_dtype):
 @functools.partial(jax.jit, static_argnames=("cfg", "rolling"),
                    donate_argnums=(2, 3))
 def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfig,
-            pad_lens: jax.Array, rolling: Optional[int] = None):
+            pad_lens: jax.Array, rolling: Optional[int] = None,
+            lora_ids: Optional[jax.Array] = None):
     """Run LEFT-padded prompts ([b, p_pad]) through the model, filling the
     cache; ``pad_lens [b]`` = p_pad - prompt_len per sequence. ``rolling`` =
     W slot count of a rolling cache (init_rolling_cache). Returns
@@ -494,13 +524,13 @@ def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfi
         params, x, cache_k, cache_v, cfg,
         global_positions=global_positions, rope_positions=rope_positions,
         pad_lens=pad_lens, write_pos=0, compute_dtype=compute_dtype,
-        rolling=rolling)
+        rolling=rolling, lora_ids=lora_ids)
     return _final_logits(params, x[:, -1:], cfg, compute_dtype)[:, 0], cache_k, cache_v
 
 
 def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
                  cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array,
-                 rolling: Optional[int] = None):
+                 rolling: Optional[int] = None, lora_ids=None):
     compute_dtype = cache_compute_dtype(cache_k)
     b = token.shape[0]
     x = params["embed"].astype(compute_dtype)[token][:, None, :]  # [b, 1, d]
@@ -513,7 +543,7 @@ def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
         params, x, cache_k, cache_v, cfg,
         global_positions=global_positions, rope_positions=rope_positions,
         pad_lens=pad_lens, write_pos=write_pos, compute_dtype=compute_dtype,
-        rolling=rolling)
+        rolling=rolling, lora_ids=lora_ids)
     return _final_logits(params, x, cfg, compute_dtype)[:, 0], cache_k, cache_v
 
 
@@ -521,11 +551,12 @@ def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
                    donate_argnums=(2, 3))
 def decode_step(params: Params, token: jax.Array, cache_k, cache_v,
                 cfg: LlamaConfig, pos: jax.Array, pad_lens: jax.Array,
-                rolling: Optional[int] = None):
+                rolling: Optional[int] = None,
+                lora_ids: Optional[jax.Array] = None):
     """One token ([b] int32) at shared global position ``pos``;
     returns (logits [b, V], caches)."""
     return _decode_body(params, token, cache_k, cache_v, cfg, pos, pad_lens,
-                        rolling)
+                        rolling, lora_ids)
 
 
 def _sample_token(logits, rng, temperature: float, top_k: Optional[int],
@@ -564,7 +595,8 @@ def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
                 cfg: LlamaConfig, start_pos: jax.Array, pad_lens: jax.Array,
                 num_steps: int, rng: Optional[jax.Array] = None,
                 temperature: float = 0.0, top_k: Optional[int] = None,
-                rolling: Optional[int] = None, top_p: Optional[float] = None):
+                rolling: Optional[int] = None, top_p: Optional[float] = None,
+                lora_ids: Optional[jax.Array] = None):
     """Run ``num_steps`` decode steps ENTIRELY on device (lax.scan with token
     feedback) — one dispatch for the whole generation, which matters on
     dispatch-latency-bound links (docs/tpu_notes.md). Greedy when
@@ -576,7 +608,7 @@ def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
     def step(carry, _):
         token, ck, cv, pos, key = carry
         logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos, pad_lens,
-                                      rolling)
+                                      rolling, lora_ids)
         key, sub = jax.random.split(key)
         nxt = _sample_token(logits, sub, temperature, top_k, top_p)
         return (nxt, ck, cv, pos + 1, key), nxt
@@ -645,6 +677,7 @@ def generate_kv_scan(
     rng: Optional[jax.Array] = None,
     cache_factory=None,
     rolling: bool = False,
+    lora_ids=None,
 ):
     """Whole-generation-on-device decoding: prefill + ONE scan dispatch (no
     per-token host round trips). Batched: ``input_ids`` may be one prompt or a
@@ -674,9 +707,11 @@ def generate_kv_scan(
     factory = cache_factory if cache_factory is not None else init_cache
     cache_len = W if W is not None else p_pad + max(num_steps, 0) + 1
     cache_k, cache_v = factory(cfg, b, cache_len, cache_dtype)
+    if lora_ids is not None:
+        lora_ids = jnp.asarray(lora_ids, jnp.int32)
     logits, cache_k, cache_v = prefill(
         params, jnp.asarray(tokens), cache_k, cache_v, cfg,
-        jnp.asarray(pad_lens), rolling=W)
+        jnp.asarray(pad_lens), rolling=W, lora_ids=lora_ids)
     if temperature <= 0.0:
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
@@ -690,7 +725,7 @@ def generate_kv_scan(
             params, first, cache_k, cache_v, cfg,
             jnp.asarray(p_pad, jnp.int32), jnp.asarray(pad_lens), num_steps,
             rng=rng, temperature=temperature, top_k=top_k, top_p=top_p,
-            rolling=W)
+            rolling=W, lora_ids=lora_ids)
         gen = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0)
     outs = _trim_outputs(lens, pad_lens, p_pad, tokens, gen, max_length,
                          eos_token_id)
@@ -713,6 +748,7 @@ def greedy_generate_kv(
     eos_token_id: Optional[int] = None,
     cache_dtype=jnp.bfloat16,
     rolling: bool = False,
+    lora_ids=None,
 ):
     """KV-cached greedy decoding with per-token host feedback (early eos stop).
     Functionally equals generate.greedy_generate without n-gram banning.
@@ -733,9 +769,11 @@ def greedy_generate_kv(
         cache_k, cache_v = init_rolling_cache(cfg, b, cache_dtype)
     else:
         cache_k, cache_v = init_cache(cfg, b, p_pad + max_steps, cache_dtype)
+    if lora_ids is not None:
+        lora_ids = jnp.asarray(lora_ids, jnp.int32)
     logits, cache_k, cache_v = prefill(
         params, jnp.asarray(tokens), cache_k, cache_v, cfg,
-        jnp.asarray(pad_lens), rolling=W)
+        jnp.asarray(pad_lens), rolling=W, lora_ids=lora_ids)
 
     generated = [[] for _ in range(b)]
     done = np.zeros(b, bool)
@@ -753,7 +791,8 @@ def greedy_generate_kv(
             break
         logits, cache_k, cache_v = decode_step(
             params, jnp.asarray(nxt), cache_k, cache_v, cfg,
-            jnp.asarray(pos, jnp.int32), jnp.asarray(pad_lens), rolling=W)
+            jnp.asarray(pos, jnp.int32), jnp.asarray(pad_lens), rolling=W,
+            lora_ids=lora_ids)
         pos += 1
 
     outs = [np.asarray(tokens[i, pad_lens[i]:].tolist() + generated[i], np.int32)
