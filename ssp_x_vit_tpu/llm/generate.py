@@ -92,6 +92,7 @@ def beam_generate(
     eos_token_id: Optional[int] = None,
     no_repeat_ngram_size: int = 3,
     early_stopping: bool = True,
+    compute_dtype=None,
 ) -> np.ndarray:
     """Beam search matching the reference generation kwargs
     (src/evaluation.py:153-160: num_beams=5, no_repeat_ngram_size=3,
@@ -99,13 +100,16 @@ def beam_generate(
     per step (shapes static -> a single compile)."""
     prompt = list(np.asarray(input_ids).reshape(-1).tolist())
     materialized = bool(cfg.pruned_attention_blocks)
+    compute_dtype = compute_dtype or jnp.bfloat16
 
     @jax.jit
     def step_logits(tokens, cursor):
         if materialized:
-            logits = llama_forward_materialized(params, tokens, cfg)
+            logits = llama_forward_materialized(params, tokens, cfg,
+                                                compute_dtype=compute_dtype)
         else:
-            logits, _ = llama_forward(params, tokens, cfg)
+            logits, _ = llama_forward(params, tokens, cfg,
+                                      compute_dtype=compute_dtype)
         return jax.nn.log_softmax(logits[:, cursor].astype(jnp.float32), axis=-1)
 
     beams = [(0.0, prompt, False)]  # (logprob, ids, finished)
@@ -133,6 +137,98 @@ def beam_generate(
         beams = candidates[:num_beams]
         if early_stopping and beams[0][2]:
             break
+    return np.asarray(beams[0][1])
+
+
+def beam_generate_kv(
+    params,
+    cfg: LlamaConfig,
+    input_ids: np.ndarray,
+    *,
+    max_length: int = 64,
+    num_beams: int = 5,
+    eos_token_id: Optional[int] = None,
+    no_repeat_ngram_size: int = 3,
+    early_stopping: bool = True,
+    cache_dtype=jnp.float32,
+) -> np.ndarray:
+    """KV-cached beam search — same selection math as ``beam_generate`` (one
+    padded batched forward per step there) but each step is a CACHED decode:
+    O(1) attention work per step instead of recomputing the whole prefix.
+    Beam reordering is a cache-row gather (``cache[:, parents]``) before each
+    step, so row i always holds beam i's exact history. Long qualitative
+    prompts stop paying the O(len^2) recompute.
+
+    Exact: cached logits equal full-recompute logits (the serve-path
+    guarantee), so the chosen beams match ``beam_generate`` at f32.
+    """
+    from ssp_x_vit_tpu.llm.serve import (
+        bucket_prompt_pad, decode_step, init_cache, prefill,
+    )
+
+    prompt = list(np.asarray(input_ids).reshape(-1).tolist())
+    if len(prompt) >= max_length:
+        return np.asarray(prompt[:max_length])
+    B = num_beams
+    p_pad = bucket_prompt_pad(len(prompt))
+    max_len = p_pad + (max_length - len(prompt))
+    cache_k, cache_v = init_cache(cfg, B, max_len, cache_dtype)
+
+    tokens = np.zeros((B, p_pad), np.int32)
+    tokens[:, p_pad - len(prompt):] = prompt
+    pad_lens = jnp.full((B,), p_pad - len(prompt), jnp.int32)
+    logits, cache_k, cache_v = prefill(params, jnp.asarray(tokens), cache_k,
+                                       cache_v, cfg, pad_lens)
+    logp = np.array(jax.nn.log_softmax(
+        np.asarray(logits[0], np.float32)))                # rows identical
+    for b in _banned_next_tokens(prompt, no_repeat_ngram_size):
+        logp[b] = -np.inf
+    top = np.argsort(-logp)[:B]
+    # beams: (score, ids, finished, cache_row). After prefill all rows hold
+    # the identical prompt history, so beam i takes row i.
+    beams = [(float(logp[t]), prompt + [int(t)],
+              eos_token_id is not None and int(t) == eos_token_id, i)
+             for i, t in enumerate(top)]
+
+    pos = p_pad
+    while len(beams[0][1]) < max_length:
+        if all(f for _, _, f, _ in beams):
+            break
+        if early_stopping and beams[0][2]:
+            break
+        live = [bm for bm in beams if not bm[2]]
+        done = [bm for bm in beams if bm[2]]
+        # align cache rows to live beams: row i <- live[i]'s history
+        parents = np.zeros((B,), np.int32)
+        feed = np.zeros((B,), np.int32)
+        for i, (_, ids, _, row) in enumerate(live):
+            parents[i] = row
+            feed[i] = ids[-1]
+        gather = lambda a: jnp.take(a, jnp.asarray(parents), axis=1)
+        cache_k = jax.tree.map(gather, cache_k)
+        cache_v = jax.tree.map(gather, cache_v)
+
+        logits, cache_k, cache_v = decode_step(
+            params, jnp.asarray(feed), cache_k, cache_v, cfg,
+            jnp.asarray(pos, jnp.int32), pad_lens)
+        pos += 1
+        logp = np.array(jax.nn.log_softmax(
+            np.asarray(logits, np.float32), axis=-1))      # [B, V]
+
+        candidates = [(s, ids, True, row) for s, ids, _, row in done]
+        for i, (score, ids, _, _) in enumerate(live):
+            row = logp[i].copy()
+            for b in _banned_next_tokens(ids, no_repeat_ngram_size):
+                row[b] = -np.inf
+            for t in np.argsort(-row)[:B]:
+                fin = eos_token_id is not None and int(t) == eos_token_id
+                # parent cache row AFTER the gather+write is i
+                candidates.append((score + float(row[t]), ids + [int(t)],
+                                   fin, i))
+        candidates.sort(key=lambda c: c[0], reverse=True)
+        # finished beams keep their (stale) row harmlessly — they are never
+        # fed again; live beams' rows are re-gathered next iteration.
+        beams = candidates[:B]
     return np.asarray(beams[0][1])
 
 

@@ -298,3 +298,23 @@ def test_top_p_zero_rejected():
     logits = jnp.zeros((1, 8), jnp.float32)
     with pytest.raises(ValueError, match="top_p"):
         _sample_token(logits, jax.random.PRNGKey(0), 1.0, None, 0.0)
+
+
+def test_beam_kv_matches_recompute_beam():
+    """KV-cached beam search == the full-recompute beam search at f32 (same
+    selection math; cached logits equal recompute logits), with and without
+    an eos + early stopping, across enough steps for beams to diverge and
+    cache rows to reorder."""
+    from ssp_x_vit_tpu.llm.generate import beam_generate, beam_generate_kv
+    from ssp_x_vit_tpu.llm.model import init_llama_params
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=64)
+    params = init_llama_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    prompt = np.asarray([3, 1, 4, 1, 5, 9], np.int32)
+    for eos in (None, 7):
+        ref = beam_generate(params, cfg, prompt, max_length=24, num_beams=3,
+                            eos_token_id=eos, compute_dtype=jnp.float32)
+        kv = beam_generate_kv(params, cfg, prompt, max_length=24, num_beams=3,
+                              eos_token_id=eos, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(kv))
