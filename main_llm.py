@@ -100,8 +100,14 @@ def load_model(args):
         cfg = LlamaConfig(**TINY_RANDOM, model_type="opt", qkv_bias=True,
                           tie_embeddings=True, max_position_embeddings=512)
         return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
+    if args.model == "tiny-random-gemma":
+        cfg = LlamaConfig(**TINY_RANDOM, model_type="gemma",
+                          hidden_act="gelu_tanh", scale_embeddings=True,
+                          tie_embeddings=True)
+        return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
     raise SystemExit("--model must be a local HF directory, 'tiny-random', "
-                     f"'tiny-random-phi' or 'tiny-random-opt'; got {args.model}")
+                     "'tiny-random-phi', 'tiny-random-opt' or "
+                     f"'tiny-random-gemma'; got {args.model}")
 
 
 def load_corpora(args, cfg):

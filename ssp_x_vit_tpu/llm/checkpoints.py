@@ -21,10 +21,10 @@ from ssp_x_vit_tpu.models.checkpoints import _read_safetensors, _t
 
 def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     mt = d.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2", "phi3", "phi", "opt"):
+    if mt not in ("llama", "mistral", "qwen2", "phi3", "phi", "opt", "gemma"):
         raise ValueError(f"unsupported model_type {mt}")
     heads = d["num_attention_heads"]
-    head_dim = d["hidden_size"] // heads
+    head_dim = d.get("head_dim", d["hidden_size"] // heads)
     rotary_dim = None
     if mt == "phi":
         rotary_dim = int(d.get("partial_rotary_factor", 0.4) * head_dim)
@@ -80,12 +80,18 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         intermediate_size=d["intermediate_size"],
         rms_eps=d.get("rms_norm_eps", 1e-5),
         rope_theta=d.get("rope_theta", 10000.0),
-        tie_embeddings=d.get("tie_word_embeddings", False),
+        tie_embeddings=d.get("tie_word_embeddings", mt == "gemma"),
         model_type=mt,
         sliding_window=sliding_window,
         qkv_bias=(mt == "qwen2"),
         rotary_dim=rotary_dim,
         layer_norm_eps=d.get("layer_norm_eps", 1e-5),
+        # gemma: explicit head_dim (7B: 256 != hidden/heads), tanh-gelu GLU
+        # (HF resolves hidden_activation to gelu_pytorch_tanh), sqrt(d)
+        # embedding scale, always-tied head
+        explicit_head_dim=(d.get("head_dim") if mt == "gemma" else None),
+        hidden_act=("gelu_tanh" if mt == "gemma" else "silu"),
+        scale_embeddings=(mt == "gemma"),
     )
 
 
@@ -224,10 +230,17 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
         blocks["k_bias"] = stack("model.layers.{i}.self_attn.k_proj.bias")
         blocks["v_bias"] = stack("model.layers.{i}.self_attn.v_proj.bias")
 
+    if cfg.model_type == "gemma":
+        # GemmaRMSNorm scales by (1 + weight): bake the +1 into the stored
+        # scales so every rms_norm call site stays the standard form.
+        for k in ("ln1", "ln2"):
+            blocks[k] = blocks[k] + 1.0
     params: Params = {
         "embed": jnp.asarray(g("model.embed_tokens.weight"), dtype),
         "blocks": {k: jnp.asarray(v, dtype) for k, v in blocks.items()},
-        "ln_final": jnp.asarray(g("model.norm.weight"), dtype),
+        "ln_final": jnp.asarray(
+            g("model.norm.weight") + (1.0 if cfg.model_type == "gemma" else 0.0),
+            dtype),
     }
     if not cfg.tie_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = jnp.asarray(_t(g("lm_head.weight")), dtype)

@@ -36,6 +36,9 @@ class LlamaConfig:
     tie_embeddings: bool = False
     # llama | mistral | qwen2 share the pre-RMSNorm SwiGLU block; phi3 maps to
     # the same layout at load time (fused qkv/gate_up split by the loader);
+    # "gemma" rides the same layout with gelu_tanh GLU, sqrt(d)-scaled
+    # embeddings, (1+w) RMS scales baked into the weights at load, explicit
+    # head_dim, and a tied head;
     # "phi" (phi-2) selects the parallel-residual LayerNorm+GELU block;
     # "opt" the sequential LayerNorm block with learned positions + ReLU MLP
     # (reference src/slicegpt_utils/adapters/opt_adapter.py).
@@ -56,6 +59,10 @@ class LlamaConfig:
     expert_capacity_factor: float = 1.25
     router_aux_coef: float = 0.01  # load-balance loss weight in training
     moe_top_k: int = 1  # experts per token (1 = switch, 2 = mixtral)
+    # gemma specifics (usable by any llama-layout config)
+    explicit_head_dim: Optional[int] = None  # gemma-7b: 256 != hidden/heads
+    hidden_act: str = "silu"                 # "gelu_tanh" for gemma GLU
+    scale_embeddings: bool = False           # x *= sqrt(hidden_size)
 
     @property
     def is_phi(self) -> bool:
@@ -72,6 +79,8 @@ class LlamaConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.explicit_head_dim is not None:
+            return self.explicit_head_dim
         return self.hidden_size // self.num_heads
 
     @property
@@ -88,6 +97,26 @@ class LlamaConfig:
                 idx.append(j)
                 j += 1
         return tuple(idx)
+
+
+def _glu_act(cfg: LlamaConfig):
+    """GLU gate activation: silu (llama/mistral/qwen2) or tanh-approx gelu
+    (gemma's gelu_pytorch_tanh)."""
+    if cfg.hidden_act == "silu":
+        return jax.nn.silu
+    if cfg.hidden_act == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unsupported hidden_act {cfg.hidden_act}")
+
+
+def _embed_tokens(params: Params, input_ids, cfg: LlamaConfig, compute_dtype):
+    """Token embedding lookup; gemma scales by sqrt(hidden_size) with the
+    normalizer ROUNDED to the compute dtype (HF GemmaModel casts the
+    normalizer tensor before multiplying)."""
+    x = params["embed"].astype(compute_dtype)[input_ids]
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, compute_dtype)
+    return x
 
 
 def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
@@ -341,10 +370,11 @@ def _moe_mlp(x, bp, cfg: LlamaConfig, compute_dtype):
     return y.astype(compute_dtype), aux["aux_loss"]
 
 
-def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq"):
+def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq",
+         act=jax.nn.silu):
     g = _mm(x, bp, "gate_kernel", compute_dtype)
     u = _mm(x, bp, "up_kernel", compute_dtype)
-    h = jax.nn.silu(g) * u  # the down_proj input the reference hooks observe
+    h = act(g) * u  # the down_proj input the reference hooks observe
     stats = None
     if collect_stats:
         h32 = h.astype(jnp.float32)
@@ -407,7 +437,7 @@ def llama_forward(
                 "2SSP width instrumentation targets dense MLPs; MoE configs "
                 "route tokens per-expert and do not support neuron masks/stats")
     L = cfg.num_layers
-    x = params["embed"].astype(compute_dtype)[input_ids]
+    x = _embed_tokens(params, input_ids, cfg, compute_dtype)
     if cfg.is_opt:
         # learned absolute positions, HF offset of 2 (OPTLearnedPositionalEmbedding)
         pos = 2 + jnp.arange(input_ids.shape[1])
@@ -465,7 +495,7 @@ def llama_forward(
             stats = None
         else:
             mlp_out, stats = _mlp(mlp_in, bp, compute_dtype, nm, collect_mlp_stats,
-                                  mlp_stats_kind)
+                                  mlp_stats_kind, act=_glu_act(cfg))
         if collect_mlp_stats:
             out["mlp_stats"] = stats
         if collect_mlp_io_stats:
@@ -511,7 +541,7 @@ def llama_forward_materialized(
             "pruning targets the dense block layout); this guard prevents "
             "the 4-D expert kernels from silently broadcasting through the "
             "dense _mlp contraction")
-    x = params["embed"].astype(compute_dtype)[input_ids]
+    x = _embed_tokens(params, input_ids, cfg, compute_dtype)
     if cfg.is_opt:
         pos = 2 + jnp.arange(input_ids.shape[1])
         x = x + params["pos_embed"].astype(compute_dtype)[pos][None]
@@ -566,7 +596,8 @@ def llama_forward_materialized(
         mp = _pick_variants(blocks, ("gate_kernel", "up_kernel",
                                      "down_kernel"), i)
         mp["ln2"] = blocks["ln2"][i]
-        mlp_out, _ = _mlp(rms_norm(x, mp["ln2"], cfg.rms_eps), mp, compute_dtype, None, False)
+        mlp_out, _ = _mlp(rms_norm(x, mp["ln2"], cfg.rms_eps), mp, compute_dtype,
+                          None, False, act=_glu_act(cfg))
         x = x + mlp_out
 
     if cfg.is_phi or cfg.is_opt:

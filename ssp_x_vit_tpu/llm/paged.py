@@ -36,7 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _layer_norm, rms_norm
+from ssp_x_vit_tpu.llm.model import (
+    LlamaConfig, Params, _embed_tokens, _glu_act, _layer_norm, rms_norm,
+)
 from ssp_x_vit_tpu.llm import serve as _serve
 from ssp_x_vit_tpu.llm.serve import (
     _LLAMA_ATTN_KEYS, _block_qkv, _final_logits, _mm, bucket_prompt_pad,
@@ -98,7 +100,7 @@ def _mlp_branch(h2, bp, cfg: LlamaConfig, compute_dtype):
     else:
         g = _mm(h2, bp, "gate_kernel", compute_dtype)
         u = _mm(h2, bp, "up_kernel", compute_dtype)
-    return _mm(jax.nn.silu(g) * u, bp, "down_kernel", compute_dtype)
+    return _mm(_glu_act(cfg)(g) * u, bp, "down_kernel", compute_dtype)
 
 
 def _o_proj(attn, bp, compute_dtype):
@@ -292,7 +294,7 @@ def paged_prefill_chunk(params: Params, tokens: jax.Array, k_pools, v_pools,
     logits instead of O(p_pad^2))."""
     compute_dtype = cache_compute_dtype(k_pools)
     C = tokens.shape[1]
-    x = params["embed"].astype(compute_dtype)[tokens]
+    x = _embed_tokens(params, tokens, cfg, compute_dtype)
     layer_fn = functools.partial(_chunk_prefill_layer, chunk_start=chunk_start)
     x, k_pools, v_pools = _run_paged_layers(
         layer_fn, params, x, k_pools, v_pools, cfg, page_table, seq_len)
@@ -332,7 +334,7 @@ def paged_prefill(params: Params, tokens: jax.Array, k_pools, v_pools,
     """One prompt ([1, p_pad] right-padded) -> pools filled, logits at the
     last valid position [V]. One compile per prompt bucket."""
     compute_dtype = cache_compute_dtype(k_pools)
-    x = params["embed"].astype(compute_dtype)[tokens]
+    x = _embed_tokens(params, tokens, cfg, compute_dtype)
     x, k_pools, v_pools = _run_paged_layers(
         _prefill_layer, params, x, k_pools, v_pools, cfg, page_table, seq_len)
     last = jax.lax.dynamic_slice_in_dim(x, jnp.maximum(seq_len - 1, 0), 1, axis=1)
@@ -344,7 +346,7 @@ def _paged_decode_body(params: Params, tokens: jax.Array, k_pools, v_pools,
                        cfg: LlamaConfig, page_tables: jax.Array,
                        seq_lens: jax.Array):
     compute_dtype = cache_compute_dtype(k_pools)
-    x = params["embed"].astype(compute_dtype)[tokens][:, None]   # [b, 1, d]
+    x = _embed_tokens(params, tokens, cfg, compute_dtype)[:, None]   # [b, 1, d]
     x, k_pools, v_pools = _run_paged_layers(
         _paged_layer, params, x, k_pools, v_pools, cfg, page_tables, seq_lens)
     return _final_logits(params, x, cfg, compute_dtype)[:, 0], k_pools, v_pools

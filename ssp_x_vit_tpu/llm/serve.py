@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssp_x_vit_tpu.llm.model import (
-    LlamaConfig, Params, _layer_norm, _mm, rms_norm,
+    LlamaConfig, Params, _embed_tokens, _glu_act, _layer_norm, _mm, rms_norm,
 )
 
 PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
@@ -380,7 +380,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
     else:
         g = _mm(h2, bp, "gate_kernel", compute_dtype)
         u = _mm(h2, bp, "up_kernel", compute_dtype)
-    return x + _mm(jax.nn.silu(g) * u, bp, "down_kernel", compute_dtype), ck_l, cv_l
+    return x + _mm(_glu_act(cfg)(g) * u, bp, "down_kernel", compute_dtype), ck_l, cv_l
 
 
 _LLAMA_ATTN_KEYS = ("ln1", "ln1_bias", "q_kernel", "k_kernel", "v_kernel",
@@ -511,7 +511,7 @@ def prefill(params: Params, tokens: jax.Array, cache_k, cache_v, cfg: LlamaConfi
     (logits at the last position [b, V], cache_k, cache_v)."""
     compute_dtype = cache_compute_dtype(cache_k)
     b, p_pad = tokens.shape
-    x = params["embed"].astype(compute_dtype)[tokens]
+    x = _embed_tokens(params, tokens, cfg, compute_dtype)
     idx = jnp.arange(p_pad)
     global_positions = jnp.broadcast_to(idx[None], (b, p_pad))
     rope_positions = jnp.maximum(0, idx[None] - pad_lens[:, None])
@@ -533,7 +533,7 @@ def _decode_body(params: Params, token: jax.Array, cache_k, cache_v,
                  rolling: Optional[int] = None, lora_ids=None):
     compute_dtype = cache_compute_dtype(cache_k)
     b = token.shape[0]
-    x = params["embed"].astype(compute_dtype)[token][:, None, :]  # [b, 1, d]
+    x = _embed_tokens(params, token, cfg, compute_dtype)[:, None, :]  # [b, 1, d]
     global_positions = jnp.broadcast_to(pos[None, None], (b, 1))
     rope_positions = pos[None, None] - pad_lens[:, None]
     if cfg.is_opt:

@@ -554,6 +554,12 @@ def slicegpt(
     ``calibration``: list of [1, seq] token windows. phi-2's parallel block
     dispatches to the single-Q parallel engine.
     """
+    if cfg.hidden_act != "silu" or cfg.scale_embeddings:
+        raise ValueError(
+            "slicegpt covers the silu llama-layout archs (+phi-2/OPT "
+            "engines); gemma's sqrt(d)-scaled embeddings share weights with "
+            "an UNSCALED tied head, so the embedding-side rotation fold "
+            "does not commute — use 2SSP/depth pruning for gemma")
     if cfg.is_phi:
         return slicegpt_parallel(params, cfg, sparsity, calibration,
                                  final_orientation=final_orientation,

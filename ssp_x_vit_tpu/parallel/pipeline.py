@@ -191,6 +191,10 @@ def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int
                     ("intermediate_size", cfg.intermediate_size)):
         if v % tp:
             raise ValueError(f"{name} {v} % model {tp} != 0")
+    if cfg.hidden_act != "silu" or cfg.scale_embeddings:
+        raise ValueError("gemma configs (gelu_tanh GLU / scaled embeddings) "
+                         "are served through llm/serve + llm/paged; the pipeline "
+                         "path covers silu llama-layout blocks")
     if cfg.is_opt:
         raise ValueError("pipeline path covers llama-layout and phi configs "
                          "(OPT's learned-position table tops out at 2048)")

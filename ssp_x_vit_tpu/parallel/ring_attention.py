@@ -108,6 +108,10 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
     llm/evaluation.py's estimator exactly.
     """
     sp = mesh.shape["seq"]
+    if cfg.hidden_act != "silu" or cfg.scale_embeddings:
+        raise ValueError("gemma configs (gelu_tanh GLU / scaled embeddings) "
+                         "are served through llm/serve + llm/paged; the seq-parallel "
+                         "path covers silu llama-layout blocks")
     if cfg.is_opt:
         raise ValueError("seq-parallel path covers llama-layout and phi "
                          "configs (OPT's learned-position table is bounded "
