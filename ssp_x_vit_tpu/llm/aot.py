@@ -41,7 +41,13 @@ def _abstract(tree):
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), tree)
 
 
-def _cache_abstract(cfg: LlamaConfig, batch: int, max_len: int, cache_dtype):
+def _cache_abstract(cfg: LlamaConfig, batch: int, max_len: int, cache_dtype,
+                    rolling):
+    """Rolling artifacts MUST trace with exactly W cache slots — the rolling
+    mask arithmetic (age = (g - slot) mod W) is only correct when the slot
+    count equals W (serve.init_rolling_cache)."""
+    if rolling is not None:
+        max_len = rolling
     ck, cv = init_cache(cfg, batch, max_len, cache_dtype)
     return _abstract(ck), _abstract(cv)
 
@@ -57,7 +63,7 @@ def export_prefill(params: Params, cfg: LlamaConfig, *, batch: int, p_pad: int,
     def fn(p, tokens, ck, cv, pad_lens):
         return prefill(p, tokens, ck, cv, cfg, pad_lens, rolling=rolling)
 
-    ck, cv = _cache_abstract(cfg, batch, max_len, cache_dtype)
+    ck, cv = _cache_abstract(cfg, batch, max_len, cache_dtype, rolling)
     exported = jexport.export(
         jax.jit(fn), platforms=platforms)(
         _abstract(params),
@@ -78,7 +84,7 @@ def export_decode_step(params: Params, cfg: LlamaConfig, *, batch: int,
         return decode_step(p, token, ck, cv, cfg, pos, pad_lens,
                            rolling=rolling)
 
-    ck, cv = _cache_abstract(cfg, batch, max_len, cache_dtype)
+    ck, cv = _cache_abstract(cfg, batch, max_len, cache_dtype, rolling)
     exported = jexport.export(
         jax.jit(fn), platforms=platforms)(
         _abstract(params),

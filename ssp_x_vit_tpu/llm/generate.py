@@ -118,6 +118,8 @@ def beam_generate(
             break
         live = [(s, ids) for s, ids, f in beams if not f]
         done = [(s, ids, True) for s, ids, f in beams if f]
+        if len(live[0][1]) >= max_length:
+            break  # finished shorter beam on top (early_stopping False)
         tokens = np.zeros((num_beams, max_length), np.int32)
         for i, (_, ids) in enumerate(live):
             tokens[i, : len(ids)] = ids
@@ -172,13 +174,18 @@ def beam_generate_kv(
     B = num_beams
     p_pad = bucket_prompt_pad(len(prompt))
     max_len = p_pad + (max_length - len(prompt))
-    cache_k, cache_v = init_cache(cfg, B, max_len, cache_dtype)
 
-    tokens = np.zeros((B, p_pad), np.int32)
-    tokens[:, p_pad - len(prompt):] = prompt
+    # prefill ONCE ([1, p_pad]) and broadcast the cache rows to B beams —
+    # B identical prefills would waste (B-1)x the prompt FLOPs.
+    cache_k, cache_v = init_cache(cfg, 1, max_len, cache_dtype)
+    tokens = np.zeros((1, p_pad), np.int32)
+    tokens[0, p_pad - len(prompt):] = prompt
     pad_lens = jnp.full((B,), p_pad - len(prompt), jnp.int32)
     logits, cache_k, cache_v = prefill(params, jnp.asarray(tokens), cache_k,
-                                       cache_v, cfg, pad_lens)
+                                       cache_v, cfg, pad_lens[:1])
+    rep = lambda a: jnp.repeat(a, B, axis=1)
+    cache_k = jax.tree.map(rep, cache_k)
+    cache_v = jax.tree.map(rep, cache_v)
     logp = np.array(jax.nn.log_softmax(
         np.asarray(logits[0], np.float32)))                # rows identical
     for b in _banned_next_tokens(prompt, no_repeat_ngram_size):
@@ -198,6 +205,12 @@ def beam_generate_kv(
             break
         live = [bm for bm in beams if not bm[2]]
         done = [bm for bm in beams if bm[2]]
+        if len(live[0][1]) >= max_length:
+            # a FINISHED shorter beam holds the top slot (early_stopping
+            # False): live beams are at the cap — extending further would
+            # write past the cache (dynamic_update_slice would silently
+            # clamp into the last slot)
+            break
         # align cache rows to live beams: row i <- live[i]'s history
         parents = np.zeros((B,), np.int32)
         feed = np.zeros((B,), np.int32)

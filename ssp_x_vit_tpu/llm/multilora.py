@@ -40,6 +40,11 @@ from ssp_x_vit_tpu.llm.model import Params
 LORA_SUFFIX_A = "_lora_a"
 LORA_SUFFIX_B = "_lora_b"
 
+# Targets the serving decode actually applies deltas for (_block_qkv +
+# _proj_o). MLP targets would attach cleanly but be SILENTLY ignored, so
+# build_lora_bank refuses them.
+SERVABLE_TARGETS = ("q_kernel", "k_kernel", "v_kernel", "o_kernel")
+
 
 def build_lora_bank(adapters: Sequence[Params], *, alpha: float = 16.0,
                     dtype=jnp.float32) -> Params:
@@ -50,6 +55,12 @@ def build_lora_bank(adapters: Sequence[Params], *, alpha: float = 16.0,
     if not adapters:
         raise ValueError("need at least one adapter")
     targets = sorted(adapters[0])
+    unsupported = [t for t in targets if t not in SERVABLE_TARGETS]
+    if unsupported:
+        raise ValueError(
+            f"multi-LoRA serving applies deltas on {SERVABLE_TARGETS} only; "
+            f"adapter targets {unsupported} would be silently ignored "
+            "(merge_lora those adapters instead)")
     bank: Params = {}
     for t in targets:
         a_list, b_list = [], []

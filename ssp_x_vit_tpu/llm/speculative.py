@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssp_x_vit_tpu.llm.model import LlamaConfig, Params
+from ssp_x_vit_tpu.llm.model import LlamaConfig, Params, _embed_tokens
 from ssp_x_vit_tpu.llm.serve import (
     _decode_body, _final_logits, _run_layers,
     cache_compute_dtype as serve_cache_dtype, init_cache, prefill,
@@ -43,7 +43,7 @@ def _extend_body(params, tokens, cache_k, cache_v, cfg: LlamaConfig,
     ``write_pos + arange(w)``; returns logits at ALL w positions [1, w, V]."""
     compute_dtype = serve_cache_dtype(cache_k)
     b, w = tokens.shape
-    x = params["embed"].astype(compute_dtype)[tokens]
+    x = _embed_tokens(params, tokens, cfg, compute_dtype)
     idx = write_pos + jnp.arange(w)
     global_positions = jnp.broadcast_to(idx[None], (b, w))
     pad_lens = jnp.zeros((b,), jnp.int32)

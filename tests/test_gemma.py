@@ -100,11 +100,9 @@ def test_gemma_quantized_serving_runs(model):
 
 def test_gemma_refused_on_ring_and_pipeline(model):
     params, cfg = model
-    from ssp_x_vit_tpu.parallel.mesh import make_mesh
     from ssp_x_vit_tpu.parallel.ring_attention import make_seq_parallel_nll
 
-    mesh = make_mesh(data=1, model=1, seq=2) if False else None
-    # construction-time refusal: no mesh needed to check the config guard
+    # construction-time refusal: the config guard fires before any compute
     import jax.sharding as shd
     devs = np.array(jax.devices()[:2]).reshape(1, 2)
     mesh = shd.Mesh(devs, ("data", "seq"))
@@ -135,3 +133,20 @@ def test_gemma_slicegpt_refused(model):
     params, cfg = model
     with pytest.raises(ValueError, match="gemma"):
         slicegpt(params, cfg, 0.25, [np.zeros((1, 16), np.int32)])
+
+
+def test_gemma_speculative_exact(model):
+    """Speculative decoding on a gemma target: the multi-token extend path
+    must scale embeddings like prefill/decode (regression: _extend_body used
+    the raw lookup) — composite greedy == dense greedy at f32."""
+    from ssp_x_vit_tpu.llm.generate import greedy_generate
+    from ssp_x_vit_tpu.llm.speculative import speculative_generate
+
+    params, cfg = model
+    prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+    out, stats = speculative_generate(
+        params, cfg, params, cfg, prompt, max_length=18, k=3,
+        cache_dtype=jnp.float32)
+    ref = greedy_generate(params, cfg, prompt, max_length=18,
+                          no_repeat_ngram_size=0, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -100,3 +100,13 @@ def test_bank_identity_slot_and_validation(setup):
     with pytest.raises(ValueError):
         attach_lora_bank({"blocks": {"zz_kernel": jnp.zeros((2, 4, 4))}},
                          bank)
+
+
+def test_bank_refuses_mlp_targets(setup):
+    """MLP-target adapters would attach cleanly but be silently ignored by
+    the decode (deltas apply on q/k/v/o only) — refused at build."""
+    params, _, _ = setup
+    ad = init_lora(jax.random.PRNGKey(9), params, rank=2,
+                   targets=("gate_kernel", "up_kernel"))
+    with pytest.raises(ValueError, match="silently ignored"):
+        build_lora_bank([ad])

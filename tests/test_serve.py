@@ -318,3 +318,27 @@ def test_beam_kv_matches_recompute_beam():
         kv = beam_generate_kv(params, cfg, prompt, max_length=24, num_beams=3,
                               eos_token_id=eos, cache_dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(kv))
+
+
+def test_beam_kv_early_stopping_false_terminates():
+    """With early_stopping=False a finished shorter beam can hold the top
+    slot while live beams keep extending; both beam variants must stop at
+    max_length instead of writing past the cache/token buffers."""
+    from ssp_x_vit_tpu.llm.generate import beam_generate, beam_generate_kv
+    from ssp_x_vit_tpu.llm.model import init_llama_params
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=64)
+    params = init_llama_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    prompt = np.asarray([3, 1, 4, 1, 5, 9], np.int32)
+    # eos that actually appears early for some beam on random weights is not
+    # guaranteed; sweep a few ids so at least one run exercises the
+    # finished-top-beam-with-live-tails state, and ALL must terminate.
+    for eos in (5, 7, 11):
+        ref = beam_generate(params, cfg, prompt, max_length=20, num_beams=3,
+                            eos_token_id=eos, early_stopping=False,
+                            compute_dtype=jnp.float32)
+        kv = beam_generate_kv(params, cfg, prompt, max_length=20, num_beams=3,
+                              eos_token_id=eos, early_stopping=False)
+        assert len(ref) <= 20 and len(kv) <= 20
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(kv))
