@@ -113,6 +113,29 @@ def export_serving_bundle(params: Params, cfg: LlamaConfig, *, batch: int,
     return bundle
 
 
+def export_vit_classify(params, cfg, *, batch: int,
+                        compute_dtype=jnp.bfloat16,
+                        platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize the ViT classification forward (dense OR width/depth-
+    materialized pytrees — the materialized forward dispatches on cfg).
+    Call signature: (params, pixels [b, H, W, 3]) -> logits [b, classes]."""
+    from ssp_x_vit_tpu.models.vit import vit_forward, vit_forward_materialized
+
+    materialized = bool(getattr(cfg, "pruned_attention_blocks", ()))
+
+    def fn(p, pixels):
+        if materialized:
+            return vit_forward_materialized(p, pixels, cfg,
+                                            compute_dtype=compute_dtype)
+        return vit_forward(p, pixels, cfg, compute_dtype=compute_dtype)[0]
+
+    exported = jexport.export(jax.jit(fn), platforms=platforms)(
+        _abstract(params),
+        jax.ShapeDtypeStruct((batch, cfg.image_size, cfg.image_size, 3),
+                             compute_dtype))
+    return exported.serialize()
+
+
 def load_artifact(blob: bytes) -> jexport.Exported:
     """Deserialize a serving artifact; run it with ``artifact.call(*args)``.
     No model code or tracing involved — the StableHLO compiles directly."""

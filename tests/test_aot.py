@@ -87,3 +87,43 @@ def test_cross_platform_tpu_lowering(model):
                               cache_dtype=jnp.bfloat16, platforms=("tpu",))
     art = load_artifact(blob)
     assert art.platforms == ("tpu",)
+
+
+def test_vit_artifact_matches_live(tmp_path):
+    """ViT classify artifact (dense + 50%-pruned materialized) == live
+    forward; round-trips through disk."""
+    from ssp_x_vit_tpu.llm.aot import export_vit_classify, load_artifact
+    from ssp_x_vit_tpu.models.vit import (
+        ViTConfig, init_vit_params, vit_forward,
+    )
+    from ssp_x_vit_tpu.pruning import (
+        materialize_width_pruning, select_keep_indices, weight_l1_importance,
+    )
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+                    num_heads=4, intermediate_size=128, num_classes=10)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3),
+                               jnp.float32)
+    blob = export_vit_classify(params, cfg, batch=2,
+                               compute_dtype=jnp.float32)
+    (tmp_path / "vit.stablehlo").write_bytes(blob)
+    art = load_artifact((tmp_path / "vit.stablehlo").read_bytes())
+    got = art.call(params, pixels)
+    ref, _ = vit_forward(params, pixels, cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # width-materialized pruned pytree exports too
+    width = select_keep_indices(
+        weight_l1_importance(params),
+        n_to_prune_per_block=[64] * cfg.num_layers,
+        min_remaining=32, verbose=False)
+    p2, c2 = materialize_width_pruning(params, cfg, width.keep_indices)
+    blob2 = export_vit_classify(p2, c2, batch=2, compute_dtype=jnp.float32)
+    art2 = load_artifact(blob2)
+    from ssp_x_vit_tpu.models.vit import vit_forward as vf
+    got2 = art2.call(p2, pixels)
+    ref2, _ = vf(p2, pixels, c2, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-6, atol=1e-6)
