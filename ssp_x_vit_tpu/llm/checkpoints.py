@@ -21,7 +21,8 @@ from ssp_x_vit_tpu.models.checkpoints import _read_safetensors, _t
 
 def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     mt = d.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2", "phi3", "phi", "opt", "gemma"):
+    if mt not in ("llama", "mistral", "qwen2", "phi3", "phi", "opt", "gemma",
+                  "gemma2"):
         raise ValueError(f"unsupported model_type {mt}")
     heads = d["num_attention_heads"]
     head_dim = d.get("head_dim", d["hidden_size"] // heads)
@@ -57,20 +58,24 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     # max_window_layers == num_hidden_layers, i.e. no layer is windowed.
     # This config is one window for ALL layers, so the mixed per-layer case
     # is refused rather than silently mis-masked.
-    sliding_window = None
+    sliding_window, window_layers = None, None
     if d.get("sliding_window") is not None:
         if mt in ("mistral", "phi3"):
             sliding_window = d["sliding_window"]
         elif mt == "qwen2" and d.get("use_sliding_window", False):
+            # HF Qwen2: the FIRST max_window_layers layers run full
+            # attention; layers past that use the window (Qwen2Config docs;
+            # shipped checkpoints set mwl == num_layers, windowing nothing).
             mwl = d.get("max_window_layers", d["num_hidden_layers"])
-            if mwl <= 0:
+            L = d["num_hidden_layers"]
+            if mwl < L:
                 sliding_window = d["sliding_window"]
-            elif mwl < d["num_hidden_layers"]:
-                raise ValueError(
-                    f"qwen2 mixed attention (max_window_layers={mwl} of "
-                    f"{d['num_hidden_layers']}) is unsupported: this config "
-                    "applies one sliding_window to every layer")
-            # mwl >= num_layers: HF windows no layer -> full attention
+                if mwl > 0:  # genuinely mixed: per-layer bounds path
+                    window_layers = tuple(range(mwl, L))
+        elif mt == "gemma2":
+            # HF Gemma2: EVEN layers slide, odd layers run full attention
+            sliding_window = d["sliding_window"]
+            window_layers = tuple(range(0, d["num_hidden_layers"], 2))
     return LlamaConfig(
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
@@ -80,7 +85,8 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         intermediate_size=d["intermediate_size"],
         rms_eps=d.get("rms_norm_eps", 1e-5),
         rope_theta=d.get("rope_theta", 10000.0),
-        tie_embeddings=d.get("tie_word_embeddings", mt == "gemma"),
+        tie_embeddings=d.get("tie_word_embeddings",
+                             mt in ("gemma", "gemma2")),
         model_type=mt,
         sliding_window=sliding_window,
         qkv_bias=(mt == "qwen2"),
@@ -89,15 +95,22 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         # gemma: explicit head_dim (7B: 256 != hidden/heads), tanh-gelu GLU
         # (HF resolves hidden_activation to gelu_pytorch_tanh), sqrt(d)
         # embedding scale, always-tied head
-        explicit_head_dim=(d.get("head_dim") if mt == "gemma" else None),
-        hidden_act=("gelu_tanh" if mt == "gemma" else "silu"),
-        scale_embeddings=(mt == "gemma"),
+        explicit_head_dim=(d.get("head_dim") if mt in ("gemma", "gemma2")
+                           else None),
+        hidden_act=("gelu_tanh" if mt in ("gemma", "gemma2") else "silu"),
+        scale_embeddings=(mt in ("gemma", "gemma2")),
+        window_layers=window_layers,
+        attn_softcap=(d.get("attn_logit_softcapping", 50.0)
+                      if mt == "gemma2" else None),
+        final_softcap=(d.get("final_logit_softcapping", 30.0)
+                       if mt == "gemma2" else None),
     )
 
 
 def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
     with open(os.path.join(model_dir, "config.json")) as f:
-        cfg = config_from_hf_dict(json.load(f))
+        raw_cfg = json.load(f)
+    cfg = config_from_hf_dict(raw_cfg)
 
     sd: Dict[str, np.ndarray] = {}
     shards = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
@@ -220,26 +233,45 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
         "k_kernel": stack("model.layers.{i}.self_attn.k_proj.weight", _t),
         "v_kernel": stack("model.layers.{i}.self_attn.v_proj.weight", _t),
         "o_kernel": stack("model.layers.{i}.self_attn.o_proj.weight", _t),
-        "ln2": stack("model.layers.{i}.post_attention_layernorm.weight"),
         "gate_kernel": stack("model.layers.{i}.mlp.gate_proj.weight", _t),
         "up_kernel": stack("model.layers.{i}.mlp.up_proj.weight", _t),
         "down_kernel": stack("model.layers.{i}.mlp.down_proj.weight", _t),
     }
+    if cfg.model_type == "gemma2":
+        # gemma-2's four norms: ln2 here = PRE-feedforward (keeps MLP call
+        # sites uniform); post-norms are new keys
+        blocks["ln1_post"] = stack(
+            "model.layers.{i}.post_attention_layernorm.weight")
+        blocks["ln2"] = stack(
+            "model.layers.{i}.pre_feedforward_layernorm.weight")
+        blocks["ln2_post"] = stack(
+            "model.layers.{i}.post_feedforward_layernorm.weight")
+        # fold the query_pre_attn_scalar attention scale into q_proj: the
+        # standard paths divide by sqrt(head_dim), gemma-2 wants
+        # qps**-0.5 — one multiplicative constant on q, exact
+        qps = float(raw_cfg.get("query_pre_attn_scalar", cfg.head_dim))
+        blocks["q_kernel"] = blocks["q_kernel"] * float(
+            cfg.head_dim ** 0.5 / qps ** 0.5)
+    else:
+        blocks["ln2"] = stack(
+            "model.layers.{i}.post_attention_layernorm.weight")
     if cfg.qkv_bias:
         blocks["q_bias"] = stack("model.layers.{i}.self_attn.q_proj.bias")
         blocks["k_bias"] = stack("model.layers.{i}.self_attn.k_proj.bias")
         blocks["v_bias"] = stack("model.layers.{i}.self_attn.v_proj.bias")
 
-    if cfg.model_type == "gemma":
-        # GemmaRMSNorm scales by (1 + weight): bake the +1 into the stored
-        # scales so every rms_norm call site stays the standard form.
-        for k in ("ln1", "ln2"):
-            blocks[k] = blocks[k] + 1.0
+    if cfg.model_type in ("gemma", "gemma2"):
+        # Gemma(2)RMSNorm scales by (1 + weight): bake the +1 into the
+        # stored scales so every rms_norm call site stays the standard form.
+        for k in ("ln1", "ln2", "ln1_post", "ln2_post"):
+            if k in blocks:
+                blocks[k] = blocks[k] + 1.0
     params: Params = {
         "embed": jnp.asarray(g("model.embed_tokens.weight"), dtype),
         "blocks": {k: jnp.asarray(v, dtype) for k, v in blocks.items()},
         "ln_final": jnp.asarray(
-            g("model.norm.weight") + (1.0 if cfg.model_type == "gemma" else 0.0),
+            g("model.norm.weight")
+            + (1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0),
             dtype),
     }
     if not cfg.tie_embeddings and "lm_head.weight" in sd:

@@ -63,6 +63,14 @@ class LlamaConfig:
     explicit_head_dim: Optional[int] = None  # gemma-7b: 256 != hidden/heads
     hidden_act: str = "silu"                 # "gelu_tanh" for gemma GLU
     scale_embeddings: bool = False           # x *= sqrt(hidden_size)
+    # MIXED attention: indices of layers the sliding window applies to
+    # (None = all layers when sliding_window is set). qwen2: layers >=
+    # max_window_layers; gemma-2: even layers. Mixed configs run the
+    # traced-bound mask path (flash kernels need a static window).
+    window_layers: Optional[Tuple[int, ...]] = None
+    # gemma-2 softcaps: logits <- cap * tanh(logits / cap)
+    attn_softcap: Optional[float] = None     # attention logits (50.0)
+    final_softcap: Optional[float] = None    # lm_head logits (30.0)
 
     @property
     def is_phi(self) -> bool:
@@ -71,6 +79,28 @@ class LlamaConfig:
     @property
     def is_opt(self) -> bool:
         return self.model_type == "opt"
+
+    @property
+    def is_gemma2(self) -> bool:
+        return self.model_type == "gemma2"
+
+    @property
+    def uniform_window(self) -> bool:
+        """True when every layer shares one (possibly absent) window — the
+        static-mask / flash-kernel regime."""
+        return self.sliding_window is None or self.window_layers is None
+
+    # Large sentinel bound for full-attention layers in mixed configs: the
+    # band test `row - col < bound` is vacuous for any real sequence.
+    _FULL_BOUND = 1 << 30
+
+    @property
+    def layer_window_bounds(self) -> Tuple[int, ...]:
+        """Per-layer int bounds ([L]): the window for windowed layers,
+        _FULL_BOUND for full-attention layers (mixed configs only)."""
+        wl = set(self.window_layers or ())
+        return tuple(self.sliding_window if i in wl else self._FULL_BOUND
+                     for i in range(self.num_layers))
     # --- materialized-pruning state ---
     # Uniform kept intermediate size after 2SSP stage-1 (reference sets
     # config.intermediate_size = num_preserve, src/pruning.py:286).
@@ -217,6 +247,10 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
             "up_kernel": nrm(next(ks), (L, d, f)),
             "down_kernel": nrm(next(ks), (L, f, d)),
         })
+    if cfg.is_gemma2:
+        # post-norms on the residual deltas (HF Gemma2DecoderLayer)
+        params["blocks"]["ln1_post"] = jnp.ones((L, d), dtype)
+        params["blocks"]["ln2_post"] = jnp.ones((L, d), dtype)
     if cfg.qkv_bias:
         params["blocks"]["q_bias"] = jnp.zeros((L, hq), dtype)
         params["blocks"]["k_bias"] = jnp.zeros((L, hkv), dtype)
@@ -263,7 +297,10 @@ def _mm(x, bp, name, compute_dtype):
     return mm_quant(x, bp, name, compute_dtype)
 
 
-def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
+def _attention(x, bp, cfg: LlamaConfig, compute_dtype, window_override=None):
+    """``window_override``: TRACED per-layer window bound (mixed configs,
+    scanned alongside the blocks) — forces the dynamic-mask sdpa path; the
+    flash kernels need a static window."""
     b, s, d = x.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -290,10 +327,14 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
         q, k = _rope(q, k, cfg.rope_theta)
     from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
 
-    window = cfg.sliding_window
-    if window is not None and window >= s:
+    window = cfg.sliding_window if window_override is None else window_override
+    if window_override is None and window is not None and window >= s:
         window = None  # full causal within this sequence — same program
-    if use_pallas() and s >= FLASH_MIN_SEQ:
+    # softcap (gemma-2) and traced per-layer windows run the sdpa path —
+    # the flash kernels take static masks only (softcap-in-kernel is a
+    # known perf follow-up, COVERAGE.md pending list).
+    if (use_pallas() and s >= FLASH_MIN_SEQ and window_override is None
+            and cfg.attn_softcap is None):
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 
         # GQA-native kernel: K/V stay at nkv heads; the query group shares
@@ -307,7 +348,8 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype):
         if nkv != nq:
             k = jnp.repeat(k, nq // nkv, axis=1)
             v = jnp.repeat(v, nq // nkv, axis=1)
-        out = sdpa_reference(q, k, v, causal=True, window=window)
+        out = sdpa_reference(q, k, v, causal=True, window=window,
+                             softcap=cfg.attn_softcap)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     out = _mm(out, bp, "o_kernel", compute_dtype)
@@ -386,16 +428,19 @@ def _mlp(x, bp, compute_dtype, neuron_mask, collect_stats, stats_kind="sumsq",
     return _mm(h, bp, "down_kernel", compute_dtype), stats
 
 
-def _head_logits(params, x, compute_dtype):
+def _head_logits(params, x, compute_dtype, final_softcap=None):
     """Final lm_head projection -> f32 logits: tied-embed fallback, int8/int4
     via _mm (so W8A8 and quantized dispatch stay CONSISTENT with the block
-    projections), optional bias. Shared by both forward tails."""
+    projections), optional bias, gemma-2 final soft-capping. Shared by both
+    forward tails."""
     if any(k in params for k in ("lm_head", "lm_head_q", "lm_head_q4")):
         logits = _mm(x, params, "lm_head", compute_dtype).astype(jnp.float32)
     else:
         logits = (x @ params["embed"].T.astype(compute_dtype)).astype(jnp.float32)
     if "lm_head_bias" in params:
         logits = logits + params["lm_head_bias"].astype(jnp.float32)
+    if final_softcap is not None:
+        logits = final_softcap * jnp.tanh(logits / final_softcap)
     return logits
 
 
@@ -446,9 +491,13 @@ def llama_forward(
     gates_a = attn_gate if attn_gate is not None else jnp.ones((L,), jnp.float32)
     gates_m = mlp_gate if mlp_gate is not None else jnp.ones((L,), jnp.float32)
     nmask = neuron_mask if neuron_mask is not None else jnp.ones((L, 1), jnp.float32)
+    # mixed per-layer windows ride the scan as traced bounds; uniform
+    # configs keep the static (flash-capable) path
+    wbounds = jnp.asarray(cfg.layer_window_bounds, jnp.int32)
 
     def body(x, scanned):
-        bp, ga, gm, nm = scanned
+        bp, ga, gm, nm, wb = scanned
+        wo = None if cfg.uniform_window else wb
         out = {}
         if cfg.is_phi:
             # phi-2 parallel residual: one LayerNorm feeds BOTH branches,
@@ -486,7 +535,12 @@ def llama_forward(
                 out["block_outputs"] = x
             return x, out
 
-        attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
+        attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg,
+                              compute_dtype, window_override=wo)
+        if cfg.is_gemma2:
+            # gemma-2 post-norms: the residual deltas are RMS-normalized
+            # before the adds (HF Gemma2DecoderLayer)
+            attn_out = rms_norm(attn_out, bp["ln1_post"], cfg.rms_eps)
         x = x + attn_out * ga.astype(x.dtype)
         mlp_in = rms_norm(x, bp["ln2"], cfg.rms_eps)
         if cfg.num_experts:
@@ -503,19 +557,22 @@ def llama_forward(
             # (reference get_mlp_inputs_outputs, src/utilities.py:290-319).
             out["mlp_in_stats"] = jnp.sum(jnp.square(mlp_in.astype(jnp.float32)), axis=1)
             out["mlp_out_stats"] = jnp.sum(jnp.square(mlp_out.astype(jnp.float32)), axis=1)
+        if cfg.is_gemma2:
+            mlp_out = rms_norm(mlp_out, bp["ln2_post"], cfg.rms_eps)
         x = x + mlp_out * gm.astype(x.dtype)
         if return_block_outputs:
             out["block_outputs"] = x
         return x, out
 
     scan_body = jax.checkpoint(body) if remat else body
-    x, scanned_out = jax.lax.scan(scan_body, x, (params["blocks"], gates_a, gates_m, nmask))
+    x, scanned_out = jax.lax.scan(scan_body, x, (params["blocks"], gates_a,
+                                                 gates_m, nmask, wbounds))
 
     if cfg.is_phi or cfg.is_opt:
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    return _head_logits(params, x, compute_dtype), dict(scanned_out)
+    return _head_logits(params, x, compute_dtype, cfg.final_softcap), dict(scanned_out)
 
 
 def _pick_variants(blocks, bases, idx):
@@ -592,16 +649,31 @@ def llama_forward_materialized(
             for k in ("q_bias", "k_bias", "v_bias"):
                 if k in blocks:
                     bp[k] = blocks[k][j]
-            x = x + _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, cfg, compute_dtype)
+            # unrolled layers: per-layer windows are STATIC here, so each
+            # layer keeps its flash-capable static-window dispatch
+            cfg_i = cfg
+            if not cfg.uniform_window:
+                cfg_i = dataclasses.replace(
+                    cfg, window_layers=None,
+                    sliding_window=(cfg.sliding_window
+                                    if cfg.layer_window_bounds[i] < cfg._FULL_BOUND
+                                    else None))
+            attn_out = _attention(rms_norm(x, bp["ln1"], cfg.rms_eps), bp,
+                                  cfg_i, compute_dtype)
+            if cfg.is_gemma2:
+                attn_out = rms_norm(attn_out, blocks["ln1_post"][j], cfg.rms_eps)
+            x = x + attn_out
         mp = _pick_variants(blocks, ("gate_kernel", "up_kernel",
                                      "down_kernel"), i)
         mp["ln2"] = blocks["ln2"][i]
         mlp_out, _ = _mlp(rms_norm(x, mp["ln2"], cfg.rms_eps), mp, compute_dtype,
                           None, False, act=_glu_act(cfg))
+        if cfg.is_gemma2:
+            mlp_out = rms_norm(mlp_out, blocks["ln2_post"][i], cfg.rms_eps)
         x = x + mlp_out
 
     if cfg.is_phi or cfg.is_opt:
         x = _layer_norm(x, params["ln_final"], params["ln_final_bias"], cfg.layer_norm_eps)
     else:
         x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-    return _head_logits(params, x, compute_dtype)
+    return _head_logits(params, x, compute_dtype, cfg.final_softcap)

@@ -111,22 +111,24 @@ def _o_proj(attn, bp, compute_dtype):
 
 
 def _paged_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_tables, seq_lens,
-                 compute_dtype, has_attn=True):
+                 compute_dtype, has_attn=True, window_bound=None):
     """One decode-step layer over the paged cache (mirrors serve._layer_step:
-    llama sequential / phi parallel / attention physically absent)."""
+    llama sequential / phi parallel / gemma-2 post-norms / attention
+    physically absent). ``window_bound``: traced per-layer band bound."""
     b = x.shape[0]
 
     def attend(h):
         q, k, v = _block_qkv(h, bp, cfg, seq_lens[:, None], compute_dtype)
         kp, vp = paged_cache_write(kp_l, vp_l, k[:, 0], v[:, 0],
                                    page_tables, seq_lens)
+        band = window_bound if window_bound is not None else cfg.sliding_window
         starts = None
-        if cfg.sliding_window is not None:
+        if band is not None:
             # query position == seq_lens; HF window: keys k with
             # q - k < window  ->  k >= seq_lens + 1 - window.
-            starts = jnp.maximum(seq_lens + 1 - cfg.sliding_window, 0)
+            starts = jnp.maximum(seq_lens + 1 - band, 0)
         attn = paged_attention(q[:, 0], kp, vp, page_tables, seq_lens + 1,
-                               start_lens=starts)
+                               start_lens=starts, softcap=cfg.attn_softcap)
         return _o_proj(attn.reshape(b, 1, -1), bp, compute_dtype), kp, vp
 
     if cfg.is_phi:
@@ -138,13 +140,18 @@ def _paged_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_tables, seq_lens,
 
     if has_attn:
         attn, kp_l, vp_l = attend(rms_norm(x, bp["ln1"], cfg.rms_eps))
+        if cfg.is_gemma2:
+            attn = rms_norm(attn, bp["ln1_post"], cfg.rms_eps)
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-    return x + _mlp_branch(h2, bp, cfg, compute_dtype), kp_l, vp_l
+    mlp = _mlp_branch(h2, bp, cfg, compute_dtype)
+    if cfg.is_gemma2:
+        mlp = rms_norm(mlp, bp["ln2_post"], cfg.rms_eps)
+    return x + mlp, kp_l, vp_l
 
 
 def _prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table, seq_len,
-                   compute_dtype, has_attn=True):
+                   compute_dtype, has_attn=True, window_bound=None):
     """One prefill layer ([1, p_pad] full-sequence causal attention +
     masked page writes)."""
     _, p_pad, _ = x.shape
@@ -158,11 +165,14 @@ def _prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table, seq_len,
         vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, kf,
                             preferred_element_type=jnp.float32) / cfg.head_dim**0.5
+        if cfg.attn_softcap is not None:
+            logits = cfg.attn_softcap * jnp.tanh(logits / cfg.attn_softcap)
         row = jnp.arange(p_pad)[:, None]
         col = jnp.arange(p_pad)[None, :]
         mask = (col <= row) & (col < seq_len)
-        if cfg.sliding_window is not None:
-            mask = mask & (row - col < cfg.sliding_window)
+        band = window_bound if window_bound is not None else cfg.sliding_window
+        if band is not None:
+            mask = mask & (row - col < band)
         logits = jnp.where(mask[None, None], logits, _NEG_INF)
         w = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, vf).reshape(1, p_pad, -1)
@@ -177,9 +187,14 @@ def _prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table, seq_len,
 
     if has_attn:
         attn, kp_l, vp_l = attend(rms_norm(x, bp["ln1"], cfg.rms_eps))
+        if cfg.is_gemma2:
+            attn = rms_norm(attn, bp["ln1_post"], cfg.rms_eps)
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-    return x + _mlp_branch(h2, bp, cfg, compute_dtype), kp_l, vp_l
+    mlp = _mlp_branch(h2, bp, cfg, compute_dtype)
+    if cfg.is_gemma2:
+        mlp = rms_norm(mlp, bp["ln2_post"], cfg.rms_eps)
+    return x + mlp, kp_l, vp_l
 
 
 def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
@@ -188,13 +203,17 @@ def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
     with attn_store_index (cf. serve._run_layers)."""
     compute_dtype = cache_compute_dtype(k_pools)
     blocks = params["blocks"]
+    wbounds = jnp.asarray(cfg.layer_window_bounds, jnp.int32)
     if not cfg.pruned_attention_blocks:
         def body(x, scanned):
-            bp, kp, vp = scanned
-            x, kp, vp = layer_fn(x, bp, kp, vp, cfg, table, lens, compute_dtype)
+            bp, kp, vp, wb = scanned
+            x, kp, vp = layer_fn(
+                x, bp, kp, vp, cfg, table, lens, compute_dtype,
+                window_bound=None if cfg.uniform_window else wb)
             return x, (kp, vp)
 
-        x, (k_pools, v_pools) = jax.lax.scan(body, x, (blocks, k_pools, v_pools))
+        x, (k_pools, v_pools) = jax.lax.scan(
+            body, x, (blocks, k_pools, v_pools, wbounds))
         return x, k_pools, v_pools
 
     store = cfg.attn_store_index
@@ -209,23 +228,24 @@ def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
                 bp[kname] = val[j]
             else:
                 bp[kname] = val[i]
+        wb = None if cfg.uniform_window else wbounds[i]
         if j is None:
             x, _, _ = layer_fn(x, bp, None, None, cfg, table, lens,
-                               compute_dtype, has_attn=False)
+                               compute_dtype, has_attn=False, window_bound=wb)
         else:
             x, kl, vl = layer_fn(x, bp,
                                  jax.tree.map(lambda a: a[j], k_pools),
                                  jax.tree.map(lambda a: a[j], v_pools),
                                  cfg, table,
-                                 lens, compute_dtype)
+                                 lens, compute_dtype, window_bound=wb)
             k_pools = jax.tree.map(lambda a, al: a.at[j].set(al), k_pools, kl)
             v_pools = jax.tree.map(lambda a, al: a.at[j].set(al), v_pools, vl)
     return x, k_pools, v_pools
 
 
 def _chunk_prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table,
-                         seq_len, compute_dtype, has_attn=True, *,
-                         chunk_start):
+                         seq_len, compute_dtype, has_attn=True,
+                         window_bound=None, *, chunk_start):
     """One layer of CHUNKED prefill: C tokens at global positions
     [chunk_start, chunk_start + C) attend over the whole paged cache
     (earlier chunks' keys ride the pages; in-chunk keys are written first,
@@ -259,11 +279,14 @@ def _chunk_prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table,
             vf = jnp.repeat(vf, rep, axis=0)
         logits = jnp.einsum("qhd,hkd->hqk", q[0], kf,
                             preferred_element_type=jnp.float32) / cfg.head_dim**0.5
+        if cfg.attn_softcap is not None:
+            logits = cfg.attn_softcap * jnp.tanh(logits / cfg.attn_softcap)
         row = chunk_start + jnp.arange(C)[:, None]              # global q pos
         col = jnp.arange(mp * ps)[None, :]
         mask = (col <= row) & (col < seq_len)
-        if cfg.sliding_window is not None:
-            mask = mask & (row - col < cfg.sliding_window)
+        band = window_bound if window_bound is not None else cfg.sliding_window
+        if band is not None:
+            mask = mask & (row - col < band)
         logits = jnp.where(mask[None], logits, _NEG_INF)
         w = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
         attn = jnp.einsum("hqk,hkd->qhd", w, vf).reshape(1, C, -1)
@@ -278,9 +301,14 @@ def _chunk_prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table,
 
     if has_attn:
         attn, kp_l, vp_l = attend(rms_norm(x, bp["ln1"], cfg.rms_eps))
+        if cfg.is_gemma2:
+            attn = rms_norm(attn, bp["ln1_post"], cfg.rms_eps)
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
-    return x + _mlp_branch(h2, bp, cfg, compute_dtype), kp_l, vp_l
+    mlp = _mlp_branch(h2, bp, cfg, compute_dtype)
+    if cfg.is_gemma2:
+        mlp = rms_norm(mlp, bp["ln2_post"], cfg.rms_eps)
+    return x + mlp, kp_l, vp_l
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))

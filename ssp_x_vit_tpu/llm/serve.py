@@ -97,6 +97,10 @@ def init_rolling_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
     ``cfg.sliding_window``; llama-layout only (OPT has no window)."""
     if cfg.sliding_window is None:
         raise ValueError("rolling cache requires cfg.sliding_window")
+    if not cfg.uniform_window:
+        raise ValueError("rolling cache requires a UNIFORM window: mixed "
+                         "configs have full-attention layers whose keys "
+                         "never expire")
     if cfg.is_opt:
         raise ValueError("rolling cache covers llama-layout/phi models")
     return init_cache(cfg, batch, cfg.sliding_window, dtype)
@@ -163,7 +167,7 @@ def _proj_o(attn, bp, compute_dtype, lora_ids=None):
 
 
 def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig,
-                   rolling: Optional[int] = None):
+                   rolling: Optional[int] = None, window_bound=None):
     """q [b, s_q, h, hd] over cached k/v [b, max_len, nkv, hd]; query at global
     index g attends keys with pad_len[i] <= key_index <= g (left-pad masked).
 
@@ -190,11 +194,13 @@ def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig,
         valid = key_global >= pad_lens[:, None, None]  # also kills unwritten
     else:
         causal = key_idx[None, None, :] <= query_positions[:, :, None]  # [b, s_q, max_len]
-        if cfg.sliding_window is not None:
+        band = (window_bound if window_bound is not None
+                else cfg.sliding_window)  # traced per-layer bound (mixed) or static
+        if band is not None:
             # Sliding window (mistral): cache indices and query positions
             # share one global index space — a second diagonal band.
             causal = causal & (query_positions[:, :, None] - key_idx[None, None, :]
-                               < cfg.sliding_window)
+                               < band)
         valid = key_idx[None, None, :] >= pad_lens[:, None, None]
     if rep > 1:
         # GQA: contract each kv head against its whole query group through
@@ -207,6 +213,8 @@ def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig,
         if quant:
             logits = logits * ck["s"].transpose(0, 2, 1)[:, :, None, None, :]
         logits = logits / (hd ** 0.5)
+        if cfg.attn_softcap is not None:
+            logits = cfg.attn_softcap * jnp.tanh(logits / cfg.attn_softcap)
         mask = (causal & valid)[:, None, None]           # [b, 1, 1, s_q, max_len]
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
         w = jax.nn.softmax(logits, axis=-1)
@@ -221,6 +229,8 @@ def _attend_cached(q, ck, cv, query_positions, pad_lens, cfg: LlamaConfig,
     if quant:
         logits = logits * ck["s"].transpose(0, 2, 1)[:, :, None, :]
     logits = logits / (hd ** 0.5)
+    if cfg.attn_softcap is not None:
+        logits = cfg.attn_softcap * jnp.tanh(logits / cfg.attn_softcap)
     mask = (causal & valid)[:, None]                     # [b, 1, s_q, max_len]
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     w = jax.nn.softmax(logits, axis=-1)
@@ -285,6 +295,8 @@ def _attend_direct(q, k, v, positions, pad_lens, cfg: LlamaConfig):
     vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, kf,
                         preferred_element_type=jnp.float32) / (hd ** 0.5)
+    if cfg.attn_softcap is not None:
+        logits = cfg.attn_softcap * jnp.tanh(logits / cfg.attn_softcap)
     g = positions[:, :, None]                                  # [b, s, 1]
     j = positions[:, None, :]                                  # [b, 1, s]
     mask = (j <= g) & (j >= pad_lens[:, None, None])
@@ -297,11 +309,12 @@ def _attend_direct(q, k, v, positions, pad_lens, cfg: LlamaConfig):
 
 def _attn_branch(h, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
                  rope_positions, pad_lens, write_pos, compute_dtype, rolling,
-                 lora_ids=None):
+                 lora_ids=None, window_bound=None):
     """qkv + cache write + cached attention, shared by the three block
     layouts. Rolling-cache PREFILL (s > 1) attends directly on the in-layer
     k/v — the W-slot buffer cannot hold the early prompt keys that early
-    queries need — and then fills the buffer with the newest W keys."""
+    queries need — and then fills the buffer with the newest W keys.
+    ``window_bound``: traced per-layer band bound (mixed-window configs)."""
     q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype, lora_ids)
     if rolling is not None and q.shape[1] > 1:
         attn = _attend_direct(q, k, v, global_positions, pad_lens, cfg)
@@ -309,13 +322,14 @@ def _attn_branch(h, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
         return attn, ck_l, cv_l
     ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
     attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg,
-                          rolling)
+                          rolling, window_bound)
     return attn, ck_l, cv_l
 
 
 def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
                 rope_positions, pad_lens, write_pos, compute_dtype,
-                has_attn=True, rolling: Optional[int] = None, lora_ids=None):
+                has_attn=True, rolling: Optional[int] = None, lora_ids=None,
+                window_bound=None):
     """One transformer layer over cached attention.
 
     global_positions [b, s]: indices into the cache for the mask;
@@ -327,7 +341,8 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
     attn_kw = dict(global_positions=global_positions,
                    rope_positions=rope_positions, pad_lens=pad_lens,
                    write_pos=write_pos, compute_dtype=compute_dtype,
-                   rolling=rolling, lora_ids=lora_ids)
+                   rolling=rolling, lora_ids=lora_ids,
+                   window_bound=window_bound)
     if cfg.is_opt:
         # OPT sequential pre-LN block: LN1 -> attn -> residual, LN2 -> ReLU
         # fc MLP -> residual; no rope (learned absolute positions at the
@@ -364,6 +379,8 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
         attn = _proj_o(attn, bp, compute_dtype, lora_ids)
         if "o_bias" in bp:
             attn = attn + bp["o_bias"].astype(compute_dtype)
+        if cfg.is_gemma2:  # post-norm on the residual delta
+            attn = rms_norm(attn, bp["ln1_post"], cfg.rms_eps)
         x = x + attn
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
     if cfg.num_experts:
@@ -380,12 +397,15 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
     else:
         g = _mm(h2, bp, "gate_kernel", compute_dtype)
         u = _mm(h2, bp, "up_kernel", compute_dtype)
-    return x + _mm(_glu_act(cfg)(g) * u, bp, "down_kernel", compute_dtype), ck_l, cv_l
+    mlp = _mm(_glu_act(cfg)(g) * u, bp, "down_kernel", compute_dtype)
+    if cfg.is_gemma2:
+        mlp = rms_norm(mlp, bp["ln2_post"], cfg.rms_eps)
+    return x + mlp, ck_l, cv_l
 
 
 _LLAMA_ATTN_KEYS = ("ln1", "ln1_bias", "q_kernel", "k_kernel", "v_kernel",
                     "o_kernel", "qkv_kernel", "q_bias", "k_bias", "v_bias",
-                    "o_bias")
+                    "o_bias", "ln1_post")
 
 
 def pack_llm_params_for_serving(params: Params, cfg: LlamaConfig) -> Params:
@@ -443,13 +463,20 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
               pad_lens=pad_lens, write_pos=write_pos, compute_dtype=compute_dtype,
               rolling=rolling, lora_ids=lora_ids)
 
+    # mixed per-layer windows ride the scan as traced bounds; uniform
+    # configs pass None (static flash-capable masks)
+    wbounds = jnp.asarray(cfg.layer_window_bounds, jnp.int32)
+
     if not cfg.pruned_attention_blocks:
         def body(x, scanned):
-            bp, ck_l, cv_l = scanned
-            x, ck_l, cv_l = _layer_step(x, bp, ck_l, cv_l, cfg, **kw)
+            bp, ck_l, cv_l, wb = scanned
+            x, ck_l, cv_l = _layer_step(
+                x, bp, ck_l, cv_l, cfg,
+                window_bound=None if cfg.uniform_window else wb, **kw)
             return x, (ck_l, cv_l)
 
-        x, (cache_k, cache_v) = jax.lax.scan(body, x, (blocks, cache_k, cache_v))
+        x, (cache_k, cache_v) = jax.lax.scan(
+            body, x, (blocks, cache_k, cache_v, wbounds))
         return x, cache_k, cache_v
 
     store = cfg.attn_store_index
@@ -468,12 +495,15 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
                 bp[k] = v[j]
             else:
                 bp[k] = v[i]
+        wb = None if cfg.uniform_window else wbounds[i]
         if j is None:
-            x, _, _ = _layer_step(x, bp, None, None, cfg, has_attn=False, **kw)
+            x, _, _ = _layer_step(x, bp, None, None, cfg, has_attn=False,
+                                  window_bound=wb, **kw)
         else:
             x, ck_l, cv_l = _layer_step(
                 x, bp, jax.tree.map(lambda a: a[j], cache_k),
-                jax.tree.map(lambda a: a[j], cache_v), cfg, **kw)
+                jax.tree.map(lambda a: a[j], cache_v), cfg,
+                window_bound=wb, **kw)
             cache_k = jax.tree.map(lambda a, al: a.at[j].set(al), cache_k, ck_l)
             cache_v = jax.tree.map(lambda a, al: a.at[j].set(al), cache_v, cv_l)
     return x, cache_k, cache_v
@@ -490,6 +520,8 @@ def _final_logits(params, x, cfg: LlamaConfig, compute_dtype):
             jnp.float32) * params["lm_head_scale"]
         if "lm_head_bias" in params:
             logits = logits + params["lm_head_bias"].astype(jnp.float32)
+        if cfg.final_softcap is not None:
+            logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
         return logits
     head = params.get("lm_head", None)
     if head is None:
@@ -497,6 +529,8 @@ def _final_logits(params, x, cfg: LlamaConfig, compute_dtype):
     logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
     if "lm_head_bias" in params:
         logits = logits + params["lm_head_bias"].astype(jnp.float32)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits
 
 
@@ -701,8 +735,8 @@ def generate_kv_scan(
     num_steps = max_length - int(lens.min()) - 1
     W = None
     if rolling:
-        if cfg.sliding_window is None:
-            raise ValueError("rolling=True requires cfg.sliding_window")
+        if cfg.sliding_window is None or not cfg.uniform_window:
+            raise ValueError("rolling=True requires a uniform cfg.sliding_window")
         W = cfg.sliding_window
     factory = cache_factory if cache_factory is not None else init_cache
     cache_len = W if W is not None else p_pad + max(num_steps, 0) + 1
@@ -763,8 +797,8 @@ def greedy_generate_kv(
     max_steps = max_length - int(lens.min())
     W = None
     if rolling:
-        if cfg.sliding_window is None:
-            raise ValueError("rolling=True requires cfg.sliding_window")
+        if cfg.sliding_window is None or not cfg.uniform_window:
+            raise ValueError("rolling=True requires a uniform cfg.sliding_window")
         W = cfg.sliding_window
         cache_k, cache_v = init_rolling_cache(cfg, b, cache_dtype)
     else:

@@ -77,17 +77,21 @@ def multi_head_attention(
 
 
 def sdpa_reference(q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False,
-                   window: Optional[int] = None) -> jax.Array:
+                   window=None, softcap: Optional[float] = None) -> jax.Array:
     """Scaled dot-product attention, fp32 softmax ([b, h, s, hd] layout).
 
     ``window`` adds sliding-window attention (mistral, HF convention:
     query position q attends keys k with ``k <= q`` and ``q - k < window``,
-    i.e. the most recent ``window`` positions including itself). Requires
-    ``causal=True``."""
+    i.e. the most recent ``window`` positions including itself); it may be a
+    TRACED int scalar (mixed per-layer windows ride the layer scan). Requires
+    ``causal=True``. ``softcap`` applies gemma-2 logit soft-capping
+    ``cap * tanh(logits / cap)`` before the mask."""
     head_dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
+    if softcap is not None:
+        logits = softcap * jnp.tanh(logits / softcap)
     if causal:
         s = q.shape[2]
         mask = jnp.tril(jnp.ones((s, s), dtype=bool))

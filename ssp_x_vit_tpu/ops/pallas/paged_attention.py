@@ -42,7 +42,7 @@ def _dequant_pages(pages):
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens,
-                              start_lens=None):
+                              start_lens=None, softcap=None):
     """Exact softmax over the paged cache (jnp; CPU/test path).
 
     q: [b, nq, hd] one query token per sequence;
@@ -64,6 +64,8 @@ def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens,
     v = jnp.moveaxis(v_pages[:, page_table], 0, 1).reshape(b, nkv, mp * ps, hd)
     qh = q.reshape(b, nkv, rep, hd).astype(jnp.float32) * (1.0 / hd**0.5)
     scores = jnp.einsum("bkrd,bksd->bkrs", qh, k.astype(jnp.float32))
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
     pos = jnp.arange(mp * ps)
     mask = pos[None, None, None, :] < seq_lens[:, None, None, None]
     if start_lens is not None:
@@ -75,7 +77,8 @@ def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens,
 
 
 def _paged_kernel(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_s, l_s, acc_s, *, ps: int, mp: int, scale: float):
+                  m_s, l_s, acc_s, *, ps: int, mp: int, scale: float,
+                  softcap=None):
     i = pl.program_id(0)       # batch (sequence)
     j = pl.program_id(2)       # page step (innermost -> scratch carries)
 
@@ -95,6 +98,8 @@ def _paged_kernel(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(
             q * scale, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [group, ps]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         kpos = j * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where((kpos >= start) & (kpos < seq_len), s, _NEG_INF)
         m_prev, l_prev = m_s[...], l_s[...]
@@ -116,7 +121,7 @@ def _paged_kernel(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _paged_kernel_grouped(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
                           m_s, l_s, acc_s, *, ps: int, mp: int, nkv: int,
-                          rep: int, scale: float):
+                          rep: int, scale: float, softcap=None):
     """All kv heads of one (sequence, page) step in ONE program — 16x fewer
     program launches than the per-head grid; decode pages are tiny, so
     program/DMA overhead dominates (same reasoning as the multihead flash
@@ -143,6 +148,8 @@ def _paged_kernel_grouped(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
             s = jax.lax.dot_general(
                 q * scale, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [rep, ps]
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
             s = jnp.where((kpos1 >= start) & (kpos1 < seq_len), s, _NEG_INF)
             sl = pl.ds(h * rep, rep)
             m_prev, l_prev = m_s[sl], l_s[sl]
@@ -164,7 +171,8 @@ def _paged_kernel_grouped(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
-def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens):
+def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens,
+                          softcap=None):
     b, nq, hd = q.shape
     nkv, num_pages, ps, _ = k_pages.shape
     mp = page_table.shape[1]
@@ -173,7 +181,7 @@ def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens)
     qh = q.reshape(b, nkv, rep, hd)
 
     kernel = functools.partial(_paged_kernel_grouped, ps=ps, mp=mp, nkv=nkv,
-                               rep=rep, scale=scale)
+                               rep=rep, scale=scale, softcap=softcap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, mp),
@@ -209,7 +217,8 @@ def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens)
 
 def _paged_kernel_grouped_q8(pt_ref, len_ref, st_ref, q_ref, k_ref, ks_ref,
                              v_ref, vs_ref, o_ref, m_s, l_s, acc_s, *, ps: int,
-                             mp: int, nkv: int, rep: int, scale: float):
+                             mp: int, nkv: int, rep: int, scale: float,
+                             softcap=None):
     """int8-pool variant of the grouped kernel: per-token-per-head scales
     fold into the score (key side) and into the softmax weights (value
     side) — the K/V tiles stream as int8, HALF the page bytes."""
@@ -236,6 +245,8 @@ def _paged_kernel_grouped_q8(pt_ref, len_ref, st_ref, q_ref, k_ref, ks_ref,
                 q * scale, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [rep, ps]
             s = s * ks_ref[h, 0, 0][None, :]               # key dequant scale
+            if softcap is not None:  # after FULL logit reconstruction
+                s = softcap * jnp.tanh(s / softcap)
             s = jnp.where((kpos1 >= start) & (kpos1 < seq_len), s, _NEG_INF)
             sl = pl.ds(h * rep, rep)
             m_prev, l_prev = m_s[sl], l_s[sl]
@@ -259,7 +270,7 @@ def _paged_kernel_grouped_q8(pt_ref, len_ref, st_ref, q_ref, k_ref, ks_ref,
 
 
 def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens,
-                             start_lens):
+                             start_lens, softcap=None):
     b, nq, hd = q.shape
     nkv, num_pages, ps, _ = k_pages["q"].shape
     mp = page_table.shape[1]
@@ -268,7 +279,7 @@ def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens,
     qh = q.reshape(b, nkv, rep, hd)
 
     kernel = functools.partial(_paged_kernel_grouped_q8, ps=ps, mp=mp,
-                               nkv=nkv, rep=rep, scale=scale)
+                               nkv=nkv, rep=rep, scale=scale, softcap=softcap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, mp),
@@ -312,7 +323,7 @@ _GROUPED_VMEM_LIMIT = 12 * 1024 * 1024
 
 
 def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens,
-                           start_lens=None):
+                           start_lens=None, softcap=None):
     """Pallas TPU paged decode attention; contract == the jnp reference."""
     b, nq, hd = q.shape
     if start_lens is None:
@@ -322,19 +333,20 @@ def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens,
         grouped_vmem = 2 * 2 * nkv * ps * (hd + 4)
         if grouped_vmem <= _GROUPED_VMEM_LIMIT:
             return _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table,
-                                            seq_lens, start_lens)
+                                            seq_lens, start_lens, softcap)
         return paged_attention_reference(q, k_pages, v_pages, page_table,
-                                         seq_lens, start_lens)
+                                         seq_lens, start_lens, softcap)
     nkv, _, ps, _ = k_pages.shape
     grouped_vmem = 2 * 2 * nkv * ps * hd * k_pages.dtype.itemsize
     if grouped_vmem <= _GROUPED_VMEM_LIMIT:
         return _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens,
-                                     start_lens)
+                                     start_lens, softcap)
     return _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens,
-                                 start_lens)
+                                 start_lens, softcap)
 
 
-def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens, start_lens):
+def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens, start_lens,
+                          softcap=None):
     """Per-(sequence, kv head, page) grid — fallback for huge pages."""
     b, nq, hd = q.shape
     nkv, num_pages, ps, _ = k_pages.shape
@@ -344,7 +356,8 @@ def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens, start_lens)
     qh = q.reshape(b, nkv, rep, hd)
 
     grid = (b, nkv, mp)
-    kernel = functools.partial(_paged_kernel, ps=ps, mp=mp, scale=scale)
+    kernel = functools.partial(_paged_kernel, ps=ps, mp=mp, scale=scale,
+                               softcap=softcap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -379,16 +392,17 @@ def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens, start_lens)
 
 
 def paged_attention(q, k_pages, v_pages, page_table, seq_lens,
-                    start_lens=None):
+                    start_lens=None, softcap=None):
     """Dispatch: pallas on TPU, jnp reference elsewhere. ``start_lens`` [b]
-    masks keys below it (sliding-window decode; None = full causal)."""
+    masks keys below it (sliding-window decode; None = full causal);
+    ``softcap`` = gemma-2 attention logit soft-capping (static)."""
     from ssp_x_vit_tpu.ops.dispatch import use_pallas
 
     if use_pallas():
         return paged_attention_pallas(q, k_pages, v_pages, page_table,
-                                      seq_lens, start_lens)
+                                      seq_lens, start_lens, softcap)
     return paged_attention_reference(q, k_pages, v_pages, page_table,
-                                     seq_lens, start_lens)
+                                     seq_lens, start_lens, softcap)
 
 
 def _quantize_token_kv(t):

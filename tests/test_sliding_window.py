@@ -188,11 +188,14 @@ def test_hf_config_window_semantics():
     assert config_from_hf_dict({**base, "model_type": "qwen2",
                                 "sliding_window": 8,
                                 "use_sliding_window": True}).sliding_window is None
-    # flag on, every layer windowed
-    assert config_from_hf_dict({**base, "model_type": "qwen2",
-                                "sliding_window": 8, "use_sliding_window": True,
-                                "max_window_layers": 0}).sliding_window == 8
-    # genuinely mixed -> refuse
-    with pytest.raises(ValueError, match="mixed"):
-        config_from_hf_dict({**base, "model_type": "qwen2", "sliding_window": 8,
+    # flag on, every layer windowed (uniform static path)
+    u = config_from_hf_dict({**base, "model_type": "qwen2",
+                             "sliding_window": 8, "use_sliding_window": True,
+                             "max_window_layers": 0})
+    assert u.sliding_window == 8 and u.window_layers is None
+    # genuinely mixed: the first mwl layers run full attention, the rest
+    # the window — per-layer traced bounds (tests/test_gemma2.py HF parity)
+    m = config_from_hf_dict({**base, "model_type": "qwen2", "sliding_window": 8,
                              "use_sliding_window": True, "max_window_layers": 2})
+    assert m.sliding_window == 8 and m.window_layers == (2, 3)
+    assert not m.uniform_window
