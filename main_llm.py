@@ -105,9 +105,16 @@ def load_model(args):
                           hidden_act="gelu_tanh", scale_embeddings=True,
                           tie_embeddings=True)
         return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
+    if args.model == "tiny-random-gemma2":
+        cfg = LlamaConfig(**TINY_RANDOM, model_type="gemma2",
+                          hidden_act="gelu_tanh", scale_embeddings=True,
+                          tie_embeddings=True, sliding_window=64,
+                          window_layers=tuple(range(0, TINY_RANDOM["num_layers"], 2)),
+                          attn_softcap=50.0, final_softcap=30.0)
+        return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
     raise SystemExit("--model must be a local HF directory, 'tiny-random', "
-                     "'tiny-random-phi', 'tiny-random-opt' or "
-                     f"'tiny-random-gemma'; got {args.model}")
+                     "'tiny-random-phi', 'tiny-random-opt', "
+                     f"'tiny-random-gemma' or 'tiny-random-gemma2'; got {args.model}")
 
 
 def load_corpora(args, cfg):

@@ -192,3 +192,20 @@ def test_gemma2_depth_materialized_serving(g2_model):
     kv = generate_kv_scan(mp_, mc, prompt, max_length=16,
                           cache_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(kv))
+
+
+def test_gemma2_speculative_exact(g2_model):
+    """Speculative decoding on a gemma-2 target: the multi-token extend path
+    runs the same per-layer bounds + softcaps via _run_layers — composite
+    greedy == dense greedy at f32."""
+    from ssp_x_vit_tpu.llm.generate import greedy_generate
+    from ssp_x_vit_tpu.llm.speculative import speculative_generate
+
+    params, cfg = g2_model
+    prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+    out, stats = speculative_generate(
+        params, cfg, params, cfg, prompt, max_length=18, k=3,
+        cache_dtype=jnp.float32)
+    ref = greedy_generate(params, cfg, prompt, max_length=18,
+                          no_repeat_ngram_size=0, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
