@@ -330,18 +330,20 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype, window_override=None):
     window = cfg.sliding_window if window_override is None else window_override
     if window_override is None and window is not None and window >= s:
         window = None  # full causal within this sequence — same program
-    # softcap (gemma-2) and traced per-layer windows run the sdpa path —
-    # the flash kernels take static masks only (softcap-in-kernel is a
-    # known perf follow-up, COVERAGE.md pending list).
-    if (use_pallas() and s >= FLASH_MIN_SEQ and window_override is None
-            and cfg.attn_softcap is None):
+    # Traced per-layer windows run the sdpa path — the flash kernels take
+    # static masks only. Softcap (gemma-2) rides the flash FORWARD as a
+    # static tanh epilogue; its backward falls back to the reference vjp
+    # inside the kernel's custom_vjp (pallas softcap-backward is a known
+    # follow-up, COVERAGE.md pending list).
+    if use_pallas() and s >= FLASH_MIN_SEQ and window_override is None:
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 
         # GQA-native kernel: K/V stay at nkv heads; the query group shares
         # the resident K/V in-kernel (no jnp.repeat HBM materialization).
         # Sliding windows (mistral) ride the same kernels with out-of-band
         # k-blocks predicated off — no [s, s] logits materialization.
-        out = flash_attention(q, k, v, causal=True, window=window)
+        out = flash_attention(q, k, v, causal=True, window=window,
+                              softcap=cfg.attn_softcap)
     else:
         from ssp_x_vit_tpu.ops.attention import sdpa_reference
 

@@ -34,7 +34,7 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
-                  causal: bool, window):
+                  causal: bool, window, softcap=None):
     # Grid: (batch*kv_heads, group member, q-tile) — GQA shares the
     # VMEM-resident K/V across the whole query group without ever
     # materializing repeated K/V in HBM. MHA is the rep=1 special case.
@@ -47,6 +47,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BLOCK_Q, S_pad]
+    if softcap is not None:  # gemma-2 attn logit soft-capping
+        logits = softcap * jnp.tanh(logits / softcap)
 
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     mask = col < seq_len
@@ -165,7 +167,7 @@ BLOCK_KS = 512
 
 def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
                             scale: float, seq_len: int, causal: bool, nk: int,
-                            window):
+                            window, softcap=None):
     """Grid (batch*kv_heads, group member, q-tile, k-block): the q tile stays
     resident across the innermost k-block axis while BLOCK_KS-wide K/V
     blocks stream through double-buffered VMEM windows; online-softmax state
@@ -199,6 +201,8 @@ def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BLOCK_Q, BLOCK_KS]
+        if softcap is not None:
+            logits = softcap * jnp.tanh(logits / softcap)
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + kb * BLOCK_KS
         mask = col < seq_len
         if causal:
@@ -224,7 +228,8 @@ def _flash_kernel_streaming(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *,
         o_ref[0, 0] = (acc_s[:] / l_s[:]).astype(o_ref.dtype)
 
 
-def _flash_forward_streaming(q, k, v, *, causal: bool, window=None):
+def _flash_forward_streaming(q, k, v, *, causal: bool, window=None,
+                             softcap=None):
     b, h, s, hd = q.shape
     hkv = k.shape[1]
     rep = h // hkv
@@ -270,7 +275,8 @@ def _flash_forward_streaming(q, k, v, *, causal: bool, window=None):
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_flash_kernel_streaming, scale=scale, seq_len=s,
-                          causal=causal, nk=nk, window=window),
+                          causal=causal, nk=nk, window=window,
+                          softcap=softcap),
         grid=(b * hkv, rep, nq, nk),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
@@ -300,7 +306,8 @@ GROUP_BATCH = 2
 
 
 def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
-                      num_heads: int, causal: bool, group: int, window):
+                      num_heads: int, causal: bool, group: int, window,
+                      softcap=None):
     """One program per GROUP of batch elements; loops over (image, head) pairs
     with K/V resident. For short sequences (ViT: 197->256) per-(batch,head)
     programs are dominated by program/DMA overhead — fatter programs win.
@@ -314,6 +321,8 @@ def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        if softcap is not None:
+            logits = softcap * jnp.tanh(logits / softcap)
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         mask = col < seq_len
         if causal:
@@ -334,7 +343,8 @@ def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     jax.lax.fori_loop(0, group * num_heads, head_body, 0)
 
 
-def _flash_forward_multihead(q, k, v, *, causal: bool, window=None):
+def _flash_forward_multihead(q, k, v, *, causal: bool, window=None,
+                             softcap=None):
     b, h, s, hd = q.shape
     scale = 1.0 / (hd**0.5)
     s_pad = max(-(-s // 128) * 128, 128)
@@ -353,7 +363,7 @@ def _flash_forward_multihead(q, k, v, *, causal: bool, window=None):
     out = pl.pallas_call(
         functools.partial(_multihead_kernel, scale=scale, seq_len=s,
                           num_heads=h, causal=causal, group=group,
-                          window=window),
+                          window=window, softcap=softcap),
         grid=(b // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -372,7 +382,7 @@ def _flash_forward_multihead(q, k, v, *, causal: bool, window=None):
 MULTIHEAD_MAX_SEQ = 512
 
 
-def _flash_forward(q, k, v, *, causal: bool, window=None):
+def _flash_forward(q, k, v, *, causal: bool, window=None, softcap=None):
     b, h, s, hd = q.shape
     hkv = k.shape[1]
     rep = h // hkv
@@ -380,7 +390,8 @@ def _flash_forward(q, k, v, *, causal: bool, window=None):
     # q/k/v/o buffers must fit scoped VMEM (double-buffered by the pipeline).
     mh_vmem = 2 * h * s_pad_mh * hd * q.dtype.itemsize * 4
     if rep == 1 and s <= MULTIHEAD_MAX_SEQ and mh_vmem <= 12 * 1024 * 1024:
-        return _flash_forward_multihead(q, k, v, causal=causal, window=window)
+        return _flash_forward_multihead(q, k, v, causal=causal, window=window,
+                                        softcap=softcap)
     # The resident q-tiled kernel keeps full K/V in (double-buffered) VMEM;
     # past the budget (~12k tokens at hd=128 bf16) stream K/V blocks instead.
     # A sliding window also prefers streaming once s spans several k-blocks:
@@ -393,9 +404,11 @@ def _flash_forward(q, k, v, *, causal: bool, window=None):
     resident_vmem = 4 * (-(-s // BLOCK_Q) * BLOCK_Q) * hd * k.dtype.itemsize
     if resident_vmem > 12 * 1024 * 1024 or (
             window is not None and s >= window + 2 * BLOCK_KS):
-        return _flash_forward_streaming(q, k, v, causal=causal, window=window)
+        return _flash_forward_streaming(q, k, v, causal=causal, window=window,
+                                        softcap=softcap)
     scale = 1.0 / (hd**0.5)
-    block_skip = causal and rep == 1 and window is None and _use_block_skip()
+    block_skip = (causal and rep == 1 and window is None and softcap is None
+                  and _use_block_skip())
     # The block-skip kernel unrolls K blocks of BLOCK_K, so pad the sequence
     # to a BLOCK_K multiple there (fully-masked padding blocks are exact
     # no-ops in the online-softmax update).
@@ -431,7 +444,8 @@ def _flash_forward(q, k, v, *, causal: bool, window=None):
         ]
     else:
         kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
-                                   causal=causal, window=window)
+                                   causal=causal, window=window,
+                                   softcap=softcap)
         flops = 4 * b * h * s_pad * s_pad * hd
         transcendentals = b * h * s_pad * s_pad
         scratch = []
@@ -858,16 +872,18 @@ def _flash_backward_streaming(q, k, v, g, *, causal: bool, window=None):
     return unpad_q(dq), unpad_kv(dk), unpad_kv(dv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, causal, window):
-    return _flash_forward(q, k, v, causal=causal, window=window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, causal, window, softcap):
+    return _flash_forward(q, k, v, causal=causal, window=window,
+                          softcap=softcap)
 
 
-def _flash_fwd(q, k, v, causal, window):
-    return _flash_forward(q, k, v, causal=causal, window=window), (q, k, v)
+def _flash_fwd(q, k, v, causal, window, softcap):
+    return (_flash_forward(q, k, v, causal=causal, window=window,
+                           softcap=softcap), (q, k, v))
 
 
-def _flash_bwd(causal, window, res, g):
+def _flash_bwd(causal, window, softcap, res, g):
     q, k, v = res
     b, h, s, hd = q.shape
     rep = h // k.shape[1]
@@ -885,7 +901,11 @@ def _flash_bwd(causal, window, res, g):
     # counted via the 3x term), and two f32 accumulator scratches.
     isz = q.dtype.itemsize
     bwd_vmem = (4 * isz + 2 * 4 + 3 * isz) * s_pad * hd + 2 * 4 * s_pad * hd
-    if (rep > 1 or s > MULTIHEAD_MAX_SEQ):
+    # Soft-capped backward: the pallas backward kernels do not carry the
+    # tanh chain rule yet — fall back to the reference vjp (materializes
+    # [b, h, s, s]; long-context soft-capped TRAINING stays XLA-bound, a
+    # known follow-up; forward/eval paths are unaffected).
+    if softcap is None and (rep > 1 or s > MULTIHEAD_MAX_SEQ):
         if bwd_vmem <= 12 * 1024 * 1024 and not (
                 window is not None and s >= window + 2 * BLOCK_KS):
             return _flash_backward_pallas(q, k, v, g, causal=causal,
@@ -897,7 +917,8 @@ def _flash_bwd(causal, window, res, g):
         if rep > 1:
             k_ = jnp.repeat(k_, rep, axis=1)
             v_ = jnp.repeat(v_, rep, axis=1)
-        return sdpa_reference(q_, k_, v_, causal=causal, window=window)
+        return sdpa_reference(q_, k_, v_, causal=causal, window=window,
+                              softcap=softcap)
 
     _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
@@ -907,7 +928,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
-                    causal: bool = False, window=None) -> jax.Array:
+                    causal: bool = False, window=None,
+                    softcap=None) -> jax.Array:
     """q [b, h, s, hd], k/v [b, hkv, s, hd] -> [b, h, s, hd].
 
     GQA-native: when hkv < h (h % hkv == 0), each query group shares its
@@ -931,4 +953,4 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             raise ValueError(f"window must be >= 1, got {window}")
         if window >= q.shape[2]:
             window = None  # full causal within this sequence — same program
-    return _flash(q, k, v, causal, window)
+    return _flash(q, k, v, causal, window, softcap)
