@@ -331,10 +331,10 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype, window_override=None):
     if window_override is None and window is not None and window >= s:
         window = None  # full causal within this sequence — same program
     # Traced per-layer windows run the sdpa path — the flash kernels take
-    # static masks only. Softcap (gemma-2) rides the flash FORWARD as a
-    # static tanh epilogue; its backward falls back to the reference vjp
-    # inside the kernel's custom_vjp (pallas softcap-backward is a known
-    # follow-up, COVERAGE.md pending list).
+    # static masks only. Softcap (gemma-2) rides the flash kernels as a
+    # static tanh epilogue in BOTH directions (the backward kernels carry
+    # the tanh chain rule), so capped long-context training never
+    # materializes [s, s] logits.
     if use_pallas() and s >= FLASH_MIN_SEQ and window_override is None:
         from ssp_x_vit_tpu.ops.pallas.flash_attention import flash_attention
 

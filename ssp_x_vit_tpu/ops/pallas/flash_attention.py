@@ -473,7 +473,7 @@ def _flash_forward(q, k, v, *, causal: bool, window=None, softcap=None):
 
 def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
                       dk_acc, dv_acc, *, scale: float, seq_len: int,
-                      causal: bool, rep: int, nq: int, window):
+                      causal: bool, rep: int, nq: int, window, softcap=None):
     """Single-pass backward: grid (batch*heads, q-tiles), full K/V resident.
 
     The softmax row is RECOMPUTED from the resident full row (same rationale
@@ -507,6 +507,12 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BLOCK_Q, S_pad]
+    if softcap is not None:
+        # gemma-2 soft-capping: c = cap*tanh(z/cap). The softmax runs on the
+        # capped logits; the chain rule multiplies ds by dc/dz = 1 - t^2
+        # (recomputed tanh, same recompute-over-store rationale as p).
+        tcap = jnp.tanh(logits / softcap)
+        logits = softcap * tcap
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     mask = col < seq_len
     if causal:
@@ -528,6 +534,8 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
     )  # [BLOCK_Q, S_pad]
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # == rowsum(dO * O)
     ds = p * (dp - delta)  # [BLOCK_Q, S_pad]
+    if softcap is not None:
+        ds = ds * (1.0 - tcap * tcap)
 
     dq_ref[0, 0] = (jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -560,7 +568,8 @@ def _flash_bwd_kernel(q_ref, do_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_backward_pallas(q, k, v, g, *, causal: bool, window=None):
+def _flash_backward_pallas(q, k, v, g, *, causal: bool, window=None,
+                           softcap=None):
     b, h, s, hd = q.shape
     hkv = k.shape[1]
     rep = h // hkv
@@ -589,7 +598,8 @@ def _flash_backward_pallas(q, k, v, g, *, causal: bool, window=None):
                              memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, scale=scale, seq_len=s,
-                          causal=causal, rep=rep, nq=nq, window=window),
+                          causal=causal, rep=rep, nq=nq, window=window,
+                          softcap=softcap),
         grid=(b * hkv, rep, nq),
         in_specs=[tile_spec, tile_spec, full_spec, full_spec],
         out_specs=[tile_spec, full_spec, full_spec],
@@ -617,7 +627,7 @@ def _flash_backward_pallas(q, k, v, g, *, causal: bool, window=None):
 def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
                          dq_ref, lse_ref, delta_ref,
                          m_s, l_s, d_s, acc_s, *, scale: float, seq_len: int,
-                         causal: bool, nk: int, window):
+                         causal: bool, nk: int, window, softcap=None):
     """Streaming dq: grid (batch*kv_heads, group, q-tile, 3*nk). The inner
     axis makes THREE k-block sweeps per q-tile — phase 0 accumulates the
     online row max/sum (m, l), phase 1 the softmax-jacobian row term
@@ -654,6 +664,9 @@ def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BLOCK_Q, BLOCK_KS]
+        if softcap is not None:
+            tcap = jnp.tanh(logits / softcap)
+            logits = softcap * tcap
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + kb * BLOCK_KS
         mask = col < seq_len
         if causal:
@@ -688,6 +701,8 @@ def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
                 # l and the raw d accumulator are complete
                 pn = p / l_s[:]
                 ds = pn * (dp - d_s[:] / l_s[:])
+                if softcap is not None:
+                    ds = ds * (1.0 - tcap * tcap)
                 acc_s[:] += jax.lax.dot_general(
                     ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -703,7 +718,7 @@ def _flash_bwd_dq_kernel(q_ref, do_ref, k_ref, v_ref,
 def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                           dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
                           seq_len: int, causal: bool, rep: int, nq: int,
-                          window):
+                          window, softcap=None):
     """Streaming dk/dv: grid (batch*kv_heads, k-block, group, q-tile). The
     K/V block stays resident while q/do/lse/delta tiles stream; f32
     accumulators sum contributions over the whole (group x q-tile) sweep —
@@ -741,6 +756,9 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        if softcap is not None:
+            tcap = jnp.tanh(logits / softcap)
+            logits = softcap * tcap
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + kb * BLOCK_KS
         mask = col < seq_len
         if causal:
@@ -753,6 +771,8 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
+        if softcap is not None:
+            ds = ds * (1.0 - tcap * tcap)
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -766,7 +786,8 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_backward_streaming(q, k, v, g, *, causal: bool, window=None):
+def _flash_backward_streaming(q, k, v, g, *, causal: bool, window=None,
+                              softcap=None):
     """Two-pass streaming backward for sequences past the resident VMEM
     budget: HBM-bound like the streaming forward. Intermediate lse/delta
     ride a lane-broadcast [..., s_pad, 128] f32 layout (s_pad*512 bytes per
@@ -814,7 +835,8 @@ def _flash_backward_streaming(q, k, v, g, *, causal: bool, window=None):
 
     dq, lse, delta = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, seq_len=s,
-                          causal=causal, nk=nk, window=window),
+                          causal=causal, nk=nk, window=window,
+                          softcap=softcap),
         grid=(b * hkv, rep, nq, 3 * nk),
         in_specs=[tile, tile, kv, kv],
         out_specs=[tile, stat, stat],
@@ -847,7 +869,8 @@ def _flash_backward_streaming(q, k, v, g, *, causal: bool, window=None):
                        memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, seq_len=s,
-                          causal=causal, rep=rep, nq=nq, window=window),
+                          causal=causal, rep=rep, nq=nq, window=window,
+                          softcap=softcap),
         grid=(b * hkv, nk, rep, nq),
         in_specs=[tile2, tile2, stat2, stat2, kv2, kv2],
         out_specs=[kv2, kv2],
@@ -901,17 +924,16 @@ def _flash_bwd(causal, window, softcap, res, g):
     # counted via the 3x term), and two f32 accumulator scratches.
     isz = q.dtype.itemsize
     bwd_vmem = (4 * isz + 2 * 4 + 3 * isz) * s_pad * hd + 2 * 4 * s_pad * hd
-    # Soft-capped backward: the pallas backward kernels do not carry the
-    # tanh chain rule yet — fall back to the reference vjp (materializes
-    # [b, h, s, s]; long-context soft-capped TRAINING stays XLA-bound, a
-    # known follow-up; forward/eval paths are unaffected).
-    if softcap is None and (rep > 1 or s > MULTIHEAD_MAX_SEQ):
+    # Soft-capped backward: all three pallas backward kernels carry the tanh
+    # chain rule (ds *= 1 - tanh^2(z/cap), tanh recomputed with the logits),
+    # so gemma-2 long-context training never materializes [b, h, s, s].
+    if rep > 1 or s > MULTIHEAD_MAX_SEQ:
         if bwd_vmem <= 12 * 1024 * 1024 and not (
                 window is not None and s >= window + 2 * BLOCK_KS):
             return _flash_backward_pallas(q, k, v, g, causal=causal,
-                                          window=window)
+                                          window=window, softcap=softcap)
         return _flash_backward_streaming(q, k, v, g, causal=causal,
-                                         window=window)
+                                         window=window, softcap=softcap)
 
     def ref(q_, k_, v_):
         if rep > 1:

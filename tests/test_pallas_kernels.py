@@ -509,8 +509,10 @@ def test_flash_attention_window_streaming_matches_sdpa(hkv):
 ])
 def test_flash_attention_softcap_matches_sdpa(hkv, s, window):
     """Gemma-2 attention-logit soft-capping as a flash-kernel epilogue:
-    forward parity vs the capped reference, and gradients flow through the
-    custom_vjp's reference fallback."""
+    forward parity vs the capped reference, and the tanh chain rule in the
+    pallas backward kernels (resident at s=600 rep=2, resident+window at
+    s=700, reference fallback at s=300 rep=1; streaming checked directly
+    below)."""
     from ssp_x_vit_tpu.ops.pallas import flash_attention as fa
 
     rng = np.random.default_rng(37)
@@ -541,5 +543,35 @@ def test_flash_attention_softcap_matches_sdpa(hkv, s, window):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                rtol=2e-5, atol=2e-5)
     for got, want, name in zip(out_grads, ref_grads, "q k v".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("window", [None, 150])
+def test_flash_backward_streaming_softcap(window):
+    """Softcap chain rule in the STREAMING backward (dq 3-phase + dkv
+    kernels) — direct call; CPU dispatch would need s past the VMEM budget.
+    Gemma-2 long-context training rides this path."""
+    from ssp_x_vit_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(41)
+    b, h, hkv, s, hd, cap = 1, 2, 1, 700, 64, 30.0
+    rep = h // hkv
+    q = jnp.asarray(rng.normal(size=(b, h, s, hd)) * 3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, hkv, s, hd)) * 3, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hkv, s, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, h, s, hd)), jnp.float32)
+
+    def ref(q_, k_, v_):
+        return sdpa_reference(q_, jnp.repeat(k_, rep, axis=1),
+                              jnp.repeat(v_, rep, axis=1), causal=True,
+                              window=window, softcap=cap)
+
+    ref_grads = jax.grad(lambda *t: jnp.vdot(ref(*t), g), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out_grads = fa._flash_backward_streaming(q, k, v, g, causal=True,
+                                                 window=window, softcap=cap)
+    for got, want, name in zip(out_grads, ref_grads, "q k v".split()):
+        assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
