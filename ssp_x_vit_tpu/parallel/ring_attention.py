@@ -30,13 +30,20 @@ _NEG = -1e30
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
-                   *, n_chunks: int, causal: bool = True) -> jax.Array:
+                   *, n_chunks: int, causal: bool = True, window=None,
+                   softcap=None) -> jax.Array:
     """Exact attention over a sequence-sharded ring.
 
     q/k/v: LOCAL chunks [b, h, s_local, hd]; the global sequence is the
     concatenation of chunks in mesh-axis order. Returns the local output
     chunk [b, h, s_local, hd]. Causal masking uses GLOBAL positions: the K/V
     block held after r rotations originated on device (p - r) mod N.
+
+    ``window`` adds a sliding-window band over the SAME global positions
+    (HF convention, qpos - kpos < window; requires causal). It may be a
+    static int or a traced scalar — gemma-2 mixed configs scan per-layer
+    bounds through the block loop. ``softcap`` applies gemma-2 logit
+    soft-capping cap*tanh(z/cap) before the mask.
     """
     p = lax.axis_index(axis_name)
     b, hq, sl, hd = q.shape
@@ -58,10 +65,15 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
         m, l, acc, k, v = carry
         src = jnp.mod(p - r, n_chunks)  # origin chunk of the K/V we hold now
         s_ = jnp.einsum("bkrqd,bksd->bkrqs", q32, k.astype(jnp.float32))
+        if softcap is not None:
+            s_ = softcap * jnp.tanh(s_ / softcap)
         if causal:
             qpos = p * sl + iq[:, None]
             kpos = src * sl + iq[None, :]
-            s_ = jnp.where((qpos >= kpos)[None, None, None], s_, _NEG)
+            keep = qpos >= kpos
+            if window is not None:
+                keep = jnp.logical_and(keep, qpos - kpos < window)
+            s_ = jnp.where(keep[None, None, None], s_, _NEG)
         m_new = jnp.maximum(m, jnp.max(s_, axis=-1))
         alpha = jnp.exp(m - m_new)
         pexp = jnp.exp(s_ - m_new[..., None])
@@ -106,23 +118,32 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
     Params are replicated (context parallelism: activations are what's big);
     every attention runs on the ring; the (s-1)-token next-token NLL matches
     llm/evaluation.py's estimator exactly.
+
+    Covers the llama block layout (llama/mistral/qwen2/gemma/gemma-2) and
+    phi-2's parallel-residual block. Gemma rides sqrt(d)-scaled embeddings
+    and the tanh-gelu GLU; gemma-2 adds post-norms on the residual deltas,
+    attention/final logit soft-capping (the attn cap rides the ring's
+    online softmax as a pre-mask epilogue), and MIXED per-layer sliding
+    windows — per-layer band bounds scan through the block loop and mask on
+    global ring positions, so the full-attention layers see the whole
+    sharded context while windowed layers stay banded. OPT is refused
+    (2048 learned-position cap — no long-context case).
     """
     sp = mesh.shape["seq"]
-    if cfg.hidden_act != "silu" or cfg.scale_embeddings:
-        raise ValueError("gemma configs (gelu_tanh GLU / scaled embeddings) "
-                         "are served through llm/serve + llm/paged; the seq-parallel "
-                         "path covers silu llama-layout blocks")
     if cfg.is_opt:
-        raise ValueError("seq-parallel path covers llama-layout and phi "
-                         "configs (OPT's learned-position table is bounded "
-                         "at 2048 — no long-context use case)")
-    if cfg.sliding_window is not None:
-        raise ValueError(
-            "seq-parallel ring attention computes full causal attention; "
-            "sliding-window configs would silently widen their context. "
-            "Evaluate SWA models on the dp x tp path (sliding-window "
-            "attention is local — ring context parallelism buys nothing "
-            "past window size).")
+        raise ValueError("seq-parallel path covers llama-layout (incl. "
+                         "gemma/gemma-2) and phi configs (OPT's learned-"
+                         "position table is bounded at 2048 — no "
+                         "long-context use case)")
+    # Sliding windows ride the ring as a band mask over the SAME global
+    # positions — exact vs the single-device forward. For UNIFORM-window
+    # models the ring buys little (SWA is local; dp x tp is the better
+    # layout), but gemma-2/qwen2 MIXED configs interleave full-attention
+    # layers that DO need the whole context — those evaluate here.
+    mixed = cfg.sliding_window is not None and not cfg.uniform_window
+    from ssp_x_vit_tpu.llm.model import _embed_tokens, _glu_act, _head_logits
+
+    glu_act = None if (cfg.is_phi or cfg.is_opt) else _glu_act(cfg)
 
     def inner(params, tokens):
         """tokens: [b_local, s] (full windows, replicated over 'seq')."""
@@ -132,9 +153,9 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
         start = pidx * sl
         tok_local = lax.dynamic_slice_in_dim(tokens, start, sl, axis=1)
         positions = start + jnp.arange(sl)
-        x = params["embed"].astype(compute_dtype)[tok_local]
+        x = _embed_tokens(params, tok_local, cfg, compute_dtype)
 
-        def attend(h, bp):
+        def attend(h, bp, window):
             """qkv projections (+biases) -> rope at GLOBAL positions -> ring ->
             o-projection (+bias). k/v stay at nkv heads — ring_attention
             handles GQA internally."""
@@ -150,43 +171,54 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
             k = k.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
             v = v.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
             q, k = _rope_at(q, k, cfg.rope_theta, positions, cfg.rotary_dim)
-            out = ring_attention(q, k, v, "seq", n_chunks=sp, causal=True)
+            out = ring_attention(q, k, v, "seq", n_chunks=sp, causal=True,
+                                 window=window, softcap=cfg.attn_softcap)
             out = out.transpose(0, 2, 1, 3).reshape(b, sl, nq * hd)
             out = out @ bp["o_kernel"].astype(compute_dtype)
             if "o_bias" in bp:
                 out = out + bp["o_bias"].astype(compute_dtype)
             return out
 
-        def body(x, bp):
+        def body(x, scanned):
+            bp, wb = scanned
+            # mixed configs: traced per-layer band bound rides the scan
+            # (full-attention layers carry the vacuous _FULL_BOUND); uniform
+            # configs keep a static (possibly absent) window.
+            window = wb if mixed else cfg.sliding_window
             if cfg.is_phi:
                 # phi-2 parallel residual: one LayerNorm feeds both branches,
                 # x' = x + attn(h) + mlp(h) (cf. llm/model.py llama_forward).
                 from ssp_x_vit_tpu.ops.common import gelu
 
                 h = _layer_norm(x, bp["ln1"], bp["ln1_bias"], cfg.layer_norm_eps)
-                attn = attend(h, bp)
+                attn = attend(h, bp, window)
                 hm = h @ bp["fc1_kernel"].astype(compute_dtype) + \
                     bp["fc1_bias"].astype(compute_dtype)
                 mlp = gelu(hm) @ bp["fc2_kernel"].astype(compute_dtype) + \
                     bp["fc2_bias"].astype(compute_dtype)
                 return x + attn + mlp, None
-            x = x + attend(rms_norm(x, bp["ln1"], cfg.rms_eps), bp)
+            attn = attend(rms_norm(x, bp["ln1"], cfg.rms_eps), bp, window)
+            if cfg.is_gemma2:
+                # gemma-2 post-norms on the residual deltas (llm/model.py)
+                attn = rms_norm(attn, bp["ln1_post"], cfg.rms_eps)
+            x = x + attn
             h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
             g = h2 @ bp["gate_kernel"].astype(compute_dtype)
             u = h2 @ bp["up_kernel"].astype(compute_dtype)
-            x = x + (jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype)
-            return x, None
+            mlp = (glu_act(g) * u) @ bp["down_kernel"].astype(compute_dtype)
+            if cfg.is_gemma2:
+                mlp = rms_norm(mlp, bp["ln2_post"], cfg.rms_eps)
+            return x + mlp, None
 
-        x, _ = lax.scan(body, x, params["blocks"])
+        wbounds = (jnp.asarray(cfg.layer_window_bounds, jnp.int32) if mixed
+                   else jnp.zeros((cfg.num_layers,), jnp.int32))
+        x, _ = lax.scan(body, x, (params["blocks"], wbounds))
         if cfg.is_phi:
             x = _layer_norm(x, params["ln_final"], params["ln_final_bias"],
                             cfg.layer_norm_eps)
         else:
             x = rms_norm(x, params["ln_final"], cfg.rms_eps)
-        head = params["lm_head"] if "lm_head" in params else params["embed"].T
-        logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
-        if "lm_head_bias" in params:
-            logits = logits + params["lm_head_bias"].astype(jnp.float32)
+        logits = _head_logits(params, x, compute_dtype, cfg.final_softcap)
 
         # local targets: global positions start+1 .. start+sl (the final
         # global position has no target — mask it out)

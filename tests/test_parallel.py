@@ -264,6 +264,50 @@ def test_seq_parallel_perplexity_matches_single_phi():
     assert abs(np.log(ppl_sp) - np.log(ppl_single)) < 1e-3
 
 
+def test_seq_parallel_perplexity_matches_single_gemma2():
+    """Ring-attention sequence parallelism on the gemma-2 block: mixed
+    per-layer sliding windows (traced band bounds over GLOBAL ring
+    positions), attn softcap in the ring's online softmax, final softcap,
+    4-norm blocks, sqrt(d)-scaled embeddings, tied head. Window 6 < s_local
+    16 makes the band bind across chunk boundaries."""
+    from jax.sharding import Mesh
+    from ssp_x_vit_tpu.parallel.ring_attention import evaluate_perplexity_seq_parallel
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=4, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, model_type="gemma2",
+                      explicit_head_dim=16, hidden_act="gelu_tanh",
+                      scale_embeddings=True, tie_embeddings=True,
+                      sliding_window=6, window_layers=(0, 2),
+                      attn_softcap=50.0, final_softcap=30.0)
+    params = init_llama_params(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    stream = synthetic_token_stream(64 * 3, cfg.vocab_size, seed=8)
+    ppl_single = evaluate_perplexity(params, cfg, stream, seq_len=64, enable_tqdm=False)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    ppl_sp = evaluate_perplexity_seq_parallel(params, cfg, mesh, stream, seq_len=64)
+    assert abs(np.log(ppl_sp) - np.log(ppl_single)) < 1e-3
+
+
+def test_seq_parallel_perplexity_matches_single_uniform_window():
+    """Uniform sliding window (mistral) on the ring: the static band masks
+    at global positions — exact vs single-device (the ring buys little for
+    uniform SWA, but must not be WRONG when used)."""
+    from jax.sharding import Mesh
+    from ssp_x_vit_tpu.parallel.ring_attention import evaluate_perplexity_seq_parallel
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=48, sliding_window=10)
+    params = init_llama_params(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    stream = synthetic_token_stream(64 * 3, cfg.vocab_size, seed=10)
+    ppl_single = evaluate_perplexity(params, cfg, stream, seq_len=64, enable_tqdm=False)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    ppl_sp = evaluate_perplexity_seq_parallel(params, cfg, mesh, stream, seq_len=64)
+    assert abs(np.log(ppl_sp) - np.log(ppl_single)) < 1e-3
+
+
 # ---------------- tensor-parallel serving (round 2) ----------------
 
 def test_tp_serving_matches_single_device():
