@@ -24,8 +24,11 @@ pipelined training step.
 
 Constraints: ``num_layers % pipe == 0``; ``num_heads``, ``num_kv_heads`` and
 ``intermediate_size`` divisible by ``model``; global batch divisible by
-``num_microbatches * data``. Llama-layout and phi-2 (parallel-residual)
-configs; OPT is excluded (learned-position table, no long-context use case).
+``num_microbatches * data``. Llama-layout configs incl. gemma/gemma-2
+(scaled embeddings, tanh-gelu GLU, 4-norm blocks, softcaps, mixed
+per-layer windows scanned as pipe-sharded band bounds) and phi-2
+(parallel-residual); OPT is excluded (learned-position table, no
+long-context use case), MoE runs expert-parallel instead.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ssp_x_vit_tpu.llm.model import (LlamaConfig, Params, rms_norm, _rope,
-                                     _layer_norm)
+                                     _layer_norm, _glu_act, _head_logits)
 from ssp_x_vit_tpu.ops.attention import sdpa_reference
 
 
@@ -74,6 +77,8 @@ def pipeline_block_specs(cfg: LlamaConfig) -> Dict[str, P]:
     if cfg.qkv_bias:
         specs.update(q_bias=P("pipe", "model"), k_bias=P("pipe", "model"),
                      v_bias=P("pipe", "model"))
+    if cfg.is_gemma2:
+        specs.update(ln1_post=P("pipe", None), ln2_post=P("pipe", None))
     return specs
 
 
@@ -94,12 +99,17 @@ def shard_llama_params_pipeline(params: Params, mesh: Mesh, cfg: LlamaConfig) ->
         specs, params, is_leaf=lambda x: isinstance(x, P))
 
 
-def _tp_block(x, bp, cfg: LlamaConfig, compute_dtype, tp: int):
+def _tp_block(x, bp, cfg: LlamaConfig, compute_dtype, tp: int,
+              window_override=None):
     """One llama block on LOCAL tensor-parallel shards of its weights.
 
     x is replicated over 'model'; q/k/v/gate/up are column-sharded (local
     output dim), o/down row-sharded (local input dim) — the partial products
     are summed with an explicit psum, exactly the megatron dataflow.
+
+    ``window_override``: traced per-layer band bound for mixed-window
+    configs (gemma-2/qwen2); None keeps the config's static window. Gemma-2
+    post-norms and the attention softcap ride the same block.
     """
     b, s, _ = x.shape
     nq, nkv, hd = cfg.num_heads // tp, cfg.num_kv_heads // tp, cfg.head_dim
@@ -120,22 +130,32 @@ def _tp_block(x, bp, cfg: LlamaConfig, compute_dtype, tp: int):
         rep = nq // nkv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    _w = cfg.sliding_window
-    _w = None if (_w is None or _w >= s) else _w
-    out = sdpa_reference(q, k, v, causal=True, window=_w)
+    if window_override is not None:
+        _w = window_override
+    else:
+        _w = cfg.sliding_window
+        _w = None if (_w is None or _w >= s) else _w
+    out = sdpa_reference(q, k, v, causal=True, window=_w,
+                         softcap=cfg.attn_softcap)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     out = lax.psum(out @ bp["o_kernel"].astype(compute_dtype), "model")
+    if cfg.is_gemma2:
+        # gemma-2 post-norms on the residual deltas (llm/model.py)
+        out = rms_norm(out, bp["ln1_post"], cfg.rms_eps)
     x = x + out
 
     h2 = rms_norm(x, bp["ln2"], cfg.rms_eps)
     g = h2 @ bp["gate_kernel"].astype(compute_dtype)
     u = h2 @ bp["up_kernel"].astype(compute_dtype)
-    m = lax.psum((jax.nn.silu(g) * u) @ bp["down_kernel"].astype(compute_dtype),
+    m = lax.psum((_glu_act(cfg)(g) * u) @ bp["down_kernel"].astype(compute_dtype),
                  "model")
+    if cfg.is_gemma2:
+        m = rms_norm(m, bp["ln2_post"], cfg.rms_eps)
     return x + m
 
 
-def _tp_block_phi(x, bp, cfg: LlamaConfig, compute_dtype, tp: int):
+def _tp_block_phi(x, bp, cfg: LlamaConfig, compute_dtype, tp: int,
+                  window_override=None):
     """phi-2 parallel-residual block on local TP shards: one LayerNorm feeds
     BOTH branches (llm/model.py llama_forward). q/k/v/fc1 are column-parallel
     so their biases are local shard slices; o/fc2 are row-parallel so their
@@ -191,26 +211,38 @@ def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int
                     ("intermediate_size", cfg.intermediate_size)):
         if v % tp:
             raise ValueError(f"{name} {v} % model {tp} != 0")
-    if cfg.hidden_act != "silu" or cfg.scale_embeddings:
-        raise ValueError("gemma configs (gelu_tanh GLU / scaled embeddings) "
-                         "are served through llm/serve + llm/paged; the pipeline "
-                         "path covers silu llama-layout blocks")
     if cfg.is_opt:
-        raise ValueError("pipeline path covers llama-layout and phi configs "
-                         "(OPT's learned-position table tops out at 2048)")
+        raise ValueError("pipeline path covers llama-layout (incl. gemma/"
+                         "gemma-2) and phi configs (OPT's learned-position "
+                         "table tops out at 2048)")
+    if cfg.num_experts:
+        raise ValueError("MoE blocks run expert-parallel (parallel/moe.py) "
+                         "or FSDP, not the pipeline TP block")
     block_fn = _tp_block_phi if cfg.is_phi else _tp_block
     M = num_microbatches
+    # mixed per-layer windows: the [L] band-bound vector shards its layer
+    # axis over 'pipe' alongside the blocks and rides each stage's scan
+    mixed = cfg.sliding_window is not None and not cfg.uniform_window
+    wbounds_arr = np.asarray(cfg.layer_window_bounds if mixed
+                             else [0] * cfg.num_layers, np.int32)
 
-    def sched(blocks, embed, tokens_mb):
+    def sched(blocks, embed, wbounds, tokens_mb):
         """blocks: local [L/P, ...] shards; tokens_mb: [M, mb_local, s]."""
         p = lax.axis_index("pipe")
         mb, s = tokens_mb.shape[1], tokens_mb.shape[2]
         emb = embed.astype(compute_dtype)
+        if cfg.scale_embeddings:
+            # gemma sqrt(d) embedding scale (normalizer rounded to the
+            # compute dtype, llm/model.py _embed_tokens); scaling the table
+            # equals scaling every lookup.
+            emb = emb * jnp.asarray(cfg.hidden_size ** 0.5, compute_dtype)
 
         def stage(xx):
-            def body(xx, bp):
-                return block_fn(xx, bp, cfg, compute_dtype, tp), None
-            xx, _ = lax.scan(body, xx, blocks)
+            def body(xx, scanned):
+                bp, wb = scanned
+                return block_fn(xx, bp, cfg, compute_dtype, tp,
+                                window_override=wb if mixed else None), None
+            xx, _ = lax.scan(body, xx, (blocks, wbounds))
             return xx
 
         state = jnp.zeros((mb, s, cfg.hidden_size), compute_dtype)
@@ -238,7 +270,8 @@ def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int
 
     mapped = jax.shard_map(
         sched, mesh=mesh,
-        in_specs=(pipeline_block_specs(cfg), P(None, None), P(None, "data", None)),
+        in_specs=(pipeline_block_specs(cfg), P(None, None), P("pipe"),
+                  P(None, "data", None)),
         out_specs=P(None, "data", None, None),
         check_vma=False,
     )
@@ -248,18 +281,15 @@ def make_pipeline_forward(mesh: Mesh, cfg: LlamaConfig, *, num_microbatches: int
         if b % M:
             raise ValueError(f"batch {b} % num_microbatches {M} != 0")
         tokens_mb = tokens.reshape(M, b // M, s)
-        hidden = mapped(params["blocks"], params["embed"], tokens_mb)
+        hidden = mapped(params["blocks"], params["embed"],
+                        jnp.asarray(wbounds_arr), tokens_mb)
         hidden = hidden.reshape(b, s, cfg.hidden_size)
         if cfg.is_phi:
             x = _layer_norm(hidden, params["ln_final"], params["ln_final_bias"],
                             cfg.layer_norm_eps)
         else:
             x = rms_norm(hidden, params["ln_final"], cfg.rms_eps)
-        head = params["lm_head"] if "lm_head" in params else params["embed"].T
-        logits = (x @ head.astype(compute_dtype)).astype(jnp.float32)
-        if "lm_head_bias" in params:
-            logits = logits + params["lm_head_bias"].astype(jnp.float32)
-        return logits
+        return _head_logits(params, x, compute_dtype, cfg.final_softcap)
 
     return forward
 

@@ -157,6 +157,32 @@ def test_pipeline_forward_matches_single_phi():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+def test_pipeline_forward_matches_single_gemma2():
+    """gemma-2 through the dp=2 x pp=2 x tp=2 pipeline: scaled embeddings,
+    tanh-gelu GLU, 4-norm blocks, both softcaps, and MIXED per-layer
+    sliding windows as pipe-sharded traced band bounds (window 6 binds at
+    s=16). Stages hold {windowed, full} layer pairs each."""
+    from ssp_x_vit_tpu.llm.model import llama_forward
+    from ssp_x_vit_tpu.parallel.pipeline import (
+        make_pipeline_forward, make_pipeline_mesh, shard_llama_params_pipeline,
+    )
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=4, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, model_type="gemma2",
+                      explicit_head_dim=16, hidden_act="gelu_tanh",
+                      scale_embeddings=True, tie_embeddings=True,
+                      sliding_window=6, window_layers=(0, 2),
+                      attn_softcap=50.0, final_softcap=30.0)
+    params = init_llama_params(jax.random.PRNGKey(11), cfg, dtype=jnp.float32)
+    mesh = make_pipeline_mesh(data=2, pipe=2, model=2)
+    sharded = shard_llama_params_pipeline(params, mesh, cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(12), (4, 16), 0, cfg.vocab_size)
+    ref, _ = llama_forward(params, tokens, cfg, compute_dtype=jnp.float32)
+    fwd = make_pipeline_forward(mesh, cfg, num_microbatches=2)
+    out = jax.jit(fwd)(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
 def test_pipeline_grads_match_single():
     """Gradients through the ppermute schedule == single-device gradients
     (incl. the replicated-embed transpose-psum)."""
