@@ -70,6 +70,19 @@ def parse_args():
                              'activation scales; measured 1.38x on the '
                              'b=4 s=2048 perplexity workload, '
                              'docs/tpu_notes.md)')
+    parser.add_argument('--save-model', type=str, default=None,
+                        help='directory to persist the pruned model '
+                             '(materialized weights, no gates); sparsity '
+                             'sweeps write per-rate subdirectories. Mirrors '
+                             'the reference save_pretrained flow '
+                             '(src/pruning.py:286-290).')
+    parser.add_argument('--save-format', type=str, default='native',
+                        choices=('native', 'hf'),
+                        help='native = model.npz + config.json '
+                             '(save_llm_model: serves any pytree incl. '
+                             'attention-depth-pruned); hf = config.json + '
+                             'model.safetensors for transformers '
+                             'from_pretrained (export_hf_llama)')
     parser.add_argument('--backend', type=str, default='default',
                         choices=['default', 'cpu', 'tpu'])
     parser.add_argument('--logging', type=str, default='INFO',
@@ -212,9 +225,52 @@ def main():
 
             qualitative_results(p, c, args.model, max_length=128)
 
+    def save_artifact(p, c, suffix=None):
+        """Persist a materialized model per --save-format; HF-unreachable
+        forms (sliced shortcut matrices, attention-removed blocks) warn and
+        skip instead of aborting the run."""
+        from ssp_x_vit_tpu.llm.checkpoints import export_hf_llama, save_llm_model
+        from ssp_x_vit_tpu.llm.slicegpt import SlicedLlamaConfig
+
+        out = args.save_model
+        if suffix:
+            out = os.path.join(out, suffix)
+        if isinstance(c, SlicedLlamaConfig):
+            logging.warning("--save-model skipped: sliced models carry "
+                            "shortcut matrices with no HF/native encoding "
+                            "(re-slice from the saved rotation instead)")
+            return
+        try:
+            fn = export_hf_llama if args.save_format == 'hf' else save_llm_model
+            path = fn(out, p, c)
+            logging.info(f"[ARTIFACT] {args.save_format} model -> {path}")
+        except ValueError as e:
+            logging.warning(f"--save-model skipped: {e}")
+
+    def materialize_masked(p, c, attn_mask, mlp_mask):
+        """Block masks -> physical weights: whole-block removal where both
+        submodules fall, attention-only depth materialization (with indices
+        remapped to the surviving layers) where only attention does."""
+        am = [bool(x) for x in np.asarray(attn_mask).reshape(-1)]
+        mm = [bool(x) for x in np.asarray(mlp_mask).reshape(-1)]
+        both = [i for i, (a, m) in enumerate(zip(am, mm)) if a and m]
+        attn_only = [i for i, (a, m) in enumerate(zip(am, mm)) if a and not m]
+        mlp_only = [i for i, (a, m) in enumerate(zip(am, mm)) if m and not a]
+        if mlp_only:
+            raise ValueError("MLP-only block masks have no materialized form")
+        p, c = P.materialize_llm_block_removal(p, c, both)
+        keep = [i for i in range(len(am)) if i not in set(both)]
+        remap = {old: new for new, old in enumerate(keep)}
+        if attn_only:
+            p, c = P.materialize_llm_depth_pruning(
+                p, c, [remap[i] for i in attn_only])
+        return p, c
+
     if args.dense:
         logging.info("Dense model evaluation")
         run_evals(params, cfg)
+        if args.save_model:
+            save_artifact(params, cfg)
 
     if args.ablation:
         from ssp_x_vit_tpu.llm.ablations import run_ablations
@@ -285,13 +341,24 @@ def main():
 
         logging.info(f"Pruning Time: {time.time() - start_time} s")
 
+        suffix = (f"sparsity_{target_sparsity:g}" if len(pruning_rates) > 1
+                  else None)
         if attn_mask is None:
             run_evals(work_params, work_cfg)
+            if args.save_model:
+                save_artifact(work_params, work_cfg, suffix)
         else:
             logging.debug(f"Pruned blocks: attn={attn_mask} mlp={mlp_mask}")
             ga = 1.0 - np.asarray(attn_mask, np.float32)
             gm = 1.0 - np.asarray(mlp_mask, np.float32)
             run_evals(params, cfg, attn_gate=ga, mlp_gate=gm)
+            if args.save_model:
+                try:
+                    mp, mc = materialize_masked(params, cfg, attn_mask, mlp_mask)
+                except ValueError as e:
+                    logging.warning(f"--save-model skipped: {e}")
+                else:
+                    save_artifact(mp, mc, suffix)
 
 
 if __name__ == "__main__":

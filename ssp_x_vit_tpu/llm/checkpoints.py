@@ -279,6 +279,216 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
     return params, cfg
 
 
+def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
+    """Inverse of ``config_from_hf_dict``: an HF config.json dict that
+    ``transformers`` AutoModelForCausalLM loads (per-arch model_type)."""
+    if cfg.is_opt:
+        return {
+            "model_type": "opt", "architectures": ["OPTForCausalLM"],
+            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads, "ffn_dim": cfg.intermediate_size,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "do_layer_norm_before": True, "enable_bias": True,
+            "word_embed_proj_dim": cfg.hidden_size,
+            "tie_word_embeddings": cfg.tie_embeddings,
+            "activation_function": "relu",
+        }
+    if cfg.is_phi:
+        return {
+            "model_type": "phi", "architectures": ["PhiForCausalLM"],
+            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "intermediate_size": cfg.effective_intermediate,
+            "partial_rotary_factor": (cfg.rotary_dim or cfg.head_dim) / cfg.head_dim,
+            "rope_theta": cfg.rope_theta,
+            "layer_norm_eps": cfg.layer_norm_eps,
+            "tie_word_embeddings": False,
+            "hidden_act": "gelu_new",
+        }
+    d: Dict[str, Any] = {
+        "model_type": cfg.model_type,
+        "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "intermediate_size": cfg.effective_intermediate,
+        "rms_norm_eps": cfg.rms_eps, "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_embeddings,
+    }
+    arch = {"llama": "LlamaForCausalLM", "mistral": "MistralForCausalLM",
+            "qwen2": "Qwen2ForCausalLM", "gemma": "GemmaForCausalLM",
+            "gemma2": "Gemma2ForCausalLM"}[cfg.model_type]
+    d["architectures"] = [arch]
+    if cfg.model_type in ("gemma", "gemma2"):
+        d["head_dim"] = cfg.head_dim
+        d["hidden_activation"] = "gelu_pytorch_tanh"
+    if cfg.model_type == "gemma2":
+        # the loader folded query_pre_attn_scalar into q_proj; the exported
+        # (folded) weights are exact under qps == head_dim
+        d["query_pre_attn_scalar"] = cfg.head_dim
+        d["attn_logit_softcapping"] = cfg.attn_softcap
+        d["final_logit_softcapping"] = cfg.final_softcap
+        d["sliding_window"] = cfg.sliding_window
+        if cfg.sliding_window is not None and cfg.window_layers != tuple(
+                range(0, cfg.num_layers, 2)):
+            raise ValueError(
+                "HF gemma-2 windows even layers only; this config's "
+                f"window_layers {cfg.window_layers} cannot round-trip")
+    elif cfg.sliding_window is not None:
+        if cfg.model_type == "mistral" and cfg.uniform_window:
+            d["sliding_window"] = cfg.sliding_window
+        elif cfg.model_type == "qwen2":
+            wl = cfg.window_layers
+            if wl is not None and wl != tuple(range(min(wl), cfg.num_layers)):
+                raise ValueError(
+                    f"qwen2 window_layers {wl} is not a [mwl, L) suffix — "
+                    "not representable as max_window_layers")
+            d["use_sliding_window"] = True
+            d["sliding_window"] = cfg.sliding_window
+            d["max_window_layers"] = min(wl) if wl else 0
+        else:
+            raise ValueError(
+                f"{cfg.model_type} with sliding_window has no HF encoding")
+    return d
+
+
+def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
+    """Export a (dense or width-pruned-materialized) LLM pytree as an HF
+    checkpoint: ``config.json`` + ``model.safetensors`` that transformers
+    ``AutoModelForCausalLM.from_pretrained`` loads with identical logits.
+
+    The reference ships pruned models back out with ``save_pretrained``
+    (src/pruning.py:286-290, experiments save paths); this is the TPU-native
+    counterpart, inverting ``load_hf_llama`` (kernels transposed back to
+    [out, in], gemma's (1+w) RMS bake removed, gemma-2 exported with the
+    folded q_proj under query_pre_attn_scalar == head_dim — byte-different
+    from an original HF checkpoint but logit-exact). Refused: quantized
+    pytrees (int8/int4 codes have no HF encoding — export the dense pytree
+    and re-quantize on load), MoE (our stacked expert layout), and
+    depth-materialized attention removal (vanilla HF blocks cannot skip
+    attention; use save_llm_model for native serving artifacts).
+    """
+    from ssp_x_vit_tpu.models.checkpoints import _write_safetensors
+
+    blocks = params["blocks"]
+    if any(k.endswith(("_q", "_q4", "_scale")) for k in blocks) or \
+            "lm_head_q" in params:
+        raise ValueError("quantized pytrees have no HF encoding — export the "
+                         "dense params and quantize after from_pretrained")
+    if cfg.num_experts:
+        raise ValueError("MoE export to HF (mixtral layout) is unsupported; "
+                         "use save_llm_model")
+    if cfg.pruned_attention_blocks:
+        raise ValueError("depth-materialized attention removal is not "
+                         "representable in vanilla HF blocks; use "
+                         "save_llm_model")
+    os.makedirs(out_dir, exist_ok=True)
+    L = cfg.num_layers
+
+    def u(key, i, transform=lambda x: x):
+        return np.ascontiguousarray(
+            transform(np.asarray(blocks[key][i], np.float32)))
+
+    tensors: Dict[str, np.ndarray] = {}
+    if cfg.is_opt:
+        pre = "model.decoder.layers.{i}"
+        names = [("ln1", ".self_attn_layer_norm.weight", False),
+                 ("ln1_bias", ".self_attn_layer_norm.bias", False),
+                 ("q_kernel", ".self_attn.q_proj.weight", True),
+                 ("q_bias", ".self_attn.q_proj.bias", False),
+                 ("k_kernel", ".self_attn.k_proj.weight", True),
+                 ("k_bias", ".self_attn.k_proj.bias", False),
+                 ("v_kernel", ".self_attn.v_proj.weight", True),
+                 ("v_bias", ".self_attn.v_proj.bias", False),
+                 ("o_kernel", ".self_attn.out_proj.weight", True),
+                 ("o_bias", ".self_attn.out_proj.bias", False),
+                 ("ln2", ".final_layer_norm.weight", False),
+                 ("ln2_bias", ".final_layer_norm.bias", False),
+                 ("fc1_kernel", ".fc1.weight", True),
+                 ("fc1_bias", ".fc1.bias", False),
+                 ("fc2_kernel", ".fc2.weight", True),
+                 ("fc2_bias", ".fc2.bias", False)]
+        for i in range(L):
+            for key, suffix, tr in names:
+                tensors[pre.format(i=i) + suffix] = u(key, i, _t if tr else
+                                                      (lambda x: x))
+        tensors["model.decoder.embed_tokens.weight"] = np.asarray(
+            params["embed"], np.float32)
+        tensors["model.decoder.embed_positions.weight"] = np.asarray(
+            params["pos_embed"], np.float32)
+        tensors["model.decoder.final_layer_norm.weight"] = np.asarray(
+            params["ln_final"], np.float32)
+        tensors["model.decoder.final_layer_norm.bias"] = np.asarray(
+            params["ln_final_bias"], np.float32)
+        if not cfg.tie_embeddings and "lm_head" in params:
+            tensors["lm_head.weight"] = np.ascontiguousarray(
+                _t(np.asarray(params["lm_head"], np.float32)))
+    elif cfg.is_phi:
+        names = [("ln1", "input_layernorm.weight", False),
+                 ("ln1_bias", "input_layernorm.bias", False),
+                 ("q_kernel", "self_attn.q_proj.weight", True),
+                 ("q_bias", "self_attn.q_proj.bias", False),
+                 ("k_kernel", "self_attn.k_proj.weight", True),
+                 ("k_bias", "self_attn.k_proj.bias", False),
+                 ("v_kernel", "self_attn.v_proj.weight", True),
+                 ("v_bias", "self_attn.v_proj.bias", False),
+                 ("o_kernel", "self_attn.dense.weight", True),
+                 ("o_bias", "self_attn.dense.bias", False),
+                 ("fc1_kernel", "mlp.fc1.weight", True),
+                 ("fc1_bias", "mlp.fc1.bias", False),
+                 ("fc2_kernel", "mlp.fc2.weight", True),
+                 ("fc2_bias", "mlp.fc2.bias", False)]
+        for i in range(L):
+            for key, suffix, tr in names:
+                tensors[f"model.layers.{i}.{suffix}"] = u(
+                    key, i, _t if tr else (lambda x: x))
+        tensors["model.embed_tokens.weight"] = np.asarray(params["embed"], np.float32)
+        tensors["model.final_layernorm.weight"] = np.asarray(params["ln_final"], np.float32)
+        tensors["model.final_layernorm.bias"] = np.asarray(params["ln_final_bias"], np.float32)
+        tensors["lm_head.weight"] = np.ascontiguousarray(
+            _t(np.asarray(params["lm_head"], np.float32)))
+        tensors["lm_head.bias"] = np.asarray(params["lm_head_bias"], np.float32)
+    else:
+        gemma = cfg.model_type in ("gemma", "gemma2")
+        unbake = (lambda x: x - 1.0) if gemma else (lambda x: x)
+        names = [("ln1", "input_layernorm.weight", unbake),
+                 ("q_kernel", "self_attn.q_proj.weight", _t),
+                 ("k_kernel", "self_attn.k_proj.weight", _t),
+                 ("v_kernel", "self_attn.v_proj.weight", _t),
+                 ("o_kernel", "self_attn.o_proj.weight", _t),
+                 ("gate_kernel", "mlp.gate_proj.weight", _t),
+                 ("up_kernel", "mlp.up_proj.weight", _t),
+                 ("down_kernel", "mlp.down_proj.weight", _t)]
+        if cfg.is_gemma2:
+            names += [("ln1_post", "post_attention_layernorm.weight", unbake),
+                      ("ln2", "pre_feedforward_layernorm.weight", unbake),
+                      ("ln2_post", "post_feedforward_layernorm.weight", unbake)]
+        else:
+            names.append(("ln2", "post_attention_layernorm.weight", unbake))
+        if cfg.qkv_bias:
+            names += [("q_bias", "self_attn.q_proj.bias", lambda x: x),
+                      ("k_bias", "self_attn.k_proj.bias", lambda x: x),
+                      ("v_bias", "self_attn.v_proj.bias", lambda x: x)]
+        for i in range(L):
+            for key, suffix, tr in names:
+                tensors[f"model.layers.{i}.{suffix}"] = u(key, i, tr)
+        tensors["model.embed_tokens.weight"] = np.asarray(params["embed"], np.float32)
+        tensors["model.norm.weight"] = np.ascontiguousarray(
+            np.asarray(params["ln_final"], np.float32) - (1.0 if gemma else 0.0))
+        if not cfg.tie_embeddings and "lm_head" in params:
+            tensors["lm_head.weight"] = np.ascontiguousarray(
+                _t(np.asarray(params["lm_head"], np.float32)))
+
+    _write_safetensors(os.path.join(out_dir, "model.safetensors"), tensors,
+                       metadata={"format": "pt"})
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf_dict_from_config(cfg), f, indent=2)
+    return out_dir
+
+
 def save_llm_model(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
     """Persist an LLM (dense, 2SSP-materialized, or int8/int4-quantized
     pytree) as model.npz + config.json — the serving-deployment artifact

@@ -263,6 +263,49 @@ def materialize_llm_depth_pruning(
     return new_params, dataclasses.replace(cfg, pruned_attention_blocks=pruned)
 
 
+def materialize_llm_block_removal(
+    params: Params, cfg: LlamaConfig, blocks_to_remove: Sequence[int]
+) -> Tuple[Params, LlamaConfig]:
+    """Physically drop ENTIRE transformer blocks (attention + MLP) — the
+    deployment artifact for the depth baselines (window_based / shortGPT /
+    blockpruner / EvoPress rounds where both submodules fall). The result is
+    a plain shallower model: servable, quantizable, and HF-exportable
+    (export_hf_llama), unlike the gate-parameterized search form. The
+    reference evaluates its baselines through masks/hooks and never ships
+    them; 2SSP's save flow (src/pruning.py:286-290) is the model for this.
+
+    Mixed per-layer window indices are remapped to surviving positions —
+    unless the survivors break the arch's HF encoding (checked at export,
+    not here).
+    """
+    removed = tuple(sorted(set(int(i) for i in blocks_to_remove)))
+    if not removed:
+        return params, cfg
+    if cfg.pruned_attention_blocks:
+        raise ValueError("materialize block removal BEFORE attention-only "
+                         "depth materialization (the stacked layout is "
+                         "uniform only while every block still has attention)")
+    if max(removed) >= cfg.num_layers or min(removed) < 0:
+        raise ValueError(f"block index out of range in {removed}")
+    if len(removed) == cfg.num_layers:
+        raise ValueError("cannot remove every block")
+    keep = [i for i in range(cfg.num_layers) if i not in removed]
+    idx = jnp.asarray(keep, jnp.int32)
+    blocks = {k: jnp.take(v, idx, axis=0) for k, v in params["blocks"].items()}
+    wl = cfg.window_layers
+    if wl is not None:
+        wl = tuple(j for j, i in enumerate(keep) if i in set(wl))
+        if not wl:  # no windowed layer survived: plain full attention
+            wl = None
+    new_cfg = dataclasses.replace(
+        cfg, num_layers=len(keep), window_layers=wl,
+        sliding_window=cfg.sliding_window if wl is not None or
+        cfg.uniform_window else None)
+    new_params = dict(params)
+    new_params["blocks"] = blocks
+    return new_params, new_cfg
+
+
 # ---------------------------------------------------------------------------
 # depth-pruning baselines
 # ---------------------------------------------------------------------------

@@ -248,6 +248,42 @@ def load_augreg_npz(path: str, cfg: ViTConfig, dtype=jnp.float32) -> Params:
         return params_from_augreg_npz(dict(npz), cfg, dtype)
 
 
+def _write_safetensors(path: str, tensors: Dict[str, np.ndarray],
+                       metadata: Dict[str, str] = None) -> None:
+    """Minimal safetensors writer (header json + raw little-endian buffer),
+    numpy only — the inverse of ``_read_safetensors``. float32 arrays are
+    written as F32; pass arrays pre-converted (e.g. ml_dtypes.bfloat16 views
+    as uint16 with dtype_override) via ``np.float32``/``np.float16`` only —
+    exporters in this repo emit F32 (exact for the f32 pytrees the pruning
+    pipeline produces; HF from_pretrained re-casts per torch_dtype)."""
+    import struct
+
+    codes = {np.dtype(np.float32): "F32", np.dtype(np.float16): "F16",
+             np.dtype(np.int64): "I64", np.dtype(np.int32): "I32",
+             np.dtype(np.int8): "I8", np.dtype(np.uint8): "U8",
+             np.dtype(np.bool_): "BOOL"}
+    header: Dict[str, Any] = {}
+    if metadata:
+        header["__metadata__"] = metadata
+    offset = 0
+    blobs = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype not in codes:
+            raise ValueError(f"unsupported export dtype {arr.dtype} for {name}")
+        raw = arr.tobytes()
+        header[name] = {"dtype": codes[arr.dtype], "shape": list(arr.shape),
+                        "data_offsets": [offset, offset + len(raw)]}
+        offset += len(raw)
+        blobs.append(raw)
+    hjson = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for raw in blobs:
+            f.write(raw)
+
+
 def save_params_npz(path: str, params: Params) -> None:
     """Flatten the pytree to 'a/b/c' keys and save as npz (framework-native)."""
     flat = {}

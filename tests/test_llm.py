@@ -55,6 +55,45 @@ def test_gates_match_materialized(llm):
     np.testing.assert_allclose(np.asarray(gated), np.asarray(mat), rtol=1e-4, atol=1e-4)
 
 
+def test_block_removal_matches_gates(llm):
+    """Whole-block removal (depth-baseline deployment artifact) == zeroing
+    both gates at the removed blocks; result is a plain shallower model."""
+    params, cfg = llm
+    tokens = jnp.asarray(np.arange(16, dtype=np.int32)[None] % cfg.vocab_size)
+    gate = jnp.ones((cfg.num_layers,)).at[1].set(0.0).at[3].set(0.0)
+    gated, _ = llama_forward(params, tokens, cfg, attn_gate=gate,
+                             mlp_gate=gate, compute_dtype=jnp.float32)
+    mp, mc = P.materialize_llm_block_removal(params, cfg, [1, 3])
+    assert mc.num_layers == 2 and not mc.pruned_attention_blocks
+    mat, _ = llama_forward(mp, tokens, mc, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(mat),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_block_removal_remaps_mixed_windows():
+    """Removing layers from a gemma-2 mixed config remaps window_layers to
+    the surviving positions (block 2 windowed -> survivor index 1)."""
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=4, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, model_type="gemma2",
+                      hidden_act="gelu_tanh", scale_embeddings=True,
+                      tie_embeddings=True, sliding_window=6,
+                      window_layers=(0, 2), attn_softcap=50.0,
+                      final_softcap=30.0)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    tokens = jnp.asarray(np.arange(16, dtype=np.int32)[None] % cfg.vocab_size)
+    gate = jnp.ones((4,)).at[0].set(0.0)
+    gated, _ = llama_forward(params, tokens, cfg, attn_gate=gate,
+                             mlp_gate=gate, compute_dtype=jnp.float32)
+    mp, mc = P.materialize_llm_block_removal(params, cfg, [0])
+    assert mc.num_layers == 3 and mc.window_layers == (1,)
+    mat, _ = llama_forward(mp, tokens, mc, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(mat),
+                               rtol=1e-4, atol=1e-4)
+    # all windowed layers removed -> full-attention config
+    mp2, mc2 = P.materialize_llm_block_removal(params, cfg, [0, 2])
+    assert mc2.window_layers is None and mc2.sliding_window is None
+
+
 def test_perplexity_gate_sensitivity(llm, stream):
     """Skipping blocks must not crash and perplexity stays finite; dense ppl on
     structured data is far below uniform (model is random, so just sanity)."""
