@@ -174,6 +174,90 @@ def load_hf_vit(model_dir: str, *, num_classes: Optional[int] = None, dtype=jnp.
     raise FileNotFoundError(f"no weights file in {model_dir}")
 
 
+def export_hf_vit(out_dir: str, params: Params, cfg: ViTConfig) -> str:
+    """Export a (dense or stage-1-width-pruned) ViT pytree as an HF
+    ViTForImageClassification checkpoint (config.json + model.safetensors)
+    — inverse of ``params_from_hf_state_dict``: fused qkv re-split into
+    query/key/value, matmul patchify folded back to the conv kernel.
+
+    The reference ships pruned ViTs with ``save_pretrained``
+    (experiments/vit_pruning/auto_2ssp.py save paths); this is the
+    TPU-native counterpart. Width-pruned pytrees export at the PADDED
+    uniform intermediate size — the zero-padded neurons are mathematically
+    inert (zero fc2 columns), so HF's forward is logit-exact; the logical
+    per-block sizes live only in the framework-native artifact. Refused:
+    adapter heads and stage-2 attention removal (vanilla HF ViT blocks
+    cannot skip attention; use models/persistence.py).
+    """
+    if cfg.head_type != "linear":
+        raise ValueError("adapter heads have no HF ViT encoding; use "
+                         "save_pruned_model (models/persistence.py)")
+    if cfg.pruned_attention_blocks:
+        raise ValueError("stage-2 attention removal is not representable in "
+                         "vanilla HF ViT blocks; use save_pruned_model")
+    os.makedirs(out_dir, exist_ok=True)
+    d, L, C, P_ = cfg.hidden_size, cfg.num_layers, cfg.num_channels, cfg.patch_size
+    blocks = params["blocks"]
+
+    def b(key, i, transform=lambda x: x):
+        return np.ascontiguousarray(
+            transform(np.asarray(blocks[key][i], np.float32)))
+
+    tensors: Dict[str, np.ndarray] = {}
+    pre = "vit."
+    patch_kernel = np.asarray(params["patch_embed"]["kernel"], np.float32)
+    tensors[pre + "embeddings.patch_embeddings.projection.weight"] = \
+        np.ascontiguousarray(patch_kernel.T.reshape(d, C, P_, P_))
+    tensors[pre + "embeddings.patch_embeddings.projection.bias"] = \
+        np.asarray(params["patch_embed"]["bias"], np.float32)
+    tensors[pre + "embeddings.cls_token"] = np.asarray(
+        params["cls_token"], np.float32).reshape(1, 1, d)
+    tensors[pre + "embeddings.position_embeddings"] = np.asarray(
+        params["pos_embed"], np.float32).reshape(1, -1, d)
+    for i in range(L):
+        lp = pre + f"encoder.layer.{i}."
+        qkv_k = b("qkv_kernel", i)  # [d, 3d]
+        qkv_b = b("qkv_bias", i)
+        for j, name in enumerate(("query", "key", "value")):
+            tensors[lp + f"attention.attention.{name}.weight"] = \
+                np.ascontiguousarray(_t(qkv_k[:, j * d:(j + 1) * d]))
+            tensors[lp + f"attention.attention.{name}.bias"] = \
+                np.ascontiguousarray(qkv_b[j * d:(j + 1) * d])
+        tensors[lp + "attention.output.dense.weight"] = b("proj_kernel", i, _t)
+        tensors[lp + "attention.output.dense.bias"] = b("proj_bias", i)
+        tensors[lp + "layernorm_before.weight"] = b("ln1_scale", i)
+        tensors[lp + "layernorm_before.bias"] = b("ln1_bias", i)
+        tensors[lp + "layernorm_after.weight"] = b("ln2_scale", i)
+        tensors[lp + "layernorm_after.bias"] = b("ln2_bias", i)
+        tensors[lp + "intermediate.dense.weight"] = b("fc1_kernel", i, _t)
+        tensors[lp + "intermediate.dense.bias"] = b("fc1_bias", i)
+        tensors[lp + "output.dense.weight"] = b("fc2_kernel", i, _t)
+        tensors[lp + "output.dense.bias"] = b("fc2_bias", i)
+    tensors[pre + "layernorm.weight"] = np.asarray(params["ln_final_scale"], np.float32)
+    tensors[pre + "layernorm.bias"] = np.asarray(params["ln_final_bias"], np.float32)
+    tensors["classifier.weight"] = np.ascontiguousarray(
+        _t(np.asarray(params["head"]["kernel"], np.float32)))
+    tensors["classifier.bias"] = np.asarray(params["head"]["bias"], np.float32)
+
+    _write_safetensors(os.path.join(out_dir, "model.safetensors"), tensors,
+                       metadata={"format": "pt"})
+    hf_cfg = {
+        "model_type": "vit",
+        "architectures": ["ViTForImageClassification"],
+        "image_size": cfg.image_size, "patch_size": cfg.patch_size,
+        "num_channels": cfg.num_channels, "hidden_size": d,
+        "num_hidden_layers": L, "num_attention_heads": cfg.num_heads,
+        "intermediate_size": cfg.padded_intermediate_size,
+        "layer_norm_eps": cfg.layernorm_eps,
+        "num_labels": cfg.num_classes,
+        "id2label": {str(i): f"LABEL_{i}" for i in range(cfg.num_classes)},
+        "label2id": {f"LABEL_{i}": i for i in range(cfg.num_classes)},
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return out_dir
+
+
 def params_from_augreg_npz(
     npz: Dict[str, np.ndarray], cfg: ViTConfig, dtype=jnp.float32
 ) -> Params:

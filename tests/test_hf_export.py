@@ -122,6 +122,70 @@ def test_export_refusals(tmp_path):
                         dataclasses.replace(cfg, pruned_attention_blocks=(1,)))
 
 
+def test_export_vit_roundtrip(tmp_path):
+    """export_hf_vit -> load_hf_vit round-trips dense ViT logits exactly
+    (fused qkv re-split, conv patchify fold)."""
+    from ssp_x_vit_tpu.models.checkpoints import export_hf_vit, load_hf_vit
+    from ssp_x_vit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=3,
+                    num_heads=4, intermediate_size=128, num_classes=7)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    px = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)),
+                     jnp.float32)
+    want, _ = vit_forward(params, px, cfg)
+    export_hf_vit(str(tmp_path / "vit"), params, cfg)
+    p2, cfg2 = load_hf_vit(str(tmp_path / "vit"))
+    assert cfg2.num_classes == 7
+    got, _ = vit_forward(p2, px, cfg2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_vit_width_pruned_roundtrip(tmp_path):
+    """Stage-1 width-pruned ViT exports at the padded uniform width; the
+    zero-padded neurons are inert so HF-format logits match exactly."""
+    from ssp_x_vit_tpu.models.checkpoints import export_hf_vit, load_hf_vit
+    from ssp_x_vit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+    from ssp_x_vit_tpu.pruning.width import materialize_width_pruning
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=3,
+                    num_heads=4, intermediate_size=128, num_classes=7)
+    params = init_vit_params(jax.random.PRNGKey(2), cfg)
+    keeps = [np.sort(np.random.default_rng(i).permutation(128)[:96])
+             for i in range(3)]
+    p2, cfg2 = materialize_width_pruning(params, cfg, keeps)
+    px = jnp.asarray(np.random.default_rng(3).normal(size=(2, 32, 32, 3)),
+                     jnp.float32)
+    want, _ = vit_forward(p2, px, cfg2)
+    export_hf_vit(str(tmp_path / "vitp"), p2, cfg2)
+    p3, cfg3 = load_hf_vit(str(tmp_path / "vitp"))
+    assert cfg3.intermediate_size == cfg2.padded_intermediate_size
+    got, _ = vit_forward(p3, px, cfg3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_vit_loads_in_transformers(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import ViTForImageClassification
+
+    from ssp_x_vit_tpu.models.checkpoints import export_hf_vit
+    from ssp_x_vit_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64, num_layers=3,
+                    num_heads=4, intermediate_size=128, num_classes=7)
+    params = init_vit_params(jax.random.PRNGKey(4), cfg)
+    export_hf_vit(str(tmp_path / "vit"), params, cfg)
+    px = np.random.default_rng(5).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        hf = ViTForImageClassification.from_pretrained(
+            str(tmp_path / "vit"), torch_dtype=torch.float32).eval()
+        hf_logits = hf(torch.from_numpy(px.transpose(0, 3, 1, 2))).logits.numpy()
+    ours, _ = vit_forward(params, jnp.asarray(px), cfg)
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-4, atol=2e-4)
+
+
 def test_export_loads_in_transformers_llama(tmp_path):
     """transformers AutoModelForCausalLM loads our export; torch fp32 logits
     match ours."""
