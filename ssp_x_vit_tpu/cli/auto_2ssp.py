@@ -50,6 +50,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--depth-importance", type=str, default="copy", choices=["copy", "heuristic"])
     p.add_argument("--force-depth-blocks", type=int, default=None)
     p.add_argument("--save-pruned-model", action="store_true")
+    p.add_argument("--save-format", type=str, default="native",
+                   choices=["native", "hf"],
+                   help="native = pytree npz (save_pruned_model: serves any "
+                        "form incl. attention-removed blocks and adapter "
+                        "heads); hf = config.json + model.safetensors for "
+                        "transformers ViTForImageClassification "
+                        "(export_hf_vit; falls back to native with a notice "
+                        "for HF-unreachable forms)")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8"],
                    help="Also evaluate (and save, with --save-pruned-model) "
@@ -342,8 +350,20 @@ def run(args) -> Dict[str, Any]:
     if args.save_pruned_model:
         from ssp_x_vit_tpu.models.persistence import save_pruned_model
 
+        def _save(path, p_, c_):
+            """HF format when asked and reachable; fall back to native with a
+            notice (stage-2 attention removal / adapter heads / int8 codes
+            have no vanilla-HF-ViT encoding)."""
+            if args.save_format == "hf":
+                from ssp_x_vit_tpu.models.checkpoints import export_hf_vit
+                try:
+                    return export_hf_vit(path, p_, c_)
+                except ValueError as e:
+                    print(f"[INFO] hf export skipped ({e}); saving native")
+            return save_pruned_model(path, p_, c_)
+
         pruned_dir = out_root / "pruned_models" / run_id
-        save_pruned_model(str(pruned_dir), work_params, work_cfg)
+        _save(str(pruned_dir), work_params, work_cfg)
         artifacts["pruned_model_dir"] = str(pruned_dir)
         if quant_params is not None:
             qdir = out_root / "pruned_models" / f"{run_id}-int8"
