@@ -88,6 +88,10 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         tie_embeddings=d.get("tie_word_embeddings",
                              mt in ("gemma", "gemma2")),
         model_type=mt,
+        # not used by the RoPE forward (lengths are per-call static), but
+        # carried so export_hf_llama round-trips the context limit instead of
+        # letting transformers default it (llama: 2048)
+        max_position_embeddings=d.get("max_position_embeddings", 2048),
         sliding_window=sliding_window,
         qkv_bias=(mt == "qwen2"),
         rotary_dim=rotary_dim,
@@ -317,10 +321,16 @@ def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
         "intermediate_size": cfg.effective_intermediate,
         "rms_norm_eps": cfg.rms_eps, "rope_theta": cfg.rope_theta,
         "tie_word_embeddings": cfg.tie_embeddings,
+        "max_position_embeddings": cfg.max_position_embeddings,
     }
     arch = {"llama": "LlamaForCausalLM", "mistral": "MistralForCausalLM",
             "qwen2": "Qwen2ForCausalLM", "gemma": "GemmaForCausalLM",
-            "gemma2": "Gemma2ForCausalLM"}[cfg.model_type]
+            "gemma2": "Gemma2ForCausalLM"}.get(cfg.model_type)
+    if arch is None:
+        # phi3 configs normalize to llama layout inside load_hf_llama; a
+        # still-phi3-typed config never paired with loaded weights
+        raise ValueError(f"model_type {cfg.model_type!r} has no HF export "
+                         "encoding (phi3 loads normalize to llama layout)")
     d["architectures"] = [arch]
     if cfg.model_type in ("gemma", "gemma2"):
         d["head_dim"] = cfg.head_dim
@@ -337,7 +347,13 @@ def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
             raise ValueError(
                 "HF gemma-2 windows even layers only; this config's "
                 f"window_layers {cfg.window_layers} cannot round-trip")
-    elif cfg.sliding_window is not None:
+    elif cfg.sliding_window is None:
+        if cfg.model_type == "mistral":
+            # MistralConfig DEFAULTS sliding_window to 4096 when the key is
+            # absent — write the null explicitly or transformers applies a
+            # window the source model never had
+            d["sliding_window"] = None
+    else:
         if cfg.model_type == "mistral" and cfg.uniform_window:
             d["sliding_window"] = cfg.sliding_window
         elif cfg.model_type == "qwen2":
@@ -385,6 +401,10 @@ def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
         raise ValueError("depth-materialized attention removal is not "
                          "representable in vanilla HF blocks; use "
                          "save_llm_model")
+    # Validate the config encoding BEFORE any writes: every refusal
+    # (phi3-typed, non-even gemma-2 windows, non-suffix qwen2 windows, mixed
+    # mistral) must leave no partial out_dir behind.
+    hf_cfg = hf_dict_from_config(cfg)
     os.makedirs(out_dir, exist_ok=True)
     L = cfg.num_layers
 
@@ -485,7 +505,7 @@ def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
     _write_safetensors(os.path.join(out_dir, "model.safetensors"), tensors,
                        metadata={"format": "pt"})
     with open(os.path.join(out_dir, "config.json"), "w") as f:
-        json.dump(hf_dict_from_config(cfg), f, indent=2)
+        json.dump(hf_cfg, f, indent=2)
     return out_dir
 
 
@@ -517,8 +537,12 @@ def load_llm_model(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaCon
 
     with open(os.path.join(model_dir, "config.json")) as f:
         d = json.load(f)
-    if d.get("pruned_attention_blocks") is not None:
-        d["pruned_attention_blocks"] = tuple(d["pruned_attention_blocks"])
+    # JSON turns every tuple field (pruned_attention_blocks, window_layers,
+    # ...) into a list; lists make the frozen config unhashable, which breaks
+    # every jit with static_argnames=("cfg",). Restore tuples generically.
+    for k, v in d.items():
+        if isinstance(v, list):
+            d[k] = tuple(v)
     cfg = LlamaConfig(**d)
     params = load_params_npz(os.path.join(model_dir, "model.npz"), dtype=dtype)
     return params, cfg

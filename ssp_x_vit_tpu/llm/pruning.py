@@ -249,8 +249,11 @@ def materialize_llm_depth_pruning(
     blocks = dict(params["blocks"])
     # phi's ln1 feeds both branches, so it survives attention removal
     # (reference deletes only q/k/v/dense, src/utilities.py:496-500).
+    # ln1_post (gemma-2 post-attention norm) belongs to the attention
+    # submodule: serve/materialized forwards index it with the compacted
+    # attention index j, so it must compact with q/k/v/o.
     attn_names = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
-                  "q_bias", "k_bias", "v_bias", "o_bias")
+                  "q_bias", "k_bias", "v_bias", "o_bias", "ln1_post")
     if cfg.is_opt:
         attn_names = ("ln1", "ln1_bias") + attn_names  # pre-attn LN goes too
     elif not cfg.is_phi:

@@ -194,6 +194,25 @@ def test_gemma2_depth_materialized_serving(g2_model):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(kv))
 
 
+def test_gemma2_depth_materialized_matches_gated(g2_model):
+    """Materialized depth pruning == gate-masked dense search form: ln1_post
+    must compact with q/k/v/o, or surviving layers past the pruned one read
+    the previous layer's post-attention norm."""
+    from ssp_x_vit_tpu.llm import pruning as P
+    from ssp_x_vit_tpu.llm.model import llama_forward_materialized
+
+    params, cfg = g2_model
+    tokens = jnp.asarray([[3, 9, 2, 7, 1, 4]], jnp.int32)
+    gate = jnp.asarray([1.0, 0.0, 1.0, 1.0])
+    want, _ = llama_forward(params, tokens, cfg, attn_gate=gate,
+                            compute_dtype=jnp.float32)
+    mp_, mc = P.materialize_llm_depth_pruning(params, cfg, [1])
+    got = llama_forward_materialized(mp_, tokens, mc,
+                                     compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_gemma2_speculative_exact(g2_model):
     """Speculative decoding on a gemma-2 target: the multi-token extend path
     runs the same per-layer bounds + softcaps via _run_layers — composite

@@ -122,6 +122,75 @@ def test_export_refusals(tmp_path):
                         dataclasses.replace(cfg, pruned_attention_blocks=(1,)))
 
 
+def test_export_refusals_leave_no_partial_dir(tmp_path):
+    """Config-encoding refusals must fire BEFORE any file writes — a caught
+    'skipped' export must not leave a corrupt half-checkpoint behind."""
+    import dataclasses
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=4, num_heads=4,
+                      num_kv_heads=2, intermediate_size=48)
+    params = init_llama_params(jax.random.PRNGKey(10), cfg, dtype=jnp.float32)
+    # phi3-typed config: clean ValueError (was: KeyError after writing
+    # model.safetensors + truncated config.json)
+    with pytest.raises(ValueError, match="phi3"):
+        export_hf_llama(str(tmp_path / "p3"), params,
+                        dataclasses.replace(cfg, model_type="phi3"))
+    assert not (tmp_path / "p3").exists()
+    # gemma-2 windows off the even-layer pattern (post-block-removal remap)
+    g2 = dataclasses.replace(
+        cfg, model_type="gemma2", explicit_head_dim=8, hidden_act="gelu_tanh",
+        scale_embeddings=True, tie_embeddings=True, sliding_window=6,
+        window_layers=(1, 3), attn_softcap=50.0, final_softcap=30.0)
+    with pytest.raises(ValueError, match="even layers"):
+        export_hf_llama(str(tmp_path / "g2"), params, g2)
+    assert not (tmp_path / "g2").exists()
+
+
+def test_export_config_defaults_pinned(tmp_path):
+    """Fields transformers would otherwise default wrongly are written
+    explicitly: mistral sliding_window null (HF defaults 4096) and
+    max_position_embeddings (HF llama defaults 2048)."""
+    import dataclasses
+    import json
+
+    from ssp_x_vit_tpu.llm.checkpoints import hf_dict_from_config
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, intermediate_size=48,
+                      max_position_embeddings=8192)
+    d = hf_dict_from_config(cfg)
+    assert d["max_position_embeddings"] == 8192
+    m = dataclasses.replace(cfg, model_type="mistral")
+    dm = hf_dict_from_config(m)
+    assert "sliding_window" in dm and dm["sliding_window"] is None
+    # and the full export writes them through
+    params = init_llama_params(jax.random.PRNGKey(11), m, dtype=jnp.float32)
+    export_hf_llama(str(tmp_path / "m"), params, m)
+    with open(tmp_path / "m" / "config.json") as f:
+        written = json.load(f)
+    assert written["sliding_window"] is None
+    assert written["max_position_embeddings"] == 8192
+
+
+def test_native_roundtrip_restores_tuple_fields(tmp_path):
+    """JSON lists -> tuples on load: a round-tripped mixed-window config must
+    stay hashable (every serving jit uses static_argnames=('cfg',))."""
+    import dataclasses
+
+    from ssp_x_vit_tpu.llm.checkpoints import load_llm_model, save_llm_model
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=4, num_heads=4,
+                      num_kv_heads=2, intermediate_size=48, model_type="qwen2",
+                      qkv_bias=True, sliding_window=6, window_layers=(2, 3))
+    params = init_llama_params(jax.random.PRNGKey(12), cfg, dtype=jnp.float32)
+    save_llm_model(str(tmp_path / "n"), params, cfg)
+    p2, c2 = load_llm_model(str(tmp_path / "n"), dtype=jnp.float32)
+    assert c2.window_layers == (2, 3)
+    assert isinstance(c2.window_layers, tuple)
+    hash(c2)  # must not raise
+    assert c2 == cfg
+
+
 def test_export_vit_roundtrip(tmp_path):
     """export_hf_vit -> load_hf_vit round-trips dense ViT logits exactly
     (fused qkv re-split, conv patchify fold)."""
