@@ -98,16 +98,25 @@ def test_gemma_quantized_serving_runs(model):
     assert len(out) == 12 and out.min() >= 0 and out.max() < cfg.vocab_size
 
 
-def test_gemma_refused_on_ring_and_pipeline(model):
-    params, cfg = model
-    from ssp_x_vit_tpu.parallel.ring_attention import make_seq_parallel_nll
+def test_gemma_seq_parallel_matches_single(model):
+    """Plain gemma (scaled embeddings, gelu_tanh GLU, tied head) rides
+    ring-attention sequence parallelism exactly; the old construction-time
+    refusal was lifted when the ring gained the gemma block."""
+    from jax.sharding import Mesh
+    from ssp_x_vit_tpu.parallel.ring_attention import (
+        evaluate_perplexity_seq_parallel)
+    from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
+    from ssp_x_vit_tpu.llm.datasets import synthetic_token_stream
 
-    # construction-time refusal: the config guard fires before any compute
-    import jax.sharding as shd
-    devs = np.array(jax.devices()[:2]).reshape(1, 2)
-    mesh = shd.Mesh(devs, ("data", "seq"))
-    with pytest.raises(ValueError, match="gemma"):
-        make_seq_parallel_nll(mesh, cfg)
+    params, cfg = model
+    stream = synthetic_token_stream(64 * 2, cfg.vocab_size, seed=11)
+    ppl_single = evaluate_perplexity(params, cfg, stream, seq_len=64,
+                                     enable_tqdm=False)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    ppl_sp = evaluate_perplexity_seq_parallel(params, cfg, mesh, stream,
+                                              seq_len=64)
+    assert abs(np.log(ppl_sp) - np.log(ppl_single)) < 1e-3
 
 
 def test_gemma_2ssp_pruning_runs(model):
