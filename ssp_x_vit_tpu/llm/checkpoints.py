@@ -16,13 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssp_x_vit_tpu.llm.model import LlamaConfig, Params
+from ssp_x_vit_tpu.llm.rope import (RopeScaling, export_rope_scaling,
+                                    parse_rope_scaling)
 from ssp_x_vit_tpu.models.checkpoints import _read_safetensors, _t
 
 
 def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     mt = d.get("model_type", "llama")
     if mt not in ("llama", "mistral", "qwen2", "phi3", "phi", "opt", "gemma",
-                  "gemma2"):
+                  "gemma2", "mixtral"):
         raise ValueError(f"unsupported model_type {mt}")
     heads = d["num_attention_heads"]
     head_dim = d.get("head_dim", d["hidden_size"] // heads)
@@ -60,7 +62,7 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     # is refused rather than silently mis-masked.
     sliding_window, window_layers = None, None
     if d.get("sliding_window") is not None:
-        if mt in ("mistral", "phi3"):
+        if mt in ("mistral", "phi3", "mixtral"):
             sliding_window = d["sliding_window"]
         elif mt == "qwen2" and d.get("use_sliding_window", False):
             # HF Qwen2: the FIRST max_window_layers layers run full
@@ -76,6 +78,22 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
             # HF Gemma2: EVEN layers slide, odd layers run full attention
             sliding_window = d["sliding_window"]
             window_layers = tuple(range(0, d["num_hidden_layers"], 2))
+    num_experts, moe_top_k, aux_coef = 0, 1, 0.01
+    if mt == "mixtral":
+        # HF MixtralSparseMoeBlock: softmax over ALL experts -> top-k ->
+        # renormalize over the selected k — exactly the dropless top-k gate
+        # in parallel/moe.py. top-1 mixtral would renormalize to a UNIT
+        # gate where our switch path keeps the raw probability; no shipped
+        # checkpoint uses it, so it is refused rather than silently off.
+        num_experts = d["num_local_experts"]
+        moe_top_k = d.get("num_experts_per_tok", 2)
+        aux_coef = d.get("router_aux_loss_coef", 0.02)
+        if moe_top_k < 2:
+            raise ValueError(
+                "mixtral with num_experts_per_tok=1 renormalizes the single "
+                "gate to 1.0 (HF semantics); the switch-MoE path here keeps "
+                "the raw router probability — refusing instead of silently "
+                "diverging")
     return LlamaConfig(
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
@@ -83,8 +101,14 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         num_heads=heads,
         num_kv_heads=d.get("num_key_value_heads", heads),
         intermediate_size=d["intermediate_size"],
+        num_experts=num_experts,
+        moe_top_k=moe_top_k,
+        router_aux_coef=aux_coef,
         rms_eps=d.get("rms_norm_eps", 1e-5),
         rope_theta=d.get("rope_theta", 10000.0),
+        # llama-3.1 "llama3" / YaRN / linear scaling (llm/rope.py); phi's
+        # partial-rotary HF config carries no rope_scaling in scope here
+        rope_scaling=parse_rope_scaling(d.get("rope_scaling")),
         tie_embeddings=d.get("tie_word_embeddings",
                              mt in ("gemma", "gemma2")),
         model_type=mt,
@@ -237,10 +261,27 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
         "k_kernel": stack("model.layers.{i}.self_attn.k_proj.weight", _t),
         "v_kernel": stack("model.layers.{i}.self_attn.v_proj.weight", _t),
         "o_kernel": stack("model.layers.{i}.self_attn.o_proj.weight", _t),
-        "gate_kernel": stack("model.layers.{i}.mlp.gate_proj.weight", _t),
-        "up_kernel": stack("model.layers.{i}.mlp.up_proj.weight", _t),
-        "down_kernel": stack("model.layers.{i}.mlp.down_proj.weight", _t),
     }
+    if cfg.model_type == "mixtral":
+        # HF MixtralSparseMoeBlock -> the MoE param contract of
+        # parallel/moe.py: router [L, d, E], expert-stacked SwiGLU kernels
+        # [L, E, d, f] / [L, E, f, d]. HF expert naming: w1 = gate,
+        # w3 = up, w2 = down (torch Linear weights are [out, in]).
+        E = cfg.num_experts
+        blocks["router"] = stack(
+            "model.layers.{i}.block_sparse_moe.gate.weight", _t)
+        for ours, theirs in (("gate_kernel", "w1"), ("up_kernel", "w3"),
+                             ("down_kernel", "w2")):
+            blocks[ours] = np.stack([
+                np.stack([_t(g(f"model.layers.{i}.block_sparse_moe."
+                              f"experts.{e}.{theirs}.weight"))
+                          for e in range(E)]) for i in range(L)])
+    else:
+        blocks.update({
+            "gate_kernel": stack("model.layers.{i}.mlp.gate_proj.weight", _t),
+            "up_kernel": stack("model.layers.{i}.mlp.up_proj.weight", _t),
+            "down_kernel": stack("model.layers.{i}.mlp.down_proj.weight", _t),
+        })
     if cfg.model_type == "gemma2":
         # gemma-2's four norms: ln2 here = PRE-feedforward (keeps MLP call
         # sites uniform); post-norms are new keys
@@ -311,6 +352,8 @@ def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
             "layer_norm_eps": cfg.layer_norm_eps,
             "tie_word_embeddings": False,
             "hidden_act": "gelu_new",
+            **({"rope_scaling": export_rope_scaling(cfg.rope_scaling)}
+               if cfg.rope_scaling is not None else {}),
         }
     d: Dict[str, Any] = {
         "model_type": cfg.model_type,
@@ -323,15 +366,22 @@ def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
         "tie_word_embeddings": cfg.tie_embeddings,
         "max_position_embeddings": cfg.max_position_embeddings,
     }
+    if cfg.rope_scaling is not None:
+        d["rope_scaling"] = export_rope_scaling(cfg.rope_scaling)
     arch = {"llama": "LlamaForCausalLM", "mistral": "MistralForCausalLM",
             "qwen2": "Qwen2ForCausalLM", "gemma": "GemmaForCausalLM",
-            "gemma2": "Gemma2ForCausalLM"}.get(cfg.model_type)
+            "gemma2": "Gemma2ForCausalLM",
+            "mixtral": "MixtralForCausalLM"}.get(cfg.model_type)
     if arch is None:
         # phi3 configs normalize to llama layout inside load_hf_llama; a
         # still-phi3-typed config never paired with loaded weights
         raise ValueError(f"model_type {cfg.model_type!r} has no HF export "
                          "encoding (phi3 loads normalize to llama layout)")
     d["architectures"] = [arch]
+    if cfg.model_type == "mixtral":
+        d["num_local_experts"] = cfg.num_experts
+        d["num_experts_per_tok"] = cfg.moe_top_k
+        d["router_aux_loss_coef"] = cfg.router_aux_coef
     if cfg.model_type in ("gemma", "gemma2"):
         d["head_dim"] = cfg.head_dim
         d["hidden_activation"] = "gelu_pytorch_tanh"
@@ -354,7 +404,7 @@ def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
             # window the source model never had
             d["sliding_window"] = None
     else:
-        if cfg.model_type == "mistral" and cfg.uniform_window:
+        if cfg.model_type in ("mistral", "mixtral") and cfg.uniform_window:
             d["sliding_window"] = cfg.sliding_window
         elif cfg.model_type == "qwen2":
             wl = cfg.window_layers
@@ -394,8 +444,9 @@ def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
             "lm_head_q" in params:
         raise ValueError("quantized pytrees have no HF encoding — export the "
                          "dense params and quantize after from_pretrained")
-    if cfg.num_experts:
-        raise ValueError("MoE export to HF (mixtral layout) is unsupported; "
+    if cfg.num_experts and cfg.model_type != "mixtral":
+        raise ValueError("MoE export to HF needs the mixtral layout "
+                         "(model_type='mixtral'); native MoE-llama configs "
                          "use save_llm_model")
     if cfg.pruned_attention_blocks:
         raise ValueError("depth-materialized attention removal is not "
@@ -478,10 +529,25 @@ def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
                  ("q_kernel", "self_attn.q_proj.weight", _t),
                  ("k_kernel", "self_attn.k_proj.weight", _t),
                  ("v_kernel", "self_attn.v_proj.weight", _t),
-                 ("o_kernel", "self_attn.o_proj.weight", _t),
-                 ("gate_kernel", "mlp.gate_proj.weight", _t),
-                 ("up_kernel", "mlp.up_proj.weight", _t),
-                 ("down_kernel", "mlp.down_proj.weight", _t)]
+                 ("o_kernel", "self_attn.o_proj.weight", _t)]
+        if cfg.model_type == "mixtral":
+            # inverse of the loader's expert stacking: router back to
+            # [E, d], per-expert w1/w3/w2 back to [out, in]
+            for i in range(L):
+                tensors[f"model.layers.{i}.block_sparse_moe.gate.weight"] = \
+                    u("router", i, _t)
+                for ours, theirs in (("gate_kernel", "w1"),
+                                     ("up_kernel", "w3"),
+                                     ("down_kernel", "w2")):
+                    for e in range(cfg.num_experts):
+                        tensors[f"model.layers.{i}.block_sparse_moe."
+                                f"experts.{e}.{theirs}.weight"] = \
+                            np.ascontiguousarray(_t(np.asarray(
+                                blocks[ours][i, e], np.float32)))
+        else:
+            names += [("gate_kernel", "mlp.gate_proj.weight", _t),
+                      ("up_kernel", "mlp.up_proj.weight", _t),
+                      ("down_kernel", "mlp.down_proj.weight", _t)]
         if cfg.is_gemma2:
             names += [("ln1_post", "post_attention_layernorm.weight", unbake),
                       ("ln2", "pre_feedforward_layernorm.weight", unbake),
@@ -543,6 +609,9 @@ def load_llm_model(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaCon
     for k, v in d.items():
         if isinstance(v, list):
             d[k] = tuple(v)
+    # asdict() flattened the nested frozen RopeScaling into a plain dict
+    if isinstance(d.get("rope_scaling"), dict):
+        d["rope_scaling"] = RopeScaling(**d["rope_scaling"])
     cfg = LlamaConfig(**d)
     params = load_params_npz(os.path.join(model_dir, "model.npz"), dtype=dtype)
     return params, cfg

@@ -20,6 +20,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ssp_x_vit_tpu.llm.rope import RopeScaling
+
 Params = Dict[str, Any]
 
 
@@ -33,6 +35,10 @@ class LlamaConfig:
     intermediate_size: int = 11008
     rms_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # HF rope_scaling (llama-3.1 "llama3", YaRN, linear) — a frozen
+    # RopeScaling (llm/rope.py) so the config stays hashable/static under
+    # jit. None = vanilla RoPE. "dynamic" NTK is refused (llm/rope.py).
+    rope_scaling: Optional["RopeScaling"] = None
     tie_embeddings: bool = False
     # llama | mistral | qwen2 share the pre-RMSNorm SwiGLU block; phi3 maps to
     # the same layout at load time (fused qkv/gate_up split by the loader);
@@ -267,16 +273,23 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     return (y * scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def _rope(q: jax.Array, k: jax.Array, theta: float) -> Tuple[jax.Array, jax.Array]:
-    """Rotary embeddings, HF half-rotation layout. q/k: [b, h, s, hd]."""
+def _rope(q: jax.Array, k: jax.Array,
+          cfg: "LlamaConfig") -> Tuple[jax.Array, jax.Array]:
+    """Rotary embeddings, HF half-rotation layout. q/k: [b, h, s, hd]
+    (already sliced to the rotary dims for partial rotary). Frequencies —
+    including any ``rope_scaling`` correction (llama3/yarn/linear) — come
+    from llm/rope.py so every path derives identical values."""
+    from ssp_x_vit_tpu.llm.rope import rope_freqs
+
     hd = q.shape[-1]
     s = q.shape[2]
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    inv_freq_np, attn_scale = rope_freqs(cfg.rope_theta, hd, cfg.rope_scaling)
+    inv_freq = jnp.asarray(inv_freq_np)
     pos = jnp.arange(s, dtype=jnp.float32)
     freqs = jnp.outer(pos, inv_freq)                      # [s, hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)        # [s, hd]
-    cos = jnp.cos(emb)[None, None]
-    sin = jnp.sin(emb)[None, None]
+    cos = (jnp.cos(emb) * attn_scale)[None, None]
+    sin = (jnp.sin(emb) * attn_scale)[None, None]
 
     def rotate_half(x):
         x1, x2 = jnp.split(x, 2, axis=-1)
@@ -320,11 +333,11 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype, window_override=None):
     elif cfg.rotary_dim is not None and cfg.rotary_dim < hd:
         # phi partial rotary: rotate the first rotary_dim dims, pass the rest
         rd = cfg.rotary_dim
-        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
+        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg)
         q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
         k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
     else:
-        q, k = _rope(q, k, cfg.rope_theta)
+        q, k = _rope(q, k, cfg)
     from ssp_x_vit_tpu.ops.dispatch import FLASH_MIN_SEQ, use_pallas
 
     window = cfg.sliding_window if window_override is None else window_override

@@ -47,16 +47,23 @@ def bucket_prompt_pad(n: int, buckets: Sequence[int] = PROMPT_BUCKETS) -> int:
     return -(-n // 128) * 128
 
 
-def _rope_at(q, k, positions, theta, rotary_dim: Optional[int] = None):
+def _rope_at(q, k, positions, cfg: LlamaConfig):
     """Rotary embedding at per-sequence positions. q/k: [b, s, h, hd];
-    positions [b, s]. ``rotary_dim`` rotates only the first dims (phi-2)."""
+    positions [b, s]. ``cfg.rotary_dim`` rotates only the first dims (phi-2);
+    ``cfg.rope_scaling`` (llama3/yarn/linear) corrects the frequencies —
+    shared with the full forward via llm/rope.py so cached decode stays
+    exactly equal to recompute."""
+    from ssp_x_vit_tpu.llm.rope import rope_freqs
+
     hd = q.shape[-1]
+    rotary_dim = cfg.rotary_dim
     rd = rotary_dim if (rotary_dim is not None and rotary_dim < hd) else hd
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    inv_freq_np, attn_scale = rope_freqs(cfg.rope_theta, rd, cfg.rope_scaling)
+    inv_freq = jnp.asarray(inv_freq_np)
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [b, s, rd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)               # [b, s, rd]
-    cos = jnp.cos(emb)[:, :, None, :]
-    sin = jnp.sin(emb)[:, :, None, :]
+    cos = (jnp.cos(emb) * attn_scale)[:, :, None, :]
+    sin = (jnp.sin(emb) * attn_scale)[:, :, None, :]
 
     def rot(x):
         x1, x2 = jnp.split(x, 2, axis=-1)
@@ -149,7 +156,7 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype,
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     if not cfg.is_opt:  # OPT: learned absolute positions at the embedding
-        q, k = _rope_at(q, k, positions, cfg.rope_theta, cfg.rotary_dim)
+        q, k = _rope_at(q, k, positions, cfg)
     return q, k, v
 
 
@@ -622,7 +629,7 @@ def _sample_token(logits, rng, temperature: float, top_k: Optional[int],
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "temperature", "top_k", "top_p",
-                     "rolling"),
+                     "rolling", "sampling"),
     donate_argnums=(2, 3),
 )
 def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
@@ -630,26 +637,46 @@ def decode_scan(params: Params, first_token: jax.Array, cache_k, cache_v,
                 num_steps: int, rng: Optional[jax.Array] = None,
                 temperature: float = 0.0, top_k: Optional[int] = None,
                 rolling: Optional[int] = None, top_p: Optional[float] = None,
-                lora_ids: Optional[jax.Array] = None):
+                lora_ids: Optional[jax.Array] = None,
+                sampling=None, penalty_state=None):
     """Run ``num_steps`` decode steps ENTIRELY on device (lax.scan with token
     feedback) — one dispatch for the whole generation, which matters on
     dispatch-latency-bound links (docs/tpu_notes.md). Greedy when
-    temperature == 0, else temperature/top-k sampling. Returns the generated
-    tokens [num_steps, b] and the final caches."""
+    temperature == 0, else temperature/top-k/top-p/min-p sampling. Returns
+    the generated tokens [num_steps, b] and the final caches.
+
+    ``sampling`` (llm/sampling.SamplingParams, static) supersedes the loose
+    temperature/top_k/top_p kwargs and adds min_p + repetition/presence/
+    frequency penalties; when penalties are active, ``penalty_state`` =
+    (prompt presence mask [b, V], generated counts [b, V] INCLUDING
+    first_token) rides the scan carry and a scatter-add per step keeps the
+    counts current."""
+    from ssp_x_vit_tpu.llm import sampling as sampling_mod
+
+    sp = sampling if sampling is not None else sampling_mod.SamplingParams(
+        temperature=temperature, top_k=top_k, top_p=top_p)
+    if sp.needs_counts and penalty_state is None:
+        raise ValueError("penalty sampling needs penalty_state (use "
+                         "generate_kv_scan, which initializes it)")
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def step(carry, _):
-        token, ck, cv, pos, key = carry
+        token, ck, cv, pos, key, pstate = carry
         logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos, pad_lens,
                                       rolling, lora_ids)
+        if sp.needs_counts:
+            pmask, counts = pstate
+            logits = sampling_mod.apply_penalties(logits, pmask, counts, sp)
         key, sub = jax.random.split(key)
-        nxt = _sample_token(logits, sub, temperature, top_k, top_p)
-        return (nxt, ck, cv, pos + 1, key), nxt
+        nxt = sampling_mod.sample(logits, sub, sp)
+        if sp.needs_counts:
+            pstate = (pmask, sampling_mod.update_counts(counts, nxt))
+        return (nxt, ck, cv, pos + 1, key, pstate), nxt
 
-    (_, cache_k, cache_v, _, _), tokens = jax.lax.scan(
-        step, (first_token, cache_k, cache_v, start_pos, rng), None,
-        length=num_steps)
+    (_, cache_k, cache_v, _, _, _), tokens = jax.lax.scan(
+        step, (first_token, cache_k, cache_v, start_pos, rng, penalty_state),
+        None, length=num_steps)
     return tokens, cache_k, cache_v
 
 
@@ -712,6 +739,7 @@ def generate_kv_scan(
     cache_factory=None,
     rolling: bool = False,
     lora_ids=None,
+    sampling=None,
 ):
     """Whole-generation-on-device decoding: prefill + ONE scan dispatch (no
     per-token host round trips). Batched: ``input_ids`` may be one prompt or a
@@ -746,19 +774,32 @@ def generate_kv_scan(
     logits, cache_k, cache_v = prefill(
         params, jnp.asarray(tokens), cache_k, cache_v, cfg,
         jnp.asarray(pad_lens), rolling=W, lora_ids=lora_ids)
-    if temperature <= 0.0:
+    from ssp_x_vit_tpu.llm import sampling as sampling_mod
+
+    sp = sampling if sampling is not None else sampling_mod.SamplingParams(
+        temperature=temperature, top_k=top_k, top_p=top_p)
+    pstate = None
+    if sp.needs_counts:
+        valid = (jnp.arange(p_pad)[None, :]
+                 >= jnp.asarray(pad_lens)[:, None])
+        pmask, counts = sampling_mod.init_penalty_state(
+            jnp.asarray(tokens), valid, cfg.vocab_size)
+        logits = sampling_mod.apply_penalties(logits, pmask, counts, sp)
+    if sp.greedy:
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, sub = jax.random.split(rng)
-        first = _sample_token(logits, sub, temperature, top_k, top_p)
+        first = sampling_mod.sample(logits, sub, sp)
+    if sp.needs_counts:
+        pstate = (pmask, sampling_mod.update_counts(counts, first))
     if num_steps <= 0:
         gen = np.asarray(first)[None]
     else:
         toks, _, _ = decode_scan(
             params, first, cache_k, cache_v, cfg,
             jnp.asarray(p_pad, jnp.int32), jnp.asarray(pad_lens), num_steps,
-            rng=rng, temperature=temperature, top_k=top_k, top_p=top_p,
+            rng=rng, sampling=sp, penalty_state=pstate,
             rolling=W, lora_ids=lora_ids)
         gen = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0)
     outs = _trim_outputs(lens, pad_lens, p_pad, tokens, gen, max_length,

@@ -95,7 +95,7 @@ def _sliced_attention(h, lp, cfg: LlamaConfig, compute_dtype):
     q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    q, k = _rope(q, k, cfg.rope_theta)
+    q, k = _rope(q, k, cfg)
     out = _sdpa(q, k, v, window=cfg.sliding_window)  # GQA-aware dispatch
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     return out @ lp["o_kernel"].astype(compute_dtype)
@@ -131,11 +131,11 @@ def _sliced_attention_phi(h, lp, cfg: LlamaConfig, compute_dtype):
     if cfg.is_opt:
         pass  # learned absolute positions live in the (rotated) embeddings
     elif rd is not None and rd < hd:
-        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
+        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg)
         q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
         k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
     else:
-        q, k = _rope(q, k, cfg.rope_theta)
+        q, k = _rope(q, k, cfg)
     out = _sdpa(q, k, v, window=cfg.sliding_window)  # GQA-aware dispatch
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nq * hd)
     return out @ lp["o_kernel"].astype(compute_dtype) + lp["o_bias"].astype(compute_dtype)

@@ -125,7 +125,7 @@ def _tp_block(x, bp, cfg: LlamaConfig, compute_dtype, tp: int,
     q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    q, k = _rope(q, k, cfg.rope_theta)
+    q, k = _rope(q, k, cfg)
     if nkv != nq:
         rep = nq // nkv
         k = jnp.repeat(k, rep, axis=1)
@@ -174,11 +174,11 @@ def _tp_block_phi(x, bp, cfg: LlamaConfig, compute_dtype, tp: int,
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     rd = cfg.rotary_dim
     if rd is not None and rd < hd:  # phi partial rotary
-        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg.rope_theta)
+        q_rot, k_rot = _rope(q[..., :rd], k[..., :rd], cfg)
         q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
         k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
     else:
-        q, k = _rope(q, k, cfg.rope_theta)
+        q, k = _rope(q, k, cfg)
     if nkv != nq:
         rep = nq // nkv
         k = jnp.repeat(k, rep, axis=1)

@@ -89,15 +89,20 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
     return out.reshape(b, hq, sl, hd).astype(q.dtype)
 
 
-def _rope_at(q, k, theta: float, positions, rotary_dim=None):
+def _rope_at(q, k, cfg, positions):
     """HF half-rotation rope at explicit GLOBAL positions [s_local].
-    ``rotary_dim`` rotates only the first dims (phi-2 partial rotary)."""
+    ``cfg.rotary_dim`` rotates only the first dims (phi-2 partial rotary);
+    ``cfg.rope_scaling`` frequencies shared via llm/rope.py."""
+    from ssp_x_vit_tpu.llm.rope import rope_freqs
+
     hd = q.shape[-1]
+    rotary_dim = cfg.rotary_dim
     rd = rotary_dim if (rotary_dim is not None and rotary_dim < hd) else hd
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
-    freqs = jnp.outer(positions.astype(jnp.float32), inv_freq)
+    inv_freq_np, attn_scale = rope_freqs(cfg.rope_theta, rd, cfg.rope_scaling)
+    freqs = jnp.outer(positions.astype(jnp.float32), jnp.asarray(inv_freq_np))
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    cos, sin = jnp.cos(emb)[None, None], jnp.sin(emb)[None, None]
+    cos = (jnp.cos(emb) * attn_scale)[None, None]
+    sin = (jnp.sin(emb) * attn_scale)[None, None]
 
     def rot(x):
         x1, x2 = jnp.split(x, 2, axis=-1)
@@ -170,7 +175,7 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
             q = q.reshape(b, sl, nq, hd).transpose(0, 2, 1, 3)
             k = k.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
             v = v.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
-            q, k = _rope_at(q, k, cfg.rope_theta, positions, cfg.rotary_dim)
+            q, k = _rope_at(q, k, cfg, positions)
             out = ring_attention(q, k, v, "seq", n_chunks=sp, causal=True,
                                  window=window, softcap=cfg.attn_softcap)
             out = out.transpose(0, 2, 1, 3).reshape(b, sl, nq * hd)
