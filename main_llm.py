@@ -125,9 +125,13 @@ def load_model(args):
                           window_layers=tuple(range(0, TINY_RANDOM["num_layers"], 2)),
                           attn_softcap=50.0, final_softcap=30.0)
         return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
+    if args.model == "tiny-random-qwen3":
+        cfg = LlamaConfig(**TINY_RANDOM, model_type="qwen3", qk_norm=True)
+        return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
     raise SystemExit("--model must be a local HF directory, 'tiny-random', "
                      "'tiny-random-phi', 'tiny-random-opt', "
-                     f"'tiny-random-gemma' or 'tiny-random-gemma2'; got {args.model}")
+                     "'tiny-random-gemma', 'tiny-random-gemma2' or "
+                     f"'tiny-random-qwen3'; got {args.model}")
 
 
 def load_corpora(args, cfg):

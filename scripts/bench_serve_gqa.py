@@ -62,9 +62,10 @@ def main():
 
     grouped = serve._attend_cached  # the shipped grouped-einsum path
 
-    def attend_repeat(q, ck, cv, query_positions, pad_lens, c, rolling=None):
+    def attend_repeat(q, ck, cv, query_positions, pad_lens, c, rolling=None,
+                      window_bound=None):
         """Round-2 behavior: repeat the cache to h heads, MHA einsum."""
-        assert rolling is None  # bench models have no sliding window
+        assert rolling is None and window_bound is None  # no windows here
         b, s_q, h, hd = q.shape
         rep = c.num_heads // c.num_kv_heads
         quant = isinstance(ck, dict)

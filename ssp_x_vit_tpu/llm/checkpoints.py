@@ -24,7 +24,7 @@ from ssp_x_vit_tpu.models.checkpoints import _read_safetensors, _t
 def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     mt = d.get("model_type", "llama")
     if mt not in ("llama", "mistral", "qwen2", "phi3", "phi", "opt", "gemma",
-                  "gemma2", "mixtral"):
+                  "gemma2", "mixtral", "qwen3", "qwen3_moe"):
         raise ValueError(f"unsupported model_type {mt}")
     heads = d["num_attention_heads"]
     head_dim = d.get("head_dim", d["hidden_size"] // heads)
@@ -64,7 +64,8 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
     if d.get("sliding_window") is not None:
         if mt in ("mistral", "phi3", "mixtral"):
             sliding_window = d["sliding_window"]
-        elif mt == "qwen2" and d.get("use_sliding_window", False):
+        elif mt in ("qwen2", "qwen3", "qwen3_moe") and d.get(
+                "use_sliding_window", False):
             # HF Qwen2: the FIRST max_window_layers layers run full
             # attention; layers past that use the window (Qwen2Config docs;
             # shipped checkpoints set mwl == num_layers, windowing nothing).
@@ -79,6 +80,26 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
             sliding_window = d["sliding_window"]
             window_layers = tuple(range(0, d["num_hidden_layers"], 2))
     num_experts, moe_top_k, aux_coef = 0, 1, 0.01
+    intermediate = d["intermediate_size"]
+    if mt == "qwen3_moe":
+        # HF Qwen3Moe: softmax -> top-k -> renormalize (norm_topk_prob=True,
+        # the shipped-checkpoint setting) == the dropless top-k gate. The
+        # expert MLP width is moe_intermediate_size; dense-MLP interleaving
+        # (decoder_sparse_step > 1, mlp_only_layers) has no counterpart in
+        # the uniform stacked-block layout and is refused.
+        if not d.get("norm_topk_prob", True):
+            raise ValueError("qwen3_moe with norm_topk_prob=False keeps "
+                             "un-renormalized gates; the dropless top-k "
+                             "path here renormalizes — refusing instead of "
+                             "silently diverging")
+        if d.get("decoder_sparse_step", 1) != 1 or d.get("mlp_only_layers"):
+            raise ValueError("qwen3_moe with dense-MLP layers interleaved "
+                             "(decoder_sparse_step/mlp_only_layers) is not "
+                             "representable in the uniform MoE block stack")
+        num_experts = d["num_experts"]
+        moe_top_k = d.get("num_experts_per_tok", 8)
+        aux_coef = d.get("router_aux_loss_coef", 0.001)
+        intermediate = d["moe_intermediate_size"]
     if mt == "mixtral":
         # HF MixtralSparseMoeBlock: softmax over ALL experts -> top-k ->
         # renormalize over the selected k — exactly the dropless top-k gate
@@ -100,7 +121,7 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         num_layers=d["num_hidden_layers"],
         num_heads=heads,
         num_kv_heads=d.get("num_key_value_heads", heads),
-        intermediate_size=d["intermediate_size"],
+        intermediate_size=intermediate,
         num_experts=num_experts,
         moe_top_k=moe_top_k,
         router_aux_coef=aux_coef,
@@ -117,14 +138,19 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         # letting transformers default it (llama: 2048)
         max_position_embeddings=d.get("max_position_embeddings", 2048),
         sliding_window=sliding_window,
-        qkv_bias=(mt == "qwen2"),
+        qkv_bias=(mt == "qwen2" or (mt in ("qwen3", "qwen3_moe")
+                                    and d.get("attention_bias", False))),
         rotary_dim=rotary_dim,
         layer_norm_eps=d.get("layer_norm_eps", 1e-5),
         # gemma: explicit head_dim (7B: 256 != hidden/heads), tanh-gelu GLU
         # (HF resolves hidden_activation to gelu_pytorch_tanh), sqrt(d)
-        # embedding scale, always-tied head
-        explicit_head_dim=(d.get("head_dim") if mt in ("gemma", "gemma2")
+        # embedding scale, always-tied head. qwen3 also ships an explicit
+        # head_dim (0.6B: 128 != 1024/16).
+        explicit_head_dim=(d.get("head_dim")
+                           if mt in ("gemma", "gemma2", "qwen3", "qwen3_moe")
                            else None),
+        # qwen3(+moe): per-head RMSNorm on q/k before rope
+        qk_norm=(mt in ("qwen3", "qwen3_moe")),
         hidden_act=("gelu_tanh" if mt in ("gemma", "gemma2") else "silu"),
         scale_embeddings=(mt in ("gemma", "gemma2")),
         window_layers=window_layers,
@@ -133,6 +159,17 @@ def config_from_hf_dict(d: Dict[str, Any]) -> LlamaConfig:
         final_softcap=(d.get("final_logit_softcapping", 30.0)
                        if mt == "gemma2" else None),
     )
+
+
+# HF MoE naming per model_type: (submodule, ((our key, their proj), ...))
+_MOE_NAMES = {
+    "mixtral": ("block_sparse_moe", (("gate_kernel", "w1"),
+                                     ("up_kernel", "w3"),
+                                     ("down_kernel", "w2"))),
+    "qwen3_moe": ("mlp", (("gate_kernel", "gate_proj"),
+                          ("up_kernel", "up_proj"),
+                          ("down_kernel", "down_proj"))),
+}
 
 
 def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
@@ -262,18 +299,19 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
         "v_kernel": stack("model.layers.{i}.self_attn.v_proj.weight", _t),
         "o_kernel": stack("model.layers.{i}.self_attn.o_proj.weight", _t),
     }
-    if cfg.model_type == "mixtral":
-        # HF MixtralSparseMoeBlock -> the MoE param contract of
-        # parallel/moe.py: router [L, d, E], expert-stacked SwiGLU kernels
-        # [L, E, d, f] / [L, E, f, d]. HF expert naming: w1 = gate,
-        # w3 = up, w2 = down (torch Linear weights are [out, in]).
+    if cfg.num_experts:
+        # HF sparse-MoE blocks -> the MoE param contract of parallel/moe.py:
+        # router [L, d, E], expert-stacked SwiGLU kernels [L, E, d, f] /
+        # [L, E, f, d]. Mixtral names the submodule block_sparse_moe with
+        # w1/w3/w2 expert projections (torch Linear weights are [out, in]);
+        # qwen3_moe uses mlp with gate/up/down_proj.
+        moe_pre, names = _MOE_NAMES[cfg.model_type]
         E = cfg.num_experts
         blocks["router"] = stack(
-            "model.layers.{i}.block_sparse_moe.gate.weight", _t)
-        for ours, theirs in (("gate_kernel", "w1"), ("up_kernel", "w3"),
-                             ("down_kernel", "w2")):
+            "model.layers.{i}." + moe_pre + ".gate.weight", _t)
+        for ours, theirs in names:
             blocks[ours] = np.stack([
-                np.stack([_t(g(f"model.layers.{i}.block_sparse_moe."
+                np.stack([_t(g(f"model.layers.{i}.{moe_pre}."
                               f"experts.{e}.{theirs}.weight"))
                           for e in range(E)]) for i in range(L)])
     else:
@@ -304,6 +342,9 @@ def load_hf_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConf
         blocks["q_bias"] = stack("model.layers.{i}.self_attn.q_proj.bias")
         blocks["k_bias"] = stack("model.layers.{i}.self_attn.k_proj.bias")
         blocks["v_bias"] = stack("model.layers.{i}.self_attn.v_proj.bias")
+    if cfg.qk_norm:
+        blocks["q_norm"] = stack("model.layers.{i}.self_attn.q_norm.weight")
+        blocks["k_norm"] = stack("model.layers.{i}.self_attn.k_norm.weight")
 
     if cfg.model_type in ("gemma", "gemma2"):
         # Gemma(2)RMSNorm scales by (1 + weight): bake the +1 into the
@@ -371,7 +412,9 @@ def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
     arch = {"llama": "LlamaForCausalLM", "mistral": "MistralForCausalLM",
             "qwen2": "Qwen2ForCausalLM", "gemma": "GemmaForCausalLM",
             "gemma2": "Gemma2ForCausalLM",
-            "mixtral": "MixtralForCausalLM"}.get(cfg.model_type)
+            "mixtral": "MixtralForCausalLM",
+            "qwen3": "Qwen3ForCausalLM",
+            "qwen3_moe": "Qwen3MoeForCausalLM"}.get(cfg.model_type)
     if arch is None:
         # phi3 configs normalize to llama layout inside load_hf_llama; a
         # still-phi3-typed config never paired with loaded weights
@@ -382,6 +425,19 @@ def hf_dict_from_config(cfg: LlamaConfig) -> Dict[str, Any]:
         d["num_local_experts"] = cfg.num_experts
         d["num_experts_per_tok"] = cfg.moe_top_k
         d["router_aux_loss_coef"] = cfg.router_aux_coef
+    if cfg.model_type in ("qwen3", "qwen3_moe"):
+        d["head_dim"] = cfg.head_dim
+        d["attention_bias"] = cfg.qkv_bias
+    if cfg.model_type == "qwen3_moe":
+        d["num_experts"] = cfg.num_experts
+        d["num_experts_per_tok"] = cfg.moe_top_k
+        d["router_aux_loss_coef"] = cfg.router_aux_coef
+        d["norm_topk_prob"] = True
+        d["decoder_sparse_step"] = 1
+        d["mlp_only_layers"] = []
+        # the loader mapped moe_intermediate_size onto intermediate_size;
+        # the dense fallback width is unused (every layer is sparse)
+        d["moe_intermediate_size"] = cfg.effective_intermediate
     if cfg.model_type in ("gemma", "gemma2"):
         d["head_dim"] = cfg.head_dim
         d["hidden_activation"] = "gelu_pytorch_tanh"
@@ -444,10 +500,10 @@ def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
             "lm_head_q" in params:
         raise ValueError("quantized pytrees have no HF encoding — export the "
                          "dense params and quantize after from_pretrained")
-    if cfg.num_experts and cfg.model_type != "mixtral":
-        raise ValueError("MoE export to HF needs the mixtral layout "
-                         "(model_type='mixtral'); native MoE-llama configs "
-                         "use save_llm_model")
+    if cfg.num_experts and cfg.model_type not in _MOE_NAMES:
+        raise ValueError("MoE export to HF needs an HF MoE layout "
+                         "(model_type 'mixtral' or 'qwen3_moe'); native "
+                         "MoE-llama configs use save_llm_model")
     if cfg.pruned_attention_blocks:
         raise ValueError("depth-materialized attention removal is not "
                          "representable in vanilla HF blocks; use "
@@ -530,17 +586,16 @@ def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
                  ("k_kernel", "self_attn.k_proj.weight", _t),
                  ("v_kernel", "self_attn.v_proj.weight", _t),
                  ("o_kernel", "self_attn.o_proj.weight", _t)]
-        if cfg.model_type == "mixtral":
+        if cfg.num_experts:
             # inverse of the loader's expert stacking: router back to
-            # [E, d], per-expert w1/w3/w2 back to [out, in]
+            # [E, d], per-expert projections back to [out, in]
+            moe_pre, moe_names = _MOE_NAMES[cfg.model_type]
             for i in range(L):
-                tensors[f"model.layers.{i}.block_sparse_moe.gate.weight"] = \
+                tensors[f"model.layers.{i}.{moe_pre}.gate.weight"] = \
                     u("router", i, _t)
-                for ours, theirs in (("gate_kernel", "w1"),
-                                     ("up_kernel", "w3"),
-                                     ("down_kernel", "w2")):
+                for ours, theirs in moe_names:
                     for e in range(cfg.num_experts):
-                        tensors[f"model.layers.{i}.block_sparse_moe."
+                        tensors[f"model.layers.{i}.{moe_pre}."
                                 f"experts.{e}.{theirs}.weight"] = \
                             np.ascontiguousarray(_t(np.asarray(
                                 blocks[ours][i, e], np.float32)))
@@ -558,6 +613,9 @@ def export_hf_llama(out_dir: str, params: Params, cfg: LlamaConfig) -> str:
             names += [("q_bias", "self_attn.q_proj.bias", lambda x: x),
                       ("k_bias", "self_attn.k_proj.bias", lambda x: x),
                       ("v_bias", "self_attn.v_proj.bias", lambda x: x)]
+        if cfg.qk_norm:
+            names += [("q_norm", "self_attn.q_norm.weight", lambda x: x),
+                      ("k_norm", "self_attn.k_norm.weight", lambda x: x)]
         for i in range(L):
             for key, suffix, tr in names:
                 tensors[f"model.layers.{i}.{suffix}"] = u(key, i, tr)

@@ -77,6 +77,10 @@ class LlamaConfig:
     # gemma-2 softcaps: logits <- cap * tanh(logits / cap)
     attn_softcap: Optional[float] = None     # attention logits (50.0)
     final_softcap: Optional[float] = None    # lm_head logits (30.0)
+    # qwen3: per-head RMSNorm on q/k (over head_dim, rms_eps) after the
+    # projections, BEFORE rope (HF Qwen3Attention). Params q_norm/k_norm
+    # [L, head_dim].
+    qk_norm: bool = False
 
     @property
     def is_phi(self) -> bool:
@@ -261,6 +265,9 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
         params["blocks"]["q_bias"] = jnp.zeros((L, hq), dtype)
         params["blocks"]["k_bias"] = jnp.zeros((L, hkv), dtype)
         params["blocks"]["v_bias"] = jnp.zeros((L, hkv), dtype)
+    if cfg.qk_norm:
+        params["blocks"]["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        params["blocks"]["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
     if not cfg.tie_embeddings:
         params["lm_head"] = nrm(next(ks), (d, cfg.vocab_size))
     return params
@@ -328,6 +335,10 @@ def _attention(x, bp, cfg: LlamaConfig, compute_dtype, window_override=None):
     q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    if cfg.qk_norm:
+        # qwen3: per-head RMSNorm over head_dim before rope
+        q = rms_norm(q, bp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, bp["k_norm"], cfg.rms_eps)
     if cfg.is_opt:
         pass  # OPT uses learned absolute positions at the embedding, no rope
     elif cfg.rotary_dim is not None and cfg.rotary_dim < hd:
@@ -661,7 +672,7 @@ def llama_forward_materialized(
             bp = _pick_variants(blocks, ("q_kernel", "k_kernel",
                                          "v_kernel", "o_kernel"), j)
             bp["ln1"] = blocks["ln1"][j]
-            for k in ("q_bias", "k_bias", "v_bias"):
+            for k in ("q_bias", "k_bias", "v_bias", "q_norm", "k_norm"):
                 if k in blocks:
                     bp[k] = blocks[k][j]
             # unrolled layers: per-layer windows are STATIC here, so each

@@ -253,7 +253,8 @@ def materialize_llm_depth_pruning(
     # submodule: serve/materialized forwards index it with the compacted
     # attention index j, so it must compact with q/k/v/o.
     attn_names = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
-                  "q_bias", "k_bias", "v_bias", "o_bias", "ln1_post")
+                  "q_bias", "k_bias", "v_bias", "o_bias", "ln1_post",
+                  "q_norm", "k_norm")  # qwen3 per-head norms ride attention
     if cfg.is_opt:
         attn_names = ("ln1", "ln1_bias") + attn_names  # pre-attn LN goes too
     elif not cfg.is_phi:

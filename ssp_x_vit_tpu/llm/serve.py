@@ -155,6 +155,9 @@ def _block_qkv(x, bp, cfg: LlamaConfig, positions, compute_dtype,
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:  # qwen3: per-head RMSNorm over head_dim before rope
+        q = rms_norm(q, bp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, bp["k_norm"], cfg.rms_eps)
     if not cfg.is_opt:  # OPT: learned absolute positions at the embedding
         q, k = _rope_at(q, k, positions, cfg)
     return q, k, v
@@ -412,7 +415,7 @@ def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
 
 _LLAMA_ATTN_KEYS = ("ln1", "ln1_bias", "q_kernel", "k_kernel", "v_kernel",
                     "o_kernel", "qkv_kernel", "q_bias", "k_bias", "v_bias",
-                    "o_bias", "ln1_post")
+                    "o_bias", "ln1_post", "q_norm", "k_norm")
 
 
 def pack_llm_params_for_serving(params: Params, cfg: LlamaConfig) -> Params:

@@ -560,6 +560,12 @@ def slicegpt(
             "engines); gemma's sqrt(d)-scaled embeddings share weights with "
             "an UNSCALED tied head, so the embedding-side rotation fold "
             "does not commute — use 2SSP/depth pruning for gemma")
+    if cfg.qk_norm:
+        raise ValueError(
+            "slicegpt cannot rotate qwen3: the per-head q/k RMSNorm sits "
+            "between the projections and rope, and a hidden-dim rotation "
+            "does not commute through the per-head normalization — use "
+            "2SSP/depth pruning for qwen3")
     if cfg.is_phi:
         return slicegpt_parallel(params, cfg, sparsity, calibration,
                                  final_orientation=final_orientation,

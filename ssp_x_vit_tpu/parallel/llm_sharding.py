@@ -29,6 +29,9 @@ def llama_param_specs(cfg: LlamaConfig) -> Dict[str, Any]:
              "ln2", "gate_kernel", "up_kernel", "down_kernel"]
     if cfg.qkv_bias:
         names += ["q_bias", "k_bias", "v_bias"]
+    if cfg.qk_norm:
+        # per-head-DIM scales: head_dim is never sharded -> replicated
+        names += ["q_norm", "k_norm"]
     blocks = {n: _block_key_spec(n, 3 if n.endswith("_kernel") else 2)
               for n in names}
     specs: Dict[str, Any] = {

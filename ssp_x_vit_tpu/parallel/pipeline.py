@@ -125,6 +125,11 @@ def _tp_block(x, bp, cfg: LlamaConfig, compute_dtype, tp: int,
     q = q.reshape(b, s, nq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    if cfg.qk_norm:
+        # qwen3 per-head RMSNorm: head_dim is unsharded, so the replicated
+        # [hd] scales apply to the local head shards unchanged
+        q = rms_norm(q, bp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, bp["k_norm"], cfg.rms_eps)
     q, k = _rope(q, k, cfg)
     if nkv != nq:
         rep = nq // nkv

@@ -175,6 +175,9 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
             q = q.reshape(b, sl, nq, hd).transpose(0, 2, 1, 3)
             k = k.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
             v = v.reshape(b, sl, nkv, hd).transpose(0, 2, 1, 3)
+            if cfg.qk_norm:  # qwen3 per-head RMSNorm before rope
+                q = rms_norm(q, bp["q_norm"], cfg.rms_eps)
+                k = rms_norm(k, bp["k_norm"], cfg.rms_eps)
             q, k = _rope_at(q, k, cfg, positions)
             out = ring_attention(q, k, v, "seq", n_chunks=sp, causal=True,
                                  window=window, softcap=cfg.attn_softcap)
