@@ -478,6 +478,29 @@ class _Slot:
     reserved: int = 0                    # worst-case pages held at admit
 
 
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _sampler_step(logits, state):
+    """Vectorized per-slot sampling over a decode step's [b, V] logits."""
+    from ssp_x_vit_tpu.llm.sampling import vectorized_sample
+
+    return vectorized_sample(logits, state)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _sampler_row_step(logits_row, state, i):
+    """Admit-time first-token sampling for ONE slot: slice row ``i`` out of
+    the state, run the same vectorized transform, write the row back."""
+    from ssp_x_vit_tpu.llm.sampling import vectorized_sample
+
+    row = jax.tree.map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, i, 1, axis=0), state)
+    tok, row2 = vectorized_sample(logits_row, row)
+    new_state = jax.tree.map(
+        lambda x, r: jax.lax.dynamic_update_slice_in_dim(x, r, i, axis=0),
+        state, row2)
+    return tok[0], new_state
+
+
 class PagedServer:
     """Continuous-batching greedy server over the paged pools.
 
@@ -502,6 +525,10 @@ class PagedServer:
                  chunked_prefill: Optional[int] = None,
                  prefix_cache: bool = False):
         self.params, self.cfg = params, cfg
+        # per-request sampling (vLLM vectorized-sampler design): lazily
+        # activated device state; None = every request greedy via host
+        # argmax (the zero-overhead default).
+        self.sampler_state = None
         self.page_size = page_size
         # chunked_prefill = C: admit prompts through fixed C-token chunks
         # (ONE compiled prefill shape for all prompt lengths, O(C * pages)
@@ -563,11 +590,25 @@ class PagedServer:
     # ---------------- admission ----------------
 
     def add_request(self, prompt, max_new_tokens: int = 32,
-                    eos_token_id: Optional[int] = None) -> int:
+                    eos_token_id: Optional[int] = None,
+                    sampling=None, seed: Optional[int] = None) -> int:
+        """``sampling`` (llm/sampling.SamplingParams) + ``seed`` select this
+        REQUEST's decoding: requests with different temperatures/penalties/
+        seeds decode together in one compiled step (traced [b] parameter
+        vectors — admitting a new mixture never recompiles)."""
         prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
         slot = next((s for s in self.slots if not s.active), None)
         if slot is None:
             raise RuntimeError("no free slot")
+        slot_idx = self.slots.index(slot)
+        if (sampling is not None or seed is not None) and \
+                self.sampler_state is None:
+            from ssp_x_vit_tpu.llm.sampling import init_sampler_state
+
+            # rows default to neutral (greedy, no penalties), so slots
+            # admitted before activation keep their exact behavior
+            self.sampler_state = init_sampler_state(
+                len(self.slots), self.cfg.vocab_size)
         worst = -(-(len(prompt) + max_new_tokens) // self.page_size)
         if worst > self.max_pages_per_seq:
             raise ValueError("request exceeds max_context")
@@ -620,7 +661,23 @@ class PagedServer:
             logits, self.k_pools, self.v_pools = paged_prefill(
                 self.params, jnp.asarray(toks), self.k_pools, self.v_pools,
                 self.cfg, jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
-        first = int(np.argmax(np.asarray(logits)))
+        if self.sampler_state is not None:
+            # reset this slot's row (a lingering previous occupant's params
+            # must never leak into a new request) and sample the first token
+            # through the SAME transform the decode steps use
+            from ssp_x_vit_tpu.llm.sampling import (SamplingParams,
+                                                    slot_state_row)
+
+            sp = sampling if sampling is not None else SamplingParams()
+            self.sampler_state = slot_state_row(
+                self.sampler_state, slot_idx, sp, prompt,
+                self.cfg.vocab_size, seed)
+            tok, self.sampler_state = _sampler_row_step(
+                jnp.asarray(logits).reshape(1, -1), self.sampler_state,
+                jnp.asarray(slot_idx, jnp.int32))
+            first = int(tok)
+        else:
+            first = int(np.argmax(np.asarray(logits)))
 
         # register this prompt's freshly computed full-prefix pages
         for i in range(m, len(keys)):
@@ -681,7 +738,14 @@ class PagedServer:
         logits, self.k_pools, self.v_pools = paged_decode_step(
             self.params, jnp.asarray(tokens), self.k_pools, self.v_pools,
             self.cfg, jnp.asarray(pts), jnp.asarray(lens))
-        nxt = np.argmax(np.asarray(logits), axis=-1)
+        if self.sampler_state is not None:
+            # one compiled program for every slot mixture; greedy rows
+            # (temperature 0) reduce to the same argmax as the host path
+            toks, self.sampler_state = _sampler_step(logits,
+                                                     self.sampler_state)
+            nxt = np.asarray(toks)
+        else:
+            nxt = np.argmax(np.asarray(logits), axis=-1)
 
         for i, s in enumerate(self.slots):
             if not s.active:

@@ -26,6 +26,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -132,3 +133,120 @@ def sample(logits: jax.Array, rng: Optional[jax.Array],
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = filter_logits(logits / sp.temperature, sp)
     return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+
+
+# ---------------- vectorized per-row sampling (continuous batching) ----
+
+
+@dataclasses.dataclass
+class SamplerState:
+    """Device-resident per-slot sampler state for a continuous-batching
+    server (llm/paged.PagedServer): each row belongs to one slot and is
+    reset at admit. Not a frozen config — this is mutable runtime state
+    (a pytree: rides jit arguments/donation)."""
+
+    keys: jax.Array         # [b, 2] uint32 per-slot PRNG keys
+    temperature: jax.Array  # [b] f32, <= 0 -> greedy row
+    top_k: jax.Array        # [b] i32, 0 -> disabled
+    top_p: jax.Array        # [b] f32, >= 1 -> disabled
+    min_p: jax.Array        # [b] f32, 0 -> disabled
+    repetition: jax.Array   # [b] f32, 1 -> disabled
+    presence: jax.Array     # [b] f32, 0 -> disabled
+    frequency: jax.Array    # [b] f32, 0 -> disabled
+    prompt_mask: jax.Array  # [b, V] f32 prompt presence
+    counts: jax.Array       # [b, V] f32 generated counts
+
+
+jax.tree_util.register_dataclass(
+    SamplerState,
+    data_fields=["keys", "temperature", "top_k", "top_p", "min_p",
+                 "repetition", "presence", "frequency", "prompt_mask",
+                 "counts"],
+    meta_fields=[])
+
+
+def init_sampler_state(max_batch: int, vocab_size: int) -> SamplerState:
+    """All-neutral state (greedy rows, empty penalty buffers)."""
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    return SamplerState(
+        keys=jnp.zeros((max_batch, 2), jnp.uint32),
+        temperature=z(max_batch), top_k=jnp.zeros((max_batch,), jnp.int32),
+        top_p=jnp.ones((max_batch,), jnp.float32), min_p=z(max_batch),
+        repetition=jnp.ones((max_batch,), jnp.float32),
+        presence=z(max_batch), frequency=z(max_batch),
+        prompt_mask=z(max_batch, vocab_size), counts=z(max_batch, vocab_size))
+
+
+def slot_state_row(state: SamplerState, i: int, sp: SamplingParams,
+                   prompt_tokens, vocab_size: int,
+                   seed: Optional[int]) -> SamplerState:
+    """Admit-time reset of row ``i`` from a SamplingParams + prompt. One
+    small dispatch per field; called once per request."""
+    V = vocab_size
+    pm = jnp.zeros((V,), jnp.float32).at[
+        jnp.asarray(np.asarray(prompt_tokens, np.int32))].set(1.0)
+    key = jax.random.PRNGKey(0 if seed is None else seed)[None].astype(
+        jnp.uint32)
+    return SamplerState(
+        keys=state.keys.at[i].set(key[0]),
+        temperature=state.temperature.at[i].set(max(sp.temperature, 0.0)),
+        top_k=state.top_k.at[i].set(sp.top_k or 0),
+        top_p=state.top_p.at[i].set(sp.top_p if sp.top_p is not None else 1.0),
+        min_p=state.min_p.at[i].set(sp.min_p or 0.0),
+        repetition=state.repetition.at[i].set(sp.repetition_penalty),
+        presence=state.presence.at[i].set(sp.presence_penalty),
+        frequency=state.frequency.at[i].set(sp.frequency_penalty),
+        prompt_mask=state.prompt_mask.at[i].set(pm),
+        counts=state.counts.at[i].set(jnp.zeros((V,), jnp.float32)))
+
+
+def vectorized_sample(logits: jax.Array, state: SamplerState):
+    """One compiled program samples EVERY slot mixture: per-row penalties,
+    temperature (<=0 -> greedy argmax for that row), top-k/top-p/min-p
+    filters, per-row PRNG keys (per-request seeds). Returns (tokens [b]
+    i32, new state with advanced keys and updated counts).
+
+    vLLM's vectorized-sampler design point: parameters are TRACED [b]
+    vectors, so admitting a request with different knobs never recompiles
+    the decode step."""
+    b, V = logits.shape
+    z = logits.astype(jnp.float32)
+
+    # penalties (neutral values are exact no-ops)
+    seen = jnp.logical_or(state.prompt_mask > 0, state.counts > 0)
+    rp = state.repetition[:, None]
+    z = jnp.where(seen, jnp.where(z > 0, z / rp, z * rp), z)
+    z = z - state.frequency[:, None] * state.counts
+    z = z - state.presence[:, None] * (state.counts > 0).astype(jnp.float32)
+
+    greedy_tok = jnp.argmax(z, axis=-1).astype(jnp.int32)
+
+    scaled = z / jnp.maximum(state.temperature, 1e-6)[:, None]
+    srt = jnp.sort(scaled, axis=-1)[:, ::-1]                     # desc
+    # top-k: kth-largest per row (0 -> keep all)
+    idx = jnp.clip(state.top_k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(srt, idx[:, None], axis=1)
+    k_thresh = jnp.where(state.top_k[:, None] > 0, kth, -jnp.inf)
+    # top-p: smallest prefix reaching the mass, crossing token included
+    probs = jax.nn.softmax(srt, axis=-1)
+    before = jnp.cumsum(probs, axis=-1) - probs
+    kept = jnp.where(before < state.top_p[:, None], srt, jnp.inf)
+    p_thresh = jnp.where(state.top_p[:, None] < 1.0,
+                         jnp.min(kept, axis=-1, keepdims=True), -jnp.inf)
+    # min-p: prob >= min_p * max_prob <=> logit >= max + log(min_p)
+    m_thresh = jnp.where(
+        state.min_p[:, None] > 0.0,
+        jnp.max(scaled, axis=-1, keepdims=True) + jnp.log(
+            jnp.maximum(state.min_p, 1e-30))[:, None],
+        -jnp.inf)
+    thresh = jnp.maximum(jnp.maximum(k_thresh, p_thresh), m_thresh)
+    filtered = jnp.where(scaled >= thresh, scaled, -jnp.inf)
+
+    split = jax.vmap(jax.random.split)(state.keys)               # [b, 2, 2]
+    new_keys, subkeys = split[:, 0], split[:, 1]
+    sampled_tok = jax.vmap(
+        lambda k, row: jax.random.categorical(k, row))(subkeys, filtered
+                                                       ).astype(jnp.int32)
+    tok = jnp.where(state.temperature > 0.0, sampled_tok, greedy_tok)
+    counts = state.counts.at[jnp.arange(b), tok].add(1.0)
+    return tok, dataclasses.replace(state, keys=new_keys, counts=counts)

@@ -398,3 +398,79 @@ def test_prefix_cache_admission_counts_reused_lru_pages(model):
                       max_context=32, cache_dtype=jnp.float32)
     rr = ref.add_request(a + [9], max_new_tokens=2)
     np.testing.assert_array_equal(out, ref.run()[rr])
+
+
+# ---------------- per-request sampling (vectorized sampler) ----------------
+
+def test_paged_per_request_sampling_isolated_rows(model):
+    """A greedy slot decoding NEXT TO a heavily penalized slot is unaffected
+    (per-row state isolation), and the penalized slot matches the contiguous
+    path with the same SamplingParams (greedy + penalties = deterministic)."""
+    from ssp_x_vit_tpu.llm.sampling import SamplingParams
+
+    params, cfg = model
+    plain = np.asarray([5, 6, 7, 8], np.int32)
+    pen = np.asarray([9, 2, 9], np.int32)
+    sp = SamplingParams(repetition_penalty=1.3, presence_penalty=0.4)
+
+    srv = PagedServer(params, cfg, max_batch=2, num_pages=32, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32)
+    r_plain = srv.add_request(plain, max_new_tokens=10)
+    r_pen = srv.add_request(pen, max_new_tokens=10, sampling=sp)
+    outs = srv.run()
+
+    ref_plain = generate_kv_scan(params, cfg, plain, max_length=14,
+                                 cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(outs[r_plain], np.asarray(ref_plain))
+    ref_pen = generate_kv_scan(params, cfg, pen, max_length=13,
+                               cache_dtype=jnp.float32, sampling=sp)
+    np.testing.assert_array_equal(outs[r_pen], np.asarray(ref_pen))
+
+
+def test_paged_neutral_sampling_equals_greedy(model):
+    """Activating the sampler with all-default params reproduces the host
+    argmax path exactly."""
+    from ssp_x_vit_tpu.llm.sampling import SamplingParams
+
+    params, cfg = model
+    prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+    a = PagedServer(params, cfg, max_batch=2, num_pages=32, page_size=4,
+                    max_context=64, cache_dtype=jnp.float32)
+    ra = a.add_request(prompt, max_new_tokens=12)
+    b = PagedServer(params, cfg, max_batch=2, num_pages=32, page_size=4,
+                    max_context=64, cache_dtype=jnp.float32)
+    rb = b.add_request(prompt, max_new_tokens=12,
+                       sampling=SamplingParams())
+    np.testing.assert_array_equal(a.run()[ra], b.run()[rb])
+
+
+def test_paged_per_request_seeds_reproducible(model):
+    """Same seed -> identical stochastic generation; the slot row is reset
+    at admit so a SECOND request reusing the slot with the same seed also
+    reproduces."""
+    from ssp_x_vit_tpu.llm.sampling import SamplingParams
+
+    params, cfg = model
+    prompt = np.asarray([7, 11, 13], np.int32)
+    sp = SamplingParams(temperature=0.9, top_k=20)
+
+    def run_once(seed):
+        srv = PagedServer(params, cfg, max_batch=2, num_pages=32,
+                          page_size=4, max_context=64,
+                          cache_dtype=jnp.float32)
+        rid = srv.add_request(prompt, max_new_tokens=12, sampling=sp,
+                              seed=seed)
+        return srv.run()[rid]
+
+    one, two = run_once(42), run_once(42)
+    np.testing.assert_array_equal(one, two)
+
+    # slot reuse: same server, sequential requests, same seed
+    srv = PagedServer(params, cfg, max_batch=1, num_pages=32, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32)
+    r1 = srv.add_request(prompt, max_new_tokens=12, sampling=sp, seed=42)
+    srv.run()
+    r2 = srv.add_request(prompt, max_new_tokens=12, sampling=sp, seed=42)
+    srv.run()
+    np.testing.assert_array_equal(srv.finished[r1], srv.finished[r2])
+    assert not np.array_equal(np.asarray(one), np.asarray(run_once(7)))
