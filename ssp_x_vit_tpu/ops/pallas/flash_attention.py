@@ -394,16 +394,25 @@ def _flash_forward(q, k, v, *, causal: bool, window=None, softcap=None):
                                         softcap=softcap)
     # The resident q-tiled kernel keeps full K/V in (double-buffered) VMEM;
     # past the budget (~12k tokens at hd=128 bf16) stream K/V blocks instead.
-    # A sliding window also prefers streaming once s spans several k-blocks:
-    # the band predication makes the work O(s*window) instead of the resident
-    # rectangle's O(s^2). The `window + 2*BLOCK_KS` switch point is
-    # PROVISIONAL — derived from the block-predication arithmetic (streaming
-    # issues strictly fewer MXU/exp blocks past it), not yet A/B-measured
-    # on-chip (tunnel outage, COVERAGE.md); pending bench listed in
-    # docs/tpu_notes.md round-3 section.
     resident_vmem = 4 * (-(-s // BLOCK_Q) * BLOCK_Q) * hd * k.dtype.itemsize
-    if resident_vmem > 12 * 1024 * 1024 or (
-            window is not None and s >= window + 2 * BLOCK_KS):
+    # Sliding windows do NOT lower the streaming switch point: the A/B
+    # (scripts/bench_flash_window.py, docs/tpu_notes.md) measured the
+    # resident rectangle winning or tying every VMEM-eligible windowed shape
+    # except s=8192/w=1024 (1.17x), while the old provisional
+    # `s >= window + 2*BLOCK_KS` rule would have cost up to 2.1x
+    # (s=6144/w=1024: streaming 10.3 ms vs resident 4.8). Dispatch on the
+    # VMEM budget alone.
+    # SSP_X_VIT_FLASH_STREAMING={force,never}: bench/debug override of the
+    # resident-vs-streaming choice (read at TRACE time — A/B benches must
+    # jax.clear_caches() between arms, CLAUDE.md). "never" still streams
+    # past the VMEM budget (the resident kernel would not fit).
+    import os
+
+    stream_mode = os.environ.get("SSP_X_VIT_FLASH_STREAMING", "auto")
+    want_stream = resident_vmem > 12 * 1024 * 1024
+    if stream_mode == "force":
+        want_stream = True
+    if want_stream:
         return _flash_forward_streaming(q, k, v, causal=causal, window=window,
                                         softcap=softcap)
     scale = 1.0 / (hd**0.5)
@@ -928,8 +937,11 @@ def _flash_bwd(causal, window, softcap, res, g):
     # chain rule (ds *= 1 - tanh^2(z/cap), tanh recomputed with the logits),
     # so gemma-2 long-context training never materializes [b, h, s, s].
     if rep > 1 or s > MULTIHEAD_MAX_SEQ:
-        if bwd_vmem <= 12 * 1024 * 1024 and not (
-                window is not None and s >= window + 2 * BLOCK_KS):
+        # Windows do not lower the streaming switch point here either: the
+        # clause only ever bound at s_pad <= 3072 (past that bwd_vmem forces
+        # streaming anyway), and the A/B at s=3072/w=1024 measured the
+        # resident backward 1.34x FASTER (4.69 vs 6.29 ms; tpu_notes).
+        if bwd_vmem <= 12 * 1024 * 1024:
             return _flash_backward_pallas(q, k, v, g, causal=causal,
                                           window=window, softcap=softcap)
         return _flash_backward_streaming(q, k, v, g, causal=causal,
