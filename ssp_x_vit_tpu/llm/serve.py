@@ -690,6 +690,67 @@ def greedy_decode_scan(params, first_token, cache_k, cache_v, cfg, start_pos,
                        pad_lens, num_steps)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "eos_token_id", "rolling",
+                     "sampling"),
+    donate_argnums=(2, 3),
+)
+def decode_while(params: Params, first_token: jax.Array, cache_k, cache_v,
+                 cfg: LlamaConfig, start_pos: jax.Array, pad_lens: jax.Array,
+                 num_steps: int, eos_token_id: int,
+                 rng: Optional[jax.Array] = None,
+                 rolling: Optional[int] = None,
+                 lora_ids: Optional[jax.Array] = None,
+                 sampling=None, penalty_state=None):
+    """decode_scan with IN-GRAPH eos early exit: a ``lax.while_loop`` stops
+    the moment every row has emitted ``eos_token_id``, still one dispatch.
+
+    Rows that finish keep feeding eos (their outputs past the first eos are
+    trimmed by the caller, exactly like the scan path trims); per-row
+    outputs up to and including the first eos are IDENTICAL to decode_scan.
+    The win is latency: a b=1 chat-style answer of 30 tokens under a
+    max_length budget of 512 runs 30 steps, not 511."""
+    from ssp_x_vit_tpu.llm import sampling as sampling_mod
+
+    sp = sampling if sampling is not None else sampling_mod.SamplingParams()
+    if sp.needs_counts and penalty_state is None:
+        raise ValueError("penalty sampling needs penalty_state (use "
+                         "generate_kv_scan, which initializes it)")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b = first_token.shape[0]
+    out0 = jnp.full((num_steps, b), eos_token_id, jnp.int32)
+    done0 = first_token == eos_token_id
+
+    def cond(carry):
+        step, _token, _ck, _cv, _pos, _key, _pstate, _out, done = carry
+        return jnp.logical_and(step < num_steps, ~jnp.all(done))
+
+    def body(carry):
+        step, token, ck, cv, pos, key, pstate, out, done = carry
+        logits, ck, cv = _decode_body(params, token, ck, cv, cfg, pos,
+                                      pad_lens, rolling, lora_ids)
+        if sp.needs_counts:
+            pmask, counts = pstate
+            logits = sampling_mod.apply_penalties(logits, pmask, counts, sp)
+        key, sub = jax.random.split(key)
+        nxt = sampling_mod.sample(logits, sub, sp)
+        nxt = jnp.where(done, eos_token_id, nxt)
+        if sp.needs_counts:
+            pstate = (pmask, sampling_mod.update_counts(counts, nxt))
+        out = jax.lax.dynamic_update_slice_in_dim(out, nxt[None], step,
+                                                  axis=0)
+        done = jnp.logical_or(done, nxt == eos_token_id)
+        return (step + 1, nxt, ck, cv, pos + 1, key, pstate, out, done)
+
+    carry = (jnp.zeros((), jnp.int32), first_token, cache_k, cache_v,
+             start_pos, rng, penalty_state, out0, done0)
+    (_, _, cache_k, cache_v, _, _, _, out, _) = jax.lax.while_loop(
+        cond, body, carry)
+    return out, cache_k, cache_v
+
+
 def _prepare_prompts(input_ids, max_length: int):
     """list/array of prompts -> (tokens [b, p_pad] left-padded, pad_lens [b],
     prompt_lens [b], p_pad)."""
@@ -743,6 +804,7 @@ def generate_kv_scan(
     rolling: bool = False,
     lora_ids=None,
     sampling=None,
+    early_stop: bool = True,
 ):
     """Whole-generation-on-device decoding: prefill + ONE scan dispatch (no
     per-token host round trips). Batched: ``input_ids`` may be one prompt or a
@@ -798,6 +860,15 @@ def generate_kv_scan(
         pstate = (pmask, sampling_mod.update_counts(counts, first))
     if num_steps <= 0:
         gen = np.asarray(first)[None]
+    elif eos_token_id is not None and early_stop:
+        # in-graph early exit: stop the while_loop when every row has hit
+        # eos (identical trimmed outputs; saves the unused step budget)
+        toks, _, _ = decode_while(
+            params, first, cache_k, cache_v, cfg,
+            jnp.asarray(p_pad, jnp.int32), jnp.asarray(pad_lens), num_steps,
+            int(eos_token_id), rng=rng, sampling=sp, penalty_state=pstate,
+            rolling=W, lora_ids=lora_ids)
+        gen = np.concatenate([np.asarray(first)[None], np.asarray(toks)], axis=0)
     else:
         toks, _, _ = decode_scan(
             params, first, cache_k, cache_v, cfg,

@@ -220,3 +220,26 @@ def test_qwen3_moe_mixed_dense_refused():
         config_from_hf_dict(dict(base, decoder_sparse_step=2))
     with pytest.raises(ValueError, match="decoder_sparse_step"):
         config_from_hf_dict(dict(base, mlp_only_layers=[0]))
+
+
+def test_qwen3_tp_serving_matches_single():
+    """qk_norm under megatron TP: heads shard, the per-head-dim [hd] norm
+    scales replicate (llama_param_specs rule) — tp greedy == single-device."""
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+    from ssp_x_vit_tpu.parallel.llm_sharding import tp_generate_kv_scan
+    from ssp_x_vit_tpu.parallel.mesh import make_mesh
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=48,
+                      qk_norm=True, explicit_head_dim=16)
+    params = init_llama_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    # non-unit norm scales so a mis-sharded/mis-applied norm cannot hide
+    params["blocks"]["q_norm"] = params["blocks"]["q_norm"] * 1.5
+    params["blocks"]["k_norm"] = params["blocks"]["k_norm"] * 0.75
+    prompt = np.asarray([3, 5, 7, 11], np.int32)
+    single = generate_kv_scan(params, cfg, prompt, max_length=14,
+                              cache_dtype=jnp.float32)
+    mesh = make_mesh(model=2)
+    tp = tp_generate_kv_scan(params, cfg, mesh, prompt, max_length=14,
+                             cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(tp))

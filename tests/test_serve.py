@@ -342,3 +342,64 @@ def test_beam_kv_early_stopping_false_terminates():
                               eos_token_id=eos, early_stopping=False)
         assert len(ref) <= 20 and len(kv) <= 20
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(kv))
+
+
+# ---------------- in-graph eos early exit (decode_while) ----------------
+
+def test_early_stop_matches_scan_path(llm):
+    """decode_while (eos early exit) produces IDENTICAL trimmed outputs to
+    the full decode_scan path: pick a token the model actually generates as
+    eos so the exit genuinely fires mid-budget."""
+    params, cfg = llm
+    prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+    free = generate_kv_scan(params, cfg, prompt, max_length=24,
+                            cache_dtype=jnp.float32)
+    eos = int(np.asarray(free)[len(prompt) + 3])  # 4th generated token
+
+    full = generate_kv_scan(params, cfg, prompt, max_length=24,
+                            eos_token_id=eos, cache_dtype=jnp.float32,
+                            early_stop=False)
+    early = generate_kv_scan(params, cfg, prompt, max_length=24,
+                             eos_token_id=eos, cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(early))
+    assert eos in np.asarray(early).tolist()  # the exit genuinely fired
+
+
+def test_early_stop_batched_staggered(llm):
+    """Rows hitting eos at different steps: each row's trimmed output equals
+    the non-early path (finished rows keep feeding eos; later rows keep
+    decoding)."""
+    params, cfg = llm
+    prompts = [np.asarray([5, 6, 7], np.int32),
+               np.asarray([11, 12, 13, 14], np.int32)]
+    free = generate_kv_scan(params, cfg, prompts, max_length=20,
+                            cache_dtype=jnp.float32)
+    # an eos that appears in row 0's generation (row 1 may never hit it)
+    eos = int(np.asarray(free[0])[len(prompts[0]) + 2])
+
+    full = generate_kv_scan(params, cfg, prompts, max_length=20,
+                            eos_token_id=eos, cache_dtype=jnp.float32,
+                            early_stop=False)
+    early = generate_kv_scan(params, cfg, prompts, max_length=20,
+                             eos_token_id=eos, cache_dtype=jnp.float32)
+    for f, e in zip(full, early):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(e))
+
+
+def test_early_stop_with_penalties(llm):
+    """The penalty state rides the while_loop carry exactly like the scan."""
+    from ssp_x_vit_tpu.llm.sampling import SamplingParams
+
+    params, cfg = llm
+    prompt = np.asarray([9, 2, 9], np.int32)
+    sp = SamplingParams(repetition_penalty=1.3, frequency_penalty=0.2)
+    free = generate_kv_scan(params, cfg, prompt, max_length=20,
+                            cache_dtype=jnp.float32, sampling=sp)
+    eos = int(np.asarray(free)[len(prompt) + 4])
+    full = generate_kv_scan(params, cfg, prompt, max_length=20,
+                            eos_token_id=eos, cache_dtype=jnp.float32,
+                            sampling=sp, early_stop=False)
+    early = generate_kv_scan(params, cfg, prompt, max_length=20,
+                             eos_token_id=eos, cache_dtype=jnp.float32,
+                             sampling=sp)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(early))
