@@ -719,6 +719,16 @@ class PagedServer:
         slot.pages = []
         slot.reserved = 0
 
+    def cancel(self, request_id: int) -> bool:
+        """Abort an ACTIVE request: its tokens-so-far move to ``finished``
+        and its pages are released immediately. Returns False when the id is
+        not currently active (already finished or never admitted)."""
+        for slot in self.slots:
+            if slot.active and slot.request_id == request_id:
+                self._finish(slot)
+                return True
+        return False
+
     def step(self) -> bool:
         """One batched decode step; returns False when no slot is active."""
         if not any(s.active for s in self.slots):

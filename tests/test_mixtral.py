@@ -118,5 +118,5 @@ def test_native_moe_export_still_refused():
                       num_heads=4, num_kv_heads=2, intermediate_size=48,
                       num_experts=2, moe_top_k=2)
     params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-    with pytest.raises(ValueError, match="mixtral layout"):
+    with pytest.raises(ValueError, match="HF MoE layout"):
         export_hf_llama("/tmp/should_not_exist_moe_export", params, cfg)
