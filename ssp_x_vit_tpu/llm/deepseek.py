@@ -1,0 +1,664 @@
+"""DeepSeek-V3 family: Multi-head Latent Attention (MLA) + sigmoid-routed MoE.
+
+The reference framework tops out at the Llama-2/Mistral/Qwen2/Phi generation
+(``/root/reference/src/slicegpt.py:16-31``); this module covers the MLA
+architecture class (DeepSeek-V2/V3, the current frontier of KV-efficient
+serving) natively, as its own engine — the MLA cache is *structurally*
+different from the per-head K/V caches of ``llm/serve.py``:
+
+- **MLA**: queries/keys live in ``qk_nope + qk_rope`` dims; the KV path is
+  low-rank — ``kv_a_proj`` compresses the hidden state to ``kv_lora_rank``
+  (+ a SINGLE shared rope key of ``qk_rope_head_dim``), and ``kv_b_proj``
+  re-expands per head. The serving cache stores only the compressed vector
+  and the shared rope key: **(kv_lora_rank + qk_rope_head_dim) floats per
+  token, shared by ALL heads** (DeepSeek-V3: 512+64 vs 2*128*128 for an
+  equivalent MHA — a 57x cache reduction).
+- **Absorbed decode** (the MLA trick, DeepSeek-V2 paper §2.1.2): at decode
+  time ``kv_b``'s key half is folded into the query (``q_nope @ W_k^T`` maps
+  each head's query into the compressed space) and its value half into the
+  output, so attention runs DIRECTLY against the compressed cache — per
+  step the cache traffic is rank-sized and head-independent, turning MHA
+  arithmetic into MQA-like bandwidth. Exact by linearity (tested against
+  the full-recompute forward).
+- **MoE**: sigmoid router scores + ``e_score_correction_bias`` for
+  selection, group-limited top-k (``n_group``/``topk_group``), weights
+  gathered from the UN-biased scores, optional renormalization,
+  ``routed_scaling_factor``, plus always-on shared experts; the first
+  ``first_k_dense_replace`` layers use a dense GLU MLP. Layers scan in two
+  homogeneous groups (dense prefix, MoE suffix) — XLA-friendly, no ragged
+  per-layer params.
+
+HF parity: logits match ``transformers`` ``DeepseekV3ForCausalLM``
+(tests/test_deepseek.py); checkpoints load via :func:`load_hf_deepseek`.
+``rope_scaling`` (YaRN + mscale) is refused for now — the scaling/softmax
+temperature interaction is checkpoint-specific and untested here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+__all__ = ["DeepseekConfig", "init_deepseek_params", "deepseek_forward",
+           "load_hf_deepseek", "config_from_hf_deepseek",
+           "deepseek_generate", "mla_cache_bytes_per_token"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepseekConfig:
+    vocab_size: int = 129280
+    hidden_size: int = 7168
+    num_layers: int = 4
+    num_heads: int = 16
+    # MLA dims (HF DeepseekV3Config names on the right)
+    q_lora_rank: Optional[int] = None     # q_lora_rank (None = direct q_proj)
+    kv_lora_rank: int = 512               # kv_lora_rank
+    qk_nope_head_dim: int = 128           # qk_nope_head_dim
+    qk_rope_head_dim: int = 64            # qk_rope_head_dim
+    v_head_dim: int = 128                 # v_head_dim
+    rope_interleave: bool = True          # rope_interleave
+    # MLPs
+    intermediate_size: int = 18432        # dense layers
+    moe_intermediate_size: int = 2048     # per routed/shared expert
+    n_routed_experts: int = 0             # 0 = every layer dense
+    n_shared_experts: int = 1
+    num_experts_per_tok: int = 8
+    n_group: int = 1
+    topk_group: int = 1
+    norm_topk_prob: bool = True
+    routed_scaling_factor: float = 1.0
+    first_k_dense_replace: int = 0
+    hidden_act: str = "silu"
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = False
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def n_dense_layers(self) -> int:
+        if self.n_routed_experts == 0:
+            return self.num_layers
+        return min(self.first_k_dense_replace, self.num_layers)
+
+    @property
+    def n_moe_layers(self) -> int:
+        return self.num_layers - self.n_dense_layers
+
+    def __post_init__(self):
+        if self.hidden_act != "silu":
+            raise ValueError("deepseek engine supports silu GLU only")
+        if self.n_routed_experts and self.topk_group > self.n_group:
+            raise ValueError("topk_group must be <= n_group")
+        if self.n_routed_experts and self.n_routed_experts % max(self.n_group, 1):
+            raise ValueError("n_routed_experts must divide into n_group groups")
+
+
+def mla_cache_bytes_per_token(cfg: DeepseekConfig, dtype_bytes: int = 2) -> int:
+    """Serving-cache footprint per token per layer: compressed vector + the
+    single shared rope key (head-count independent — the MLA selling point)."""
+    return (cfg.kv_lora_rank + cfg.qk_rope_head_dim) * dtype_bytes
+
+
+# --------------------------------------------------------------------------
+# params
+# --------------------------------------------------------------------------
+
+def _attn_param_shapes(cfg: DeepseekConfig):
+    d, nq = cfg.hidden_size, cfg.num_heads
+    shapes = {
+        "ln1": (d,),
+        "kv_a_kernel": (d, cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+        "kv_a_norm": (cfg.kv_lora_rank,),
+        "kv_b_kernel": (cfg.kv_lora_rank,
+                        nq * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
+        "o_kernel": (nq * cfg.v_head_dim, d),
+        "ln2": (d,),
+    }
+    if cfg.q_lora_rank is None:
+        shapes["q_kernel"] = (d, nq * cfg.qk_head_dim)
+    else:
+        shapes["q_a_kernel"] = (d, cfg.q_lora_rank)
+        shapes["q_a_norm"] = (cfg.q_lora_rank,)
+        shapes["q_b_kernel"] = (cfg.q_lora_rank, nq * cfg.qk_head_dim)
+    return shapes
+
+
+def init_deepseek_params(rng: jax.Array, cfg: DeepseekConfig,
+                         dtype=jnp.float32) -> Params:
+    d, fm, E = cfg.hidden_size, cfg.moe_intermediate_size, cfg.n_routed_experts
+    keys = iter(jax.random.split(rng, 64))
+
+    def nrm(shape, std=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * std).astype(dtype)
+
+    def ones(shape):
+        return jnp.ones(shape, dtype)
+
+    def stack_group(n, moe: bool):
+        shapes = _attn_param_shapes(cfg)
+        blocks = {}
+        for k, shp in shapes.items():
+            if k.endswith("norm") or k.startswith("ln"):
+                blocks[k] = ones((n,) + shp)
+            else:
+                blocks[k] = nrm((n,) + shp)
+        if moe:
+            blocks["router"] = nrm((n, d, E))
+            blocks["e_bias"] = jnp.zeros((n, E), dtype)
+            blocks["gate_kernel"] = nrm((n, E, d, fm))
+            blocks["up_kernel"] = nrm((n, E, d, fm))
+            blocks["down_kernel"] = nrm((n, E, fm, d))
+            if cfg.n_shared_experts:
+                fs = fm * cfg.n_shared_experts
+                blocks["shared_gate"] = nrm((n, d, fs))
+                blocks["shared_up"] = nrm((n, d, fs))
+                blocks["shared_down"] = nrm((n, fs, d))
+        else:
+            f = cfg.intermediate_size
+            blocks["gate_kernel"] = nrm((n, d, f))
+            blocks["up_kernel"] = nrm((n, d, f))
+            blocks["down_kernel"] = nrm((n, f, d))
+        return blocks
+
+    params: Params = {"embed": nrm((cfg.vocab_size, d)),
+                      "ln_final": ones((d,))}
+    if cfg.n_dense_layers:
+        params["dense_blocks"] = stack_group(cfg.n_dense_layers, moe=False)
+    if cfg.n_moe_layers:
+        params["moe_blocks"] = stack_group(cfg.n_moe_layers, moe=True)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = nrm((d, cfg.vocab_size))
+    return params
+
+
+# --------------------------------------------------------------------------
+# norms / rope
+# --------------------------------------------------------------------------
+
+def _rms(x, scale, eps):
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), -1, keepdims=True) + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope_tables(cfg: DeepseekConfig, positions: jax.Array):
+    """cos/sin [*pos_shape, rope_dim] for given integer positions, HF
+    non-interleaved table layout (freqs duplicated across halves)."""
+    from ssp_x_vit_tpu.llm.rope import rope_freqs
+
+    inv_freq_np, attn_scale = rope_freqs(cfg.rope_theta,
+                                         cfg.qk_rope_head_dim, None)
+    assert attn_scale == 1.0
+    inv_freq = jnp.asarray(inv_freq_np)                       # [rd/2]
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)            # [..., rd]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _deinterleave(x):
+    """HF rope_interleave: view [..., d/2, 2] -> transpose -> flatten, i.e.
+    even lanes first, odd lanes second (checkpoints store interleaved
+    rotary pairs)."""
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+
+
+def _apply_rope(x, cos, sin, interleave: bool):
+    """x [..., rd]; cos/sin broadcastable [..., rd]."""
+    if interleave:
+        x = _deinterleave(x)
+    x32 = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x32[..., half:], x32[..., :half]], axis=-1)
+    return (x32 * cos + rot * sin).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# attention (full-sequence path)
+# --------------------------------------------------------------------------
+
+def _mla_q(x, bp, cfg: DeepseekConfig, dt):
+    """[b, s, d] -> q [b, nq, s, qk_head_dim] (pre-rope)."""
+    b, s, _ = x.shape
+    if cfg.q_lora_rank is None:
+        q = x @ bp["q_kernel"].astype(dt)
+    else:
+        qa = _rms(x @ bp["q_a_kernel"].astype(dt), bp["q_a_norm"], cfg.rms_eps)
+        q = qa @ bp["q_b_kernel"].astype(dt)
+    return q.reshape(b, s, cfg.num_heads, cfg.qk_head_dim).transpose(0, 2, 1, 3)
+
+
+def _mla_compressed(x, bp, cfg: DeepseekConfig, dt):
+    """[b, s, d] -> (c_norm [b, s, kvr], k_rot_raw [b, s, rd]). ``c_norm`` is
+    the POST-kv_a_layernorm compressed vector — exactly what the serving
+    cache stores (kv_b consumes the normalized vector)."""
+    ckv = x @ bp["kv_a_kernel"].astype(dt)
+    c, k_rot = jnp.split(ckv, [cfg.kv_lora_rank], axis=-1)
+    return _rms(c, bp["kv_a_norm"], cfg.rms_eps), k_rot
+
+
+def _mla_expand_kv(c_norm, bp, cfg: DeepseekConfig, dt):
+    """compressed [b, s, kvr] -> (k_nope [b, nq, s, nope], v [b, nq, s, vd])."""
+    b, s, _ = c_norm.shape
+    kv = (c_norm @ bp["kv_b_kernel"].astype(dt)).reshape(
+        b, s, cfg.num_heads, cfg.qk_nope_head_dim + cfg.v_head_dim
+    ).transpose(0, 2, 1, 3)
+    return jnp.split(kv, [cfg.qk_nope_head_dim], axis=-1)
+
+
+def _mla_attention(x, bp, cfg: DeepseekConfig, dt):
+    """Full-sequence causal MLA attention. Returns (out [b, s, d],
+    c_norm [b, s, kvr], k_rot_roped [b, s, rd]) — the latter two feed the
+    serving cache during prefill."""
+    b, s, _ = x.shape
+    q = _mla_q(x, bp, cfg, dt)
+    q_nope, q_rot = jnp.split(q, [cfg.qk_nope_head_dim], axis=-1)
+    c_norm, k_rot_raw = _mla_compressed(x, bp, cfg, dt)
+    k_nope, v = _mla_expand_kv(c_norm, bp, cfg, dt)
+
+    pos = jnp.arange(s)
+    cos, sin = _rope_tables(cfg, pos)                         # [s, rd]
+    q_rot = _apply_rope(q_rot, cos[None, None], sin[None, None],
+                        cfg.rope_interleave)                  # [b, nq, s, rd]
+    k_rot = _apply_rope(k_rot_raw, cos[None], sin[None],
+                        cfg.rope_interleave)                  # [b, s, rd]
+
+    scale = cfg.qk_head_dim ** -0.5
+    q32 = q_nope.astype(jnp.float32)
+    scores = (jnp.einsum("bhqn,bhkn->bhqk", q32,
+                         k_nope.astype(jnp.float32))
+              + jnp.einsum("bhqr,bkr->bhqk", q_rot.astype(jnp.float32),
+                           k_rot.astype(jnp.float32))) * scale
+    mask = pos[None, :] <= pos[:, None]                        # causal [s, s]
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkv->bhqv", probs,
+                     v.astype(jnp.float32)).astype(dt)
+    out = ctx.transpose(0, 2, 1, 3).reshape(b, s,
+                                            cfg.num_heads * cfg.v_head_dim)
+    return out @ bp["o_kernel"].astype(dt), c_norm, k_rot
+
+
+# --------------------------------------------------------------------------
+# MLPs
+# --------------------------------------------------------------------------
+
+def _glu(x, gate_k, up_k, down_k, dt):
+    g = x @ gate_k.astype(dt)
+    u = x @ up_k.astype(dt)
+    return (jax.nn.silu(g) * u) @ down_k.astype(dt)
+
+
+def _deepseek_route(xt, bp, cfg: DeepseekConfig):
+    """HF DeepseekV3TopkRouter: f32 sigmoid scores; selection on
+    scores + e_score_correction_bias with group-limited top-k (top-2-sum
+    group scores); WEIGHTS gathered from the un-biased scores; optional
+    renorm; routed_scaling_factor. Returns dense [T, E] combine weights."""
+    E, k = cfg.n_routed_experts, cfg.num_experts_per_tok
+    logits = xt.astype(jnp.float32) @ bp["router"].astype(jnp.float32)
+    scores = jax.nn.sigmoid(logits)                            # [T, E]
+    choice = scores + bp["e_bias"].astype(jnp.float32)[None]
+    if cfg.n_group > 1:
+        T = choice.shape[0]
+        per = E // cfg.n_group
+        grouped = choice.reshape(T, cfg.n_group, per)
+        top2, _ = jax.lax.top_k(grouped, min(2, per))
+        group_scores = jnp.sum(top2, axis=-1)                  # [T, G]
+        _, gidx = jax.lax.top_k(group_scores, cfg.topk_group)
+        gmask = jnp.sum(jax.nn.one_hot(gidx, cfg.n_group), axis=1)  # [T, G]
+        choice = jnp.where(
+            jnp.repeat(gmask, per, axis=-1) > 0, choice, 0.0)
+    _, top_e = jax.lax.top_k(choice, k)                        # [T, k]
+    w = jnp.take_along_axis(scores, top_e, axis=1)             # un-biased
+    if cfg.norm_topk_prob:
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
+    w = w * cfg.routed_scaling_factor
+    return jnp.sum(jax.nn.one_hot(top_e, E, dtype=jnp.float32)
+                   * w[..., None], axis=1)                     # [T, E]
+
+
+def _deepseek_moe(x, bp, cfg: DeepseekConfig, dt):
+    """Dropless routed experts + always-on shared experts."""
+    b, s, d = x.shape
+    xt = x.reshape(b * s, d)
+    sel = _deepseek_route(xt, bp, cfg).astype(dt)              # [T, E]
+    g = jnp.einsum("td,edf->tef", xt, bp["gate_kernel"].astype(dt))
+    u = jnp.einsum("td,edf->tef", xt, bp["up_kernel"].astype(dt))
+    y = jnp.einsum("tef,efd->ted", jax.nn.silu(g) * u,
+                   bp["down_kernel"].astype(dt))
+    routed = jnp.einsum("te,ted->td", sel, y).reshape(b, s, d)
+    if cfg.n_shared_experts:
+        routed = routed + _glu(x, bp["shared_gate"], bp["shared_up"],
+                               bp["shared_down"], dt)
+    return routed
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _block(x, bp, cfg: DeepseekConfig, dt, moe: bool):
+    attn_out, c_norm, k_rot = _mla_attention(
+        _rms(x, bp["ln1"], cfg.rms_eps), bp, cfg, dt)
+    x = x + attn_out
+    h = _rms(x, bp["ln2"], cfg.rms_eps)
+    if moe:
+        mlp_out = _deepseek_moe(h, bp, cfg, dt)
+    else:
+        mlp_out = _glu(h, bp["gate_kernel"], bp["up_kernel"],
+                       bp["down_kernel"], dt)
+    return x + mlp_out, c_norm, k_rot
+
+
+def deepseek_forward(params: Params, input_ids: jax.Array,
+                     cfg: DeepseekConfig, *, compute_dtype=jnp.bfloat16,
+                     return_caches: bool = False):
+    """input_ids [b, s] -> logits [b, s, V] f32. ``return_caches`` also
+    returns the serving-cache tensors (c [L, b, s, kvr], k_rot [L, b, s, rd],
+    rope already applied) — the prefill path of :func:`deepseek_generate`."""
+    dt = compute_dtype
+    x = params["embed"].astype(dt)[input_ids]
+    caches = []
+
+    def scan_group(x, blocks, moe):
+        def body(x, bp):
+            x, c, kr = _block(x, bp, cfg, dt, moe)
+            return x, (c, kr)
+
+        return jax.lax.scan(body, x, blocks)
+
+    if cfg.n_dense_layers:
+        x, cache = scan_group(x, params["dense_blocks"], moe=False)
+        caches.append(cache)
+    if cfg.n_moe_layers:
+        x, cache = scan_group(x, params["moe_blocks"], moe=True)
+        caches.append(cache)
+
+    x = _rms(x, params["ln_final"], cfg.rms_eps)
+    if "lm_head" in params:
+        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
+    else:
+        logits = (x @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    if not return_caches:
+        return logits
+    c_all = jnp.concatenate([c for c, _ in caches], axis=0)
+    kr_all = jnp.concatenate([kr for _, kr in caches], axis=0)
+    return logits, (c_all, kr_all)
+
+
+# --------------------------------------------------------------------------
+# serving: compressed cache + absorbed decode
+# --------------------------------------------------------------------------
+
+def _absorbed_decode_attention(x, bp, cfg: DeepseekConfig, dt,
+                               c_cache, kr_cache, t):
+    """One decode position against the compressed cache (weight absorption).
+
+    x [b, d] is the current token's POST-ln1 hidden state; c_cache
+    [b, S, kvr] / kr_cache [b, S, rd] hold positions < t; this step's
+    compressed vector is computed here, written at position t, and attended
+    to (self-attention includes the current token). Returns (attn_out,
+    c_cache, kr_cache) with the caches updated.
+
+    Absorption (exact by linearity): per head, ``q_nope @ W_k^T`` maps the
+    query into the compressed space (scores against c directly), and the
+    context-in-compressed-space multiplies ``W_v`` on the way out — the
+    per-head K/V are never materialized for cached positions.
+    """
+    b, d = x.shape
+    nq, kvr = cfg.num_heads, cfg.kv_lora_rank
+    nope, vd = cfg.qk_nope_head_dim, cfg.v_head_dim
+
+    q = _mla_q(x[:, None], bp, cfg, dt)[:, :, 0]              # [b, nq, qk]
+    q_nope, q_rot = jnp.split(q, [nope], axis=-1)
+    cos, sin = _rope_tables(cfg, t[None])                     # [1, rd]
+    q_rot = _apply_rope(q_rot, cos[None], sin[None], cfg.rope_interleave)
+
+    c_new, k_rot_raw = _mla_compressed(x[:, None], bp, cfg, dt)
+    k_rot_new = _apply_rope(k_rot_raw, cos[None], sin[None],
+                            cfg.rope_interleave)              # [b, 1, rd]
+    c_cache = jax.lax.dynamic_update_slice_in_dim(
+        c_cache, c_new.astype(c_cache.dtype), t, axis=1)
+    kr_cache = jax.lax.dynamic_update_slice_in_dim(
+        kr_cache, k_rot_new.astype(kr_cache.dtype), t, axis=1)
+
+    wkv = bp["kv_b_kernel"].reshape(kvr, nq, nope + vd)
+    wk = wkv[:, :, :nope].astype(jnp.float32)                 # [kvr, nq, nope]
+    wv = wkv[:, :, nope:].astype(jnp.float32)                 # [kvr, nq, vd]
+
+    q_c = jnp.einsum("bhn,rhn->bhr", q_nope.astype(jnp.float32), wk)
+    scores = (jnp.einsum("bhr,bsr->bhs", q_c,
+                         c_cache.astype(jnp.float32))
+              + jnp.einsum("bhp,bsp->bhs", q_rot.astype(jnp.float32),
+                           kr_cache.astype(jnp.float32)))
+    scores = scores * (cfg.qk_head_dim ** -0.5)
+    S = c_cache.shape[1]
+    valid = jnp.arange(S)[None, None] <= t
+    probs = jax.nn.softmax(jnp.where(valid, scores, -jnp.inf), axis=-1)
+    ctx_c = jnp.einsum("bhs,bsr->bhr", probs,
+                       c_cache.astype(jnp.float32))           # [b, nq, kvr]
+    out = jnp.einsum("bhr,rhv->bhv", ctx_c, wv).astype(dt)
+    out = out.reshape(b, nq * vd)
+    return out @ bp["o_kernel"].astype(dt), c_cache, kr_cache
+
+
+def _decode_step(params: Params, token: jax.Array, cfg: DeepseekConfig, dt,
+                 c_caches, kr_caches, t):
+    """token [b] at position t -> (logits [b, V], updated caches)."""
+    x = params["embed"].astype(dt)[token]                     # [b, d]
+    nk = cfg.n_dense_layers
+
+    def run_group(x, blocks, c_grp, kr_grp, moe):
+        def body(x, scanned):
+            bp, c, kr = scanned
+            h = _rms(x, bp["ln1"], cfg.rms_eps)
+            attn, c, kr = _absorbed_decode_attention(h, bp, cfg, dt, c, kr, t)
+            x = x + attn
+            h2 = _rms(x, bp["ln2"], cfg.rms_eps)
+            if moe:
+                mlp = _deepseek_moe(h2[:, None], bp, cfg, dt)[:, 0]
+            else:
+                mlp = _glu(h2, bp["gate_kernel"], bp["up_kernel"],
+                           bp["down_kernel"], dt)
+            return x + mlp, (c, kr)
+
+        return jax.lax.scan(body, x, (blocks, c_grp, kr_grp))
+
+    new_c, new_kr = [], []
+    if nk:
+        x, (c, kr) = run_group(x, params["dense_blocks"],
+                               c_caches[:nk], kr_caches[:nk], moe=False)
+        new_c.append(c)
+        new_kr.append(kr)
+    if cfg.n_moe_layers:
+        x, (c, kr) = run_group(x, params["moe_blocks"],
+                               c_caches[nk:], kr_caches[nk:], moe=True)
+        new_c.append(c)
+        new_kr.append(kr)
+    c_caches = jnp.concatenate(new_c, axis=0)
+    kr_caches = jnp.concatenate(new_kr, axis=0)
+
+    x = _rms(x, params["ln_final"], cfg.rms_eps)
+    if "lm_head" in params:
+        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
+    else:
+        logits = (x @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    return logits, c_caches, kr_caches
+
+
+def deepseek_generate(params: Params, cfg: DeepseekConfig, prompt,
+                      *, max_new_tokens: int = 32,
+                      eos_token_id: Optional[int] = None,
+                      compute_dtype=jnp.bfloat16) -> np.ndarray:
+    """Greedy generation over the compressed MLA cache (absorbed decode):
+    prefill once via the full forward (which emits the cache as a side
+    output), then one ``lax.scan`` over decode steps. Returns prompt +
+    generated ids [n]; trimmed at eos."""
+    prompt = np.asarray(prompt, np.int32).reshape(-1)
+    s0 = prompt.size
+    S = s0 + max_new_tokens
+    dt = compute_dtype
+
+    logits, (c, kr) = deepseek_forward(
+        params, jnp.asarray(prompt[None]), cfg, compute_dtype=dt,
+        return_caches=True)
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)   # [1]
+
+    pad = [(0, 0), (0, 0), (0, S - s0), (0, 0)]
+    c_caches = jnp.pad(c.astype(dt), pad)                     # [L, 1, S, kvr]
+    kr_caches = jnp.pad(kr.astype(dt), pad)
+
+    def step(carry, _):
+        token, c_c, kr_c, t = carry
+        logits, c_c, kr_c = _decode_step(params, token, cfg, dt,
+                                         c_c, kr_c, t)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, c_c, kr_c, t + 1), token
+
+    if max_new_tokens > 1:
+        (_, _, _, _), toks = jax.lax.scan(
+            step, (first, c_caches, kr_caches, jnp.asarray(s0, jnp.int32)),
+            None, length=max_new_tokens)
+        gen = np.asarray(toks)[:, 0]
+    else:
+        gen = np.asarray(first)
+
+    seq = gen.tolist()
+    if eos_token_id is not None and eos_token_id in seq:
+        seq = seq[: seq.index(eos_token_id) + 1]
+    return np.asarray(prompt.tolist() + seq, np.int32)
+
+
+# --------------------------------------------------------------------------
+# HF checkpoints
+# --------------------------------------------------------------------------
+
+def config_from_hf_deepseek(d: Dict[str, Any]) -> DeepseekConfig:
+    if d.get("model_type") != "deepseek_v3":
+        # deepseek_v2 checkpoints score with softmax (+ per-group greedy
+        # top-k) instead of sigmoid + correction bias; wiring its router
+        # variant is future work — refuse rather than silently mis-route
+        raise ValueError(f"not a deepseek_v3 config: {d.get('model_type')}")
+    if d.get("rope_scaling"):
+        raise ValueError(
+            "deepseek rope_scaling (YaRN + mscale softmax temperature) is "
+            "not supported yet; re-export the checkpoint without scaling "
+            "or serve within the base context window")
+    n_routed = d.get("n_routed_experts") or 0
+    return DeepseekConfig(
+        vocab_size=d["vocab_size"],
+        hidden_size=d["hidden_size"],
+        num_layers=d["num_hidden_layers"],
+        num_heads=d["num_attention_heads"],
+        q_lora_rank=d.get("q_lora_rank"),
+        kv_lora_rank=d["kv_lora_rank"],
+        qk_nope_head_dim=d["qk_nope_head_dim"],
+        qk_rope_head_dim=d["qk_rope_head_dim"],
+        v_head_dim=d["v_head_dim"],
+        rope_interleave=d.get("rope_interleave", True),
+        intermediate_size=d["intermediate_size"],
+        moe_intermediate_size=d.get("moe_intermediate_size",
+                                    d["intermediate_size"]),
+        n_routed_experts=n_routed,
+        n_shared_experts=d.get("n_shared_experts", 0) if n_routed else 0,
+        num_experts_per_tok=d.get("num_experts_per_tok", 8),
+        n_group=d.get("n_group", 1) or 1,
+        topk_group=d.get("topk_group", 1) or 1,
+        norm_topk_prob=d.get("norm_topk_prob", True),
+        routed_scaling_factor=d.get("routed_scaling_factor", 1.0),
+        first_k_dense_replace=d.get("first_k_dense_replace", 0),
+        rope_theta=d.get("rope_theta", 10000.0),
+        rms_eps=d.get("rms_norm_eps", 1e-6),
+        tie_embeddings=d.get("tie_word_embeddings", False),
+    )
+
+
+def load_hf_deepseek(model_dir: str,
+                     dtype=jnp.float32) -> Tuple[Params, DeepseekConfig]:
+    """DeepseekV3ForCausalLM safetensors -> the two-group stacked layout."""
+    from ssp_x_vit_tpu.models.checkpoints import _read_safetensors
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = config_from_hf_deepseek(json.load(f))
+
+    sd: Dict[str, np.ndarray] = {}
+    for shard in sorted(glob.glob(os.path.join(model_dir, "*.safetensors"))):
+        sd.update(_read_safetensors(shard))
+    if not sd:
+        raise FileNotFoundError(f"no safetensors shards in {model_dir}")
+
+    def g(key):
+        return np.asarray(sd[key], np.float32)
+
+    def t(x):
+        return np.ascontiguousarray(x.T)
+
+    def attn_block(i):
+        pre = f"model.layers.{i}"
+        bp = {
+            "ln1": g(pre + ".input_layernorm.weight"),
+            "ln2": g(pre + ".post_attention_layernorm.weight"),
+            "kv_a_kernel": t(g(pre + ".self_attn.kv_a_proj_with_mqa.weight")),
+            "kv_a_norm": g(pre + ".self_attn.kv_a_layernorm.weight"),
+            "kv_b_kernel": t(g(pre + ".self_attn.kv_b_proj.weight")),
+            "o_kernel": t(g(pre + ".self_attn.o_proj.weight")),
+        }
+        if cfg.q_lora_rank is None:
+            bp["q_kernel"] = t(g(pre + ".self_attn.q_proj.weight"))
+        else:
+            bp["q_a_kernel"] = t(g(pre + ".self_attn.q_a_proj.weight"))
+            bp["q_a_norm"] = g(pre + ".self_attn.q_a_layernorm.weight")
+            bp["q_b_kernel"] = t(g(pre + ".self_attn.q_b_proj.weight"))
+        return bp
+
+    def stack(dicts):
+        return {k: jnp.asarray(np.stack([d[k] for d in dicts]), dtype)
+                for k in dicts[0]}
+
+    dense, moe = [], []
+    for i in range(cfg.num_layers):
+        bp = attn_block(i)
+        pre = f"model.layers.{i}.mlp"
+        if i < cfg.n_dense_layers:
+            bp["gate_kernel"] = t(g(pre + ".gate_proj.weight"))
+            bp["up_kernel"] = t(g(pre + ".up_proj.weight"))
+            bp["down_kernel"] = t(g(pre + ".down_proj.weight"))
+            dense.append(bp)
+        else:
+            bp["router"] = t(g(pre + ".gate.weight"))          # [d, E]
+            bp["e_bias"] = g(pre + ".gate.e_score_correction_bias")
+            for ours, theirs in (("gate_kernel", "gate_proj"),
+                                 ("up_kernel", "up_proj"),
+                                 ("down_kernel", "down_proj")):
+                bp[ours] = np.stack([
+                    t(g(f"{pre}.experts.{e}.{theirs}.weight"))
+                    for e in range(cfg.n_routed_experts)])
+            if cfg.n_shared_experts:
+                bp["shared_gate"] = t(g(pre + ".shared_experts.gate_proj.weight"))
+                bp["shared_up"] = t(g(pre + ".shared_experts.up_proj.weight"))
+                bp["shared_down"] = t(g(pre + ".shared_experts.down_proj.weight"))
+            moe.append(bp)
+
+    params: Params = {
+        "embed": jnp.asarray(g("model.embed_tokens.weight"), dtype),
+        "ln_final": jnp.asarray(g("model.norm.weight"), dtype),
+    }
+    if dense:
+        params["dense_blocks"] = stack(dense)
+    if moe:
+        params["moe_blocks"] = stack(moe)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(t(g("lm_head.weight")), dtype)
+    return params, cfg

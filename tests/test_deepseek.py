@@ -1,0 +1,186 @@
+"""DeepSeek-V3 family: MLA attention + sigmoid-routed MoE (llm/deepseek.py).
+
+The reference stack tops out at the Llama-2/Qwen2/Phi generation
+(/root/reference/src/slicegpt.py:16-31); MLA is a new architecture class the
+rebuild covers natively. Parity is pinned against transformers
+DeepseekV3ForCausalLM on identical weights; the absorbed-decode serving path
+is pinned against the full-recompute forward (the weight-absorption identity
+must be exact up to fp error).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssp_x_vit_tpu.llm.deepseek import (
+    DeepseekConfig, config_from_hf_deepseek, deepseek_forward,
+    deepseek_generate, init_deepseek_params, load_hf_deepseek,
+    mla_cache_bytes_per_token,
+)
+
+torch = pytest.importorskip("torch")
+
+HF_BASE = dict(
+    vocab_size=96, hidden_size=32, num_hidden_layers=3,
+    num_attention_heads=4, num_key_value_heads=4,
+    q_lora_rank=None, kv_lora_rank=16, qk_nope_head_dim=8,
+    qk_rope_head_dim=4, v_head_dim=8, head_dim=4,
+    intermediate_size=48, moe_intermediate_size=16,
+    n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+    n_group=4, topk_group=2, norm_topk_prob=True,
+    routed_scaling_factor=2.5, first_k_dense_replace=1,
+    max_position_embeddings=64, tie_word_embeddings=False,
+    rope_scaling=None, attention_bias=False,
+)
+
+
+def _save_hf_deepseek(tmp_path, seed=0, **over):
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    kw = dict(HF_BASE)
+    kw.update(over)
+    hf_cfg = DeepseekV3Config(**kw)
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        model = DeepseekV3ForCausalLM(hf_cfg).eval()
+        # exercise a non-trivial correction bias (zero-init by default)
+        for layer in model.model.layers:
+            if hasattr(layer.mlp, "gate"):
+                layer.mlp.gate.e_score_correction_bias.uniform_(-0.05, 0.05)
+        model.save_pretrained(tmp_path)
+    return model
+
+
+def _hf_logits(model, tokens):
+    with torch.no_grad():
+        return model(input_ids=torch.from_numpy(
+            tokens.astype(np.int64))).logits.float().numpy()
+
+
+def test_dense_mla_logits_match_hf(tmp_path):
+    """first_k_dense_replace == L: pure MLA + dense GLU (no MoE in play)."""
+    model = _save_hf_deepseek(tmp_path / "dense", seed=0,
+                              first_k_dense_replace=3)
+    params, cfg = load_hf_deepseek(str(tmp_path / "dense"))
+    assert cfg.n_dense_layers == 3 and cfg.n_moe_layers == 0
+    assert cfg.qk_head_dim == 12
+
+    tokens = (np.arange(20, dtype=np.int32)[None] * 5) % 96
+    ours = deepseek_forward(params, jnp.asarray(tokens), cfg,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), _hf_logits(model, tokens),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_moe_mla_logits_match_hf(tmp_path):
+    """Full V3 block mix: 1 dense + 2 MoE layers, grouped sigmoid routing
+    with correction bias, shared experts, routed_scaling_factor."""
+    model = _save_hf_deepseek(tmp_path / "moe", seed=1)
+    params, cfg = load_hf_deepseek(str(tmp_path / "moe"))
+    assert cfg.n_dense_layers == 1 and cfg.n_moe_layers == 2
+    assert params["moe_blocks"]["gate_kernel"].shape == (2, 8, 32, 16)
+    assert params["moe_blocks"]["shared_gate"].shape == (2, 32, 16)
+
+    tokens = (np.arange(20, dtype=np.int32)[None] * 7) % 96
+    ours = deepseek_forward(params, jnp.asarray(tokens), cfg,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), _hf_logits(model, tokens),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_q_lora_rank_logits_match_hf(tmp_path):
+    """q_lora_rank set: the compressed q path (q_a -> rmsnorm -> q_b)."""
+    model = _save_hf_deepseek(tmp_path / "qlora", seed=2, q_lora_rank=12)
+    params, cfg = load_hf_deepseek(str(tmp_path / "qlora"))
+    assert cfg.q_lora_rank == 12
+    assert params["moe_blocks"]["q_b_kernel"].shape == (2, 12, 4 * 12)
+
+    tokens = (np.arange(16, dtype=np.int32)[None] * 3) % 96
+    ours = deepseek_forward(params, jnp.asarray(tokens), cfg,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), _hf_logits(model, tokens),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_non_interleaved_rope_matches_hf(tmp_path):
+    model = _save_hf_deepseek(tmp_path / "ni", seed=3, rope_interleave=False,
+                              first_k_dense_replace=3)
+    params, cfg = load_hf_deepseek(str(tmp_path / "ni"))
+    assert not cfg.rope_interleave
+
+    tokens = (np.arange(16, dtype=np.int32)[None] * 11) % 96
+    ours = deepseek_forward(params, jnp.asarray(tokens), cfg,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), _hf_logits(model, tokens),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_absorbed_decode_matches_full_recompute():
+    """Greedy generation over the compressed cache (absorbed decode) must
+    equal argmax over the full-recompute forward at every step — the
+    weight-absorption identity plus cache exactness."""
+    cfg = DeepseekConfig(
+        vocab_size=64, hidden_size=32, num_layers=3, num_heads=4,
+        q_lora_rank=12, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=4, v_head_dim=8, intermediate_size=48,
+        moe_intermediate_size=16, n_routed_experts=4, n_shared_experts=1,
+        num_experts_per_tok=2, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, first_k_dense_replace=1)
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    prompt = np.asarray([3, 11, 7, 30], np.int32)
+    n = 8
+
+    out = deepseek_generate(params, cfg, prompt, max_new_tokens=n,
+                            compute_dtype=jnp.float32)
+
+    # reference: recompute the whole sequence each step
+    seq = prompt.tolist()
+    for _ in range(n):
+        logits = deepseek_forward(params, jnp.asarray([seq], jnp.int32), cfg,
+                                  compute_dtype=jnp.float32)
+        seq.append(int(np.argmax(np.asarray(logits[0, -1]))))
+    assert out.tolist() == seq
+
+
+def test_generate_eos_trim():
+    cfg = DeepseekConfig(vocab_size=32, hidden_size=16, num_layers=2,
+                         num_heads=2, kv_lora_rank=8, qk_nope_head_dim=4,
+                         qk_rope_head_dim=4, v_head_dim=4,
+                         intermediate_size=24, n_routed_experts=0)
+    params = init_deepseek_params(jax.random.PRNGKey(1), cfg)
+    base = deepseek_generate(params, cfg, [1, 2, 3], max_new_tokens=6,
+                             compute_dtype=jnp.float32)
+    eos = int(base[4])  # second generated token
+    out = deepseek_generate(params, cfg, [1, 2, 3], max_new_tokens=6,
+                            eos_token_id=eos, compute_dtype=jnp.float32)
+    assert out.tolist() == base[:5].tolist()  # trimmed just after eos
+
+
+def test_cache_footprint_head_independent():
+    """The MLA cache stores kv_lora_rank + rope_dim per token regardless of
+    head count — the architecture's serving selling point."""
+    small = DeepseekConfig(num_heads=4, kv_lora_rank=512, qk_rope_head_dim=64)
+    large = dataclasses_replace(small, num_heads=128)
+    assert mla_cache_bytes_per_token(small) == \
+        mla_cache_bytes_per_token(large) == (512 + 64) * 2
+    # vs an equivalent MHA cache: 2 (K and V) * heads * head_dim
+    mha = 2 * 128 * 128 * 2
+    assert mha / mla_cache_bytes_per_token(large) > 50
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+def test_refusals():
+    with pytest.raises(ValueError, match="deepseek_v3"):
+        config_from_hf_deepseek({"model_type": "llama"})
+    with pytest.raises(ValueError, match="rope_scaling"):
+        config_from_hf_deepseek({"model_type": "deepseek_v3",
+                                 "rope_scaling": {"type": "yarn"}})
+    with pytest.raises(ValueError, match="topk_group"):
+        DeepseekConfig(n_routed_experts=8, n_group=2, topk_group=4)
