@@ -1,0 +1,102 @@
+"""MLA (DeepSeek-V3-style) vs MHA decode throughput on the TPU chip.
+
+Head-to-head at matched hidden size / depth / FFN / vocab (~1B class):
+a dense MLA model (llm/deepseek.py, compressed-cache absorbed decode)
+against the equivalent MHA llama layout (llm/serve.py generate_kv_scan).
+MLA's per-token cache is (kv_lora_rank + qk_rope_head_dim) floats shared
+by all heads vs 2*heads*head_dim for MHA — the decode-attention HBM
+traffic shrinks by that same ratio, which is the architecture's serving
+selling point; this script measures how much of it the absorbed-decode
+implementation realizes end-to-end.
+
+Timing: wall-clock around whole-generation calls (np.asarray fetch is the
+barrier — docs/tpu_notes.md); first call per config compiles, timed calls
+run from cache.
+
+  python scripts/bench_mla.py [--prompt-len 64] [--max-length 512]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def time_call(fn, reps=2):
+    fn()  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--max-length", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.llm.deepseek import (DeepseekConfig,
+                                            deepseek_generate,
+                                            init_deepseek_params,
+                                            mla_cache_bytes_per_token)
+    from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    P, M = args.prompt_len, args.max_length
+    gen = M - P
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 32000, size=(P,)).astype(np.int32)
+
+    # matched skeleton: hidden 2048, 16 layers, FFN 5632, vocab 32k
+    mla_cfg = DeepseekConfig(
+        vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=16,
+        q_lora_rank=None, kv_lora_rank=512, qk_nope_head_dim=128,
+        qk_rope_head_dim=64, v_head_dim=128, intermediate_size=5632,
+        n_routed_experts=0)
+    mha_cfg = LlamaConfig(vocab_size=32000, hidden_size=2048, num_layers=16,
+                          num_heads=16, num_kv_heads=16,
+                          intermediate_size=5632)
+
+    mla_params = init_deepseek_params(jax.random.PRNGKey(0), mla_cfg,
+                                      dtype=jnp.bfloat16)
+    mha_params = init_llama_params(jax.random.PRNGKey(0), mha_cfg,
+                                   dtype=jnp.bfloat16)
+    count = lambda p: sum(int(np.prod(x.shape)) for x in jax.tree.leaves(p))
+
+    results = {
+        "backend": jax.default_backend(),
+        "prompt_len": P, "max_length": M,
+        "mla_params_M": round(count(mla_params) / 1e6, 1),
+        "mha_params_M": round(count(mha_params) / 1e6, 1),
+        "mla_cache_bytes_per_token_per_layer":
+            mla_cache_bytes_per_token(mla_cfg),
+        "mha_cache_bytes_per_token_per_layer":
+            2 * mha_cfg.num_heads * mha_cfg.head_dim * 2,
+    }
+
+    t = time_call(lambda: deepseek_generate(
+        mla_params, mla_cfg, prompt, max_new_tokens=gen))
+    results["mla_b1_tok_per_s"] = round(gen / t, 1)
+
+    t = time_call(lambda: generate_kv_scan(
+        mha_params, mha_cfg, prompt[None], max_length=M))
+    results["mha_b1_tok_per_s"] = round(gen / t, 1)
+
+    results["mla_vs_mha"] = round(
+        results["mla_b1_tok_per_s"] / results["mha_b1_tok_per_s"], 2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -501,23 +501,31 @@ def _decode_step(params: Params, token: jax.Array, cfg: DeepseekConfig, dt,
 def deepseek_generate(params: Params, cfg: DeepseekConfig, prompt,
                       *, max_new_tokens: int = 32,
                       eos_token_id: Optional[int] = None,
-                      compute_dtype=jnp.bfloat16) -> np.ndarray:
+                      compute_dtype=jnp.bfloat16):
     """Greedy generation over the compressed MLA cache (absorbed decode):
     prefill once via the full forward (which emits the cache as a side
-    output), then one ``lax.scan`` over decode steps. Returns prompt +
-    generated ids [n]; trimmed at eos."""
-    prompt = np.asarray(prompt, np.int32).reshape(-1)
-    s0 = prompt.size
+    output), then one ``lax.scan`` over decode steps.
+
+    ``prompt`` is one id sequence [s] (returns one array: prompt +
+    generation, trimmed at eos) or a same-length batch [b, s] (returns a
+    list of such arrays — the whole batch decodes in one scan). Ragged
+    batches should pad on the caller side or loop; positions here are
+    shared across rows.
+    """
+    arr = np.asarray(prompt, np.int32)
+    single = arr.ndim == 1
+    batch = arr.reshape(1, -1) if single else arr
+    b, s0 = batch.shape
     S = s0 + max_new_tokens
     dt = compute_dtype
 
     logits, (c, kr) = deepseek_forward(
-        params, jnp.asarray(prompt[None]), cfg, compute_dtype=dt,
+        params, jnp.asarray(batch), cfg, compute_dtype=dt,
         return_caches=True)
-    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)   # [1]
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)   # [b]
 
     pad = [(0, 0), (0, 0), (0, S - s0), (0, 0)]
-    c_caches = jnp.pad(c.astype(dt), pad)                     # [L, 1, S, kvr]
+    c_caches = jnp.pad(c.astype(dt), pad)                     # [L, b, S, kvr]
     kr_caches = jnp.pad(kr.astype(dt), pad)
 
     def step(carry, _):
@@ -531,14 +539,17 @@ def deepseek_generate(params: Params, cfg: DeepseekConfig, prompt,
         (_, _, _, _), toks = jax.lax.scan(
             step, (first, c_caches, kr_caches, jnp.asarray(s0, jnp.int32)),
             None, length=max_new_tokens)
-        gen = np.asarray(toks)[:, 0]
+        gen = np.asarray(toks)                                # [n, b]
     else:
-        gen = np.asarray(first)
+        gen = np.asarray(first)[None]
 
-    seq = gen.tolist()
-    if eos_token_id is not None and eos_token_id in seq:
-        seq = seq[: seq.index(eos_token_id) + 1]
-    return np.asarray(prompt.tolist() + seq, np.int32)
+    outs = []
+    for i in range(b):
+        seq = gen[:, i].tolist()
+        if eos_token_id is not None and eos_token_id in seq:
+            seq = seq[: seq.index(eos_token_id) + 1]
+        outs.append(np.asarray(batch[i].tolist() + seq, np.int32))
+    return outs[0] if single else outs
 
 
 # --------------------------------------------------------------------------

@@ -224,16 +224,30 @@ class ServingEngine:
                     return
                 cancels = dict(self._cancel)
                 self._cancel.clear()
-            for rid, reason in cancels.items():
-                if self._server.cancel(rid):
-                    self._finish_request(rid, reason)
-            self._admit()
-            if self._server.step():
-                self._flush_active()
-                self._flush_finished()
-            else:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+            try:
+                for rid, reason in cancels.items():
+                    if self._server.cancel(rid):
+                        self._finish_request(rid, reason)
+                self._admit()
+                if self._server.step():
+                    self._flush_active()
+                    self._flush_finished()
+                else:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+            except Exception as e:  # noqa: BLE001 — a dead engine thread
+                # would leave every client blocked on its event queue forever;
+                # fail everything loudly instead and stop.
+                msg = f"serving engine crashed: {type(e).__name__}: {e}"
+                with self._lock:
+                    self._shutdown = True
+                    for rec in list(self._live.values()) + list(self._pending):
+                        rec.handle.error = msg
+                        rec.handle.events.put(
+                            GenerationEvent("error", error=msg))
+                    self._live.clear()
+                    self._pending.clear()
+                raise
 
     def _admit(self):
         """Admit queued requests into free slots until one doesn't fit."""

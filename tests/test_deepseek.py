@@ -144,6 +144,23 @@ def test_absorbed_decode_matches_full_recompute():
     assert out.tolist() == seq
 
 
+def test_batched_generate_matches_per_prompt():
+    """[b, s] prompts decode together in one scan; every row equals its
+    solo-generated sequence (rows never leak across the batch)."""
+    cfg = DeepseekConfig(vocab_size=48, hidden_size=16, num_layers=2,
+                         num_heads=2, kv_lora_rank=8, qk_nope_head_dim=4,
+                         qk_rope_head_dim=4, v_head_dim=4,
+                         intermediate_size=24, n_routed_experts=0)
+    params = init_deepseek_params(jax.random.PRNGKey(2), cfg)
+    prompts = np.asarray([[1, 5, 9], [30, 2, 17]], np.int32)
+    batch = deepseek_generate(params, cfg, prompts, max_new_tokens=5,
+                              compute_dtype=jnp.float32)
+    for i in range(2):
+        solo = deepseek_generate(params, cfg, prompts[i], max_new_tokens=5,
+                                 compute_dtype=jnp.float32)
+        assert batch[i].tolist() == solo.tolist()
+
+
 def test_generate_eos_trim():
     cfg = DeepseekConfig(vocab_size=32, hidden_size=16, num_layers=2,
                          num_heads=2, kv_lora_rank=8, qk_nope_head_dim=4,
