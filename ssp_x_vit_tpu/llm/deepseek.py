@@ -276,16 +276,18 @@ def _mla_attention(x, bp, cfg: DeepseekConfig, dt):
                         cfg.rope_interleave)                  # [b, s, rd]
 
     scale = cfg.qk_head_dim ** -0.5
-    q32 = q_nope.astype(jnp.float32)
-    scores = (jnp.einsum("bhqn,bhkn->bhqk", q32,
-                         k_nope.astype(jnp.float32))
-              + jnp.einsum("bhqr,bkr->bhqk", q_rot.astype(jnp.float32),
-                           k_rot.astype(jnp.float32))) * scale
+    # compute-dtype operands with f32 MXU accumulation (softmax in f32):
+    # exact at f32, and at bf16 the matmuls stream bf16 instead of paying
+    # the 3-pass f32 MXU penalty (docs/tpu_notes.md matmul-precision note)
+    scores = (jnp.einsum("bhqn,bhkn->bhqk", q_nope, k_nope,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bhqr,bkr->bhqk", q_rot, k_rot,
+                           preferred_element_type=jnp.float32)) * scale
     mask = pos[None, :] <= pos[:, None]                        # causal [s, s]
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhqk,bhkv->bhqv", probs,
-                     v.astype(jnp.float32)).astype(dt)
+    ctx = jnp.einsum("bhqk,bhkv->bhqv", probs.astype(dt), v,
+                     preferred_element_type=jnp.float32).astype(dt)
     out = ctx.transpose(0, 2, 1, 3).reshape(b, s,
                                             cfg.num_heads * cfg.v_head_dim)
     return out @ bp["o_kernel"].astype(dt), c_norm, k_rot
@@ -364,10 +366,13 @@ def _block(x, bp, cfg: DeepseekConfig, dt, moe: bool):
 
 def deepseek_forward(params: Params, input_ids: jax.Array,
                      cfg: DeepseekConfig, *, compute_dtype=jnp.bfloat16,
-                     return_caches: bool = False):
+                     return_caches: bool = False,
+                     logit_position: Optional[jax.Array] = None):
     """input_ids [b, s] -> logits [b, s, V] f32. ``return_caches`` also
     returns the serving-cache tensors (c [L, b, s, kvr], k_rot [L, b, s, rd],
-    rope already applied) — the prefill path of :func:`deepseek_generate`."""
+    rope already applied) — the prefill path of :func:`deepseek_generate`.
+    ``logit_position`` (traced ok) computes logits at ONLY that position
+    ([b, 1, V]) — prefill paths skip the full [s, V] lm_head matmul."""
     dt = compute_dtype
     x = params["embed"].astype(dt)[input_ids]
     caches = []
@@ -387,6 +392,8 @@ def deepseek_forward(params: Params, input_ids: jax.Array,
         caches.append(cache)
 
     x = _rms(x, params["ln_final"], cfg.rms_eps)
+    if logit_position is not None:
+        x = jax.lax.dynamic_slice_in_dim(x, logit_position, 1, axis=1)
     if "lm_head" in params:
         logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
     else:
@@ -434,22 +441,25 @@ def _absorbed_decode_attention(x, bp, cfg: DeepseekConfig, dt,
     kr_cache = jax.lax.dynamic_update_slice_in_dim(
         kr_cache, k_rot_new.astype(kr_cache.dtype), t, axis=1)
 
-    wkv = bp["kv_b_kernel"].reshape(kvr, nq, nope + vd)
-    wk = wkv[:, :, :nope].astype(jnp.float32)                 # [kvr, nq, nope]
-    wv = wkv[:, :, nope:].astype(jnp.float32)                 # [kvr, nq, vd]
+    wkv = bp["kv_b_kernel"].astype(dt).reshape(kvr, nq, nope + vd)
+    wk = wkv[:, :, :nope]                                     # [kvr, nq, nope]
+    wv = wkv[:, :, nope:]                                     # [kvr, nq, vd]
 
-    q_c = jnp.einsum("bhn,rhn->bhr", q_nope.astype(jnp.float32), wk)
-    scores = (jnp.einsum("bhr,bsr->bhs", q_c,
-                         c_cache.astype(jnp.float32))
-              + jnp.einsum("bhp,bsp->bhs", q_rot.astype(jnp.float32),
-                           kr_cache.astype(jnp.float32)))
+    # compute-dtype operands, f32 accumulation (cf. _mla_attention)
+    q_c = jnp.einsum("bhn,rhn->bhr", q_nope, wk,
+                     preferred_element_type=jnp.float32).astype(dt)
+    scores = (jnp.einsum("bhr,bsr->bhs", q_c, c_cache.astype(dt),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bhp,bsp->bhs", q_rot, kr_cache.astype(dt),
+                           preferred_element_type=jnp.float32))
     scores = scores * (cfg.qk_head_dim ** -0.5)
     S = c_cache.shape[1]
     valid = jnp.arange(S)[None, None] <= t
     probs = jax.nn.softmax(jnp.where(valid, scores, -jnp.inf), axis=-1)
-    ctx_c = jnp.einsum("bhs,bsr->bhr", probs,
-                       c_cache.astype(jnp.float32))           # [b, nq, kvr]
-    out = jnp.einsum("bhr,rhv->bhv", ctx_c, wv).astype(dt)
+    ctx_c = jnp.einsum("bhs,bsr->bhr", probs.astype(dt), c_cache.astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+    out = jnp.einsum("bhr,rhv->bhv", ctx_c, wv,
+                     preferred_element_type=jnp.float32).astype(dt)
     out = out.reshape(b, nq * vd)
     return out @ bp["o_kernel"].astype(dt), c_cache, kr_cache
 

@@ -130,11 +130,20 @@ class ServingEngine:
                  prefix_cache: bool = False):
         import jax.numpy as jnp
 
-        self._server = PagedServer(
+        from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
+
+        server_cls = PagedServer
+        kw = dict(chunked_prefill=chunked_prefill, prefix_cache=prefix_cache)
+        if isinstance(cfg, DeepseekConfig):
+            # MLA family: compressed-latent pool server, same serving
+            # machinery/API (llm/paged_mla.py)
+            from ssp_x_vit_tpu.llm.paged_mla import MLAPagedServer
+
+            server_cls = MLAPagedServer
+        self._server = server_cls(
             params, cfg, max_batch=max_batch, num_pages=num_pages,
             page_size=page_size, max_context=max_context,
-            cache_dtype=cache_dtype or jnp.bfloat16,
-            chunked_prefill=chunked_prefill, prefix_cache=prefix_cache)
+            cache_dtype=cache_dtype or jnp.bfloat16, **kw)
         self.cfg = cfg
         self._pending: "collections.deque[_Pending]" = collections.deque()
         self._live: Dict[int, _Pending] = {}       # request_id -> pending rec

@@ -536,8 +536,7 @@ class PagedServer:
         self.chunked_prefill = chunked_prefill
         self.prefix_cache = prefix_cache
         self.max_pages_per_seq = -(-max_context // page_size)
-        self.k_pools, self.v_pools = init_paged_pools(
-            cfg, num_pages, page_size, cache_dtype)
+        self._init_pools(num_pages, page_size, cache_dtype)
         self.free_pages = list(range(num_pages - 1, 0, -1))  # page 0 = trash
         self.slots = [_Slot() for _ in range(max_batch)]
         self._next_id = 0
@@ -549,6 +548,44 @@ class PagedServer:
         self._page_refs: Dict[int, int] = {}   # page id -> active slots
         self._lru: Dict[int, None] = {}        # insertion-ordered, evictable
         self.prefix_hit_pages = 0             # stat: pages served from cache
+
+    # ---------------- model hooks ----------------
+    # Everything model-specific lives in these three methods; the page
+    # accounting, admission control, prefix cache, sampler, and decode loop
+    # below are architecture-independent. MLAPagedServer (llm/paged_mla.py)
+    # overrides them to serve DeepSeek's compressed-latent cache through the
+    # same server.
+
+    def _init_pools(self, num_pages: int, page_size: int, cache_dtype):
+        self.k_pools, self.v_pools = init_paged_pools(
+            self.cfg, num_pages, page_size, cache_dtype)
+
+    def _prefill(self, prompt: List[int], pt: np.ndarray, m: int):
+        """Prefill one prompt into its page table ``pt`` (the first ``m``
+        pages already hold this prefix — prefix-cache hit); returns
+        next-token logits [V]."""
+        if self.chunked_prefill is not None or m > 0:
+            # prefix reuse requires the offset-capable chunked path
+            logits, self.k_pools, self.v_pools = paged_prefill_chunked(
+                self.params, prompt, self.k_pools, self.v_pools, self.cfg,
+                pt, chunk_size=self.chunked_prefill or 64,
+                start=m * self.page_size)
+        else:
+            p_pad = min(bucket_prompt_pad(len(prompt)),
+                        self.max_pages_per_seq * self.page_size)
+            toks = np.zeros((1, p_pad), np.int32)
+            toks[0, : len(prompt)] = prompt
+            logits, self.k_pools, self.v_pools = paged_prefill(
+                self.params, jnp.asarray(toks), self.k_pools, self.v_pools,
+                self.cfg, jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
+        return logits
+
+    def _decode(self, tokens: np.ndarray, pts: np.ndarray, lens: np.ndarray):
+        """One batched decode step (np [b], [b, mp], [b]) -> logits [b, V]."""
+        logits, self.k_pools, self.v_pools = paged_decode_step(
+            self.params, jnp.asarray(tokens), self.k_pools, self.v_pools,
+            self.cfg, jnp.asarray(pts), jnp.asarray(lens))
+        return logits
 
     # ---------------- page accounting ----------------
 
@@ -647,20 +684,7 @@ class PagedServer:
         pt = np.zeros((self.max_pages_per_seq,), np.int32)
         pt[: len(pages)] = pages
 
-        if self.chunked_prefill is not None or m > 0:
-            # prefix reuse requires the offset-capable chunked path
-            logits, self.k_pools, self.v_pools = paged_prefill_chunked(
-                self.params, prompt, self.k_pools, self.v_pools, self.cfg,
-                pt, chunk_size=self.chunked_prefill or 64,
-                start=m * self.page_size)
-        else:
-            p_pad = min(bucket_prompt_pad(len(prompt)),
-                        self.max_pages_per_seq * self.page_size)
-            toks = np.zeros((1, p_pad), np.int32)
-            toks[0, : len(prompt)] = prompt
-            logits, self.k_pools, self.v_pools = paged_prefill(
-                self.params, jnp.asarray(toks), self.k_pools, self.v_pools,
-                self.cfg, jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
+        logits = self._prefill(prompt, pt, m)
         if self.sampler_state is not None:
             # reset this slot's row (a lingering previous occupant's params
             # must never leak into a new request) and sample the first token
@@ -745,9 +769,7 @@ class PagedServer:
             pts[i, : len(s.pages)] = s.pages
             lens[i] = s.length
 
-        logits, self.k_pools, self.v_pools = paged_decode_step(
-            self.params, jnp.asarray(tokens), self.k_pools, self.v_pools,
-            self.cfg, jnp.asarray(pts), jnp.asarray(lens))
+        logits = self._decode(tokens, pts, lens)
         if self.sampler_state is not None:
             # one compiled program for every slot mixture; greedy rows
             # (temperature 0) reduce to the same argmax as the host path

@@ -1,0 +1,249 @@
+"""Paged serving for the MLA (DeepSeek-V3) family: compressed-latent pages.
+
+The MLA serving cache per token per layer is ONE head-independent vector —
+the post-norm compressed latent ``c`` [kv_lora_rank] plus the shared roped
+key ``k_rot`` [qk_rope_head_dim] (llm/deepseek.py module docstring). Paging
+that cache therefore needs a SINGLE pool of ``cat(c, k_rot)`` vectors
+per layer, not a K/V pool pair:
+
+    pool: [L, 1, num_pages, page_size, kv_lora_rank + qk_rope_head_dim]
+
+(the explicit nkv=1 axis keeps the ops-layer page-walk contract intact).
+
+Absorbed decode maps EXACTLY onto the existing paged-attention kernel
+(ops/pallas/paged_attention.py) as 1-kv-head attention:
+
+- query: ``q_cat = cat(q_nope @ W_k^T, q_rot)`` [b, nq, kvr+rd] — the
+  absorbed query scores against cached ``cat(c, k_rot)`` directly
+  (the two einsums of deepseek._absorbed_decode_attention are one dot
+  over the concatenated axis);
+- keys AND values: the SAME pool. ``probs @ cat(c, kr)`` equals
+  ``cat(probs @ c, probs @ kr)``, so slicing the kernel output to the
+  first kv_lora_rank dims yields the compressed-space context exactly;
+- scale: the kernel scales by ``1/sqrt(kvr+rd)``; pre-multiplying q_cat by
+  ``sqrt(kvr+rd)/sqrt(qk_head_dim)`` restores MLA's ``1/sqrt(qk_head_dim)``.
+
+So the scalar-prefetch page-walk kernel, the jnp reference, the int8-pool
+variants, and the dispatch gate all serve MLA with zero new kernel code —
+and each page step streams ``ps * (kvr+rd)`` floats once for all heads
+(vs ``2 * nkv * ps * hd`` in MHA/GQA pools).
+
+:class:`MLAPagedServer` subclasses :class:`~ssp_x_vit_tpu.llm.paged.PagedServer`,
+overriding only its three model hooks — page accounting, admission control,
+continuous batching, per-request sampling, and cancel/step/run are shared,
+and the OpenAI-compatible frontend (llm/engine.py + llm/server_http.py)
+serves MLA models unchanged.
+
+The reference framework has no serving machinery and tops out at the
+Llama generation (``/root/reference/src/slicegpt.py:16-31``); this is part
+of the rebuild's beyond-reference serving subsystem.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssp_x_vit_tpu.llm.deepseek import (
+    DeepseekConfig, Params, _apply_rope, _deepseek_moe, _glu, _mla_compressed,
+    _mla_q, _rms, _rope_tables, deepseek_forward,
+)
+from ssp_x_vit_tpu.llm.paged import PagedServer
+from ssp_x_vit_tpu.llm.serve import bucket_prompt_pad
+from ssp_x_vit_tpu.ops.pallas.paged_attention import (
+    paged_attention, paged_pool_write, paged_pool_write_many,
+)
+
+__all__ = ["MLAPagedServer", "init_mla_pool", "mla_paged_prefill",
+           "mla_paged_decode_step", "mla_paged_generate"]
+
+
+def init_mla_pool(cfg: DeepseekConfig, num_pages: int, page_size: int,
+                  dtype=jnp.bfloat16):
+    """[L, 1, num_pages, page_size, kv_lora_rank + qk_rope_head_dim]
+    (page 0 reserved as trash, cf. paged.init_paged_pools)."""
+    shape = (cfg.num_layers, 1, num_pages, page_size,
+             cfg.kv_lora_rank + cfg.qk_rope_head_dim)
+    return jnp.zeros(shape, dtype)
+
+
+def _pool_compute_dtype(pool):
+    return jnp.float32 if pool.dtype == jnp.float32 else jnp.bfloat16
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def mla_paged_prefill(params: Params, tokens: jax.Array, pool,
+                      cfg: DeepseekConfig, page_table: jax.Array,
+                      seq_len: jax.Array):
+    """One prompt ([1, p_pad] right-padded) -> (next-token logits [V],
+    pool). The full forward emits every layer's (c, k_rot) as a side
+    output (deepseek_forward return_caches); padded positions land on
+    trash page 0. One compile per prompt bucket."""
+    dt = _pool_compute_dtype(pool)
+    logits, (c, kr) = deepseek_forward(
+        params, tokens, cfg, compute_dtype=dt, return_caches=True,
+        logit_position=jnp.maximum(seq_len - 1, 0))
+    cat = jnp.concatenate([c, kr], axis=-1)[:, 0]             # [L, s, D]
+    s = tokens.shape[1]
+    ps = pool.shape[3]
+    pos = jnp.arange(s)
+    phys = jnp.where(pos < seq_len, page_table[pos // ps], 0)
+    pool = pool.at[:, :, phys, pos % ps].set(
+        cat[:, None].astype(pool.dtype))
+    return logits[0, 0], pool
+
+
+def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
+                              page_tables, seq_lens, cos, sin):
+    """One decode position per slot against the latent pool (see module
+    docstring for the kernel-reuse argument). h [b, d] post-ln1; cos/sin
+    [b, rd] at each slot's own position. Returns (attn_out [b, d],
+    updated pool_l)."""
+    b = h.shape[0]
+    nq, kvr = cfg.num_heads, cfg.kv_lora_rank
+    nope, vd = cfg.qk_nope_head_dim, cfg.v_head_dim
+    D = kvr + cfg.qk_rope_head_dim
+
+    q = _mla_q(h[:, None], bp, cfg, dt)[:, :, 0]              # [b, nq, qk]
+    q_nope, q_rot = jnp.split(q, [nope], axis=-1)
+    q_rot = _apply_rope(q_rot, cos[:, None], sin[:, None], cfg.rope_interleave)
+
+    c_new, kr_raw = _mla_compressed(h[:, None], bp, cfg, dt)  # [b, 1, ·]
+    kr_new = _apply_rope(kr_raw, cos[:, None], sin[:, None],
+                         cfg.rope_interleave)
+    vec = jnp.concatenate([c_new, kr_new], axis=-1)           # [b, 1, D]
+    pool_l = paged_pool_write(pool_l, vec, page_tables, seq_lens)
+
+    wkv = bp["kv_b_kernel"].astype(dt).reshape(kvr, nq, nope + vd)
+    q_c = jnp.einsum("bhn,rhn->bhr", q_nope, wkv[:, :, :nope],
+                     preferred_element_type=jnp.float32).astype(dt)
+    q_cat = jnp.concatenate([q_c, q_rot], axis=-1)            # [b, nq, D]
+    # kernel divides by sqrt(D); MLA wants 1/sqrt(qk_head_dim)
+    q_cat = q_cat * (D ** 0.5 / cfg.qk_head_dim ** 0.5)
+    ctx = paged_attention(q_cat, pool_l, pool_l, page_tables, seq_lens + 1)
+    ctx_c = ctx[..., :kvr]                                    # [b, nq, kvr]
+    out = jnp.einsum("bhr,rhv->bhv", ctx_c.astype(dt), wkv[:, :, nope:],
+                     preferred_element_type=jnp.float32).astype(dt)
+    return out.reshape(b, nq * vd) @ bp["o_kernel"].astype(dt), pool_l
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def mla_paged_decode_step(params: Params, tokens: jax.Array, pool,
+                          cfg: DeepseekConfig, page_tables: jax.Array,
+                          seq_lens: jax.Array):
+    """One decode step for ALL slots: tokens [b] at per-sequence positions
+    ``seq_lens``. Returns (logits [b, V], pool). Layers scan in the same
+    two homogeneous groups as deepseek_forward."""
+    dt = _pool_compute_dtype(pool)
+    x = params["embed"].astype(dt)[tokens]                    # [b, d]
+    cos, sin = _rope_tables(cfg, seq_lens)                    # [b, rd]
+    nk = cfg.n_dense_layers
+
+    def run_group(x, blocks, pool_grp, moe):
+        def body(x, scanned):
+            bp, pool_l = scanned
+            h = _rms(x, bp["ln1"], cfg.rms_eps)
+            attn, pool_l = _absorbed_paged_attention(
+                h, bp, cfg, dt, pool_l, page_tables, seq_lens, cos, sin)
+            x = x + attn
+            h2 = _rms(x, bp["ln2"], cfg.rms_eps)
+            if moe:
+                mlp = _deepseek_moe(h2[:, None], bp, cfg, dt)[:, 0]
+            else:
+                mlp = _glu(h2, bp["gate_kernel"], bp["up_kernel"],
+                           bp["down_kernel"], dt)
+            return x + mlp, pool_l
+
+        return jax.lax.scan(body, x, (blocks, pool_grp))
+
+    groups = []
+    if nk:
+        x, p = run_group(x, params["dense_blocks"], pool[:nk], moe=False)
+        groups.append(p)
+    if cfg.n_moe_layers:
+        x, p = run_group(x, params["moe_blocks"], pool[nk:], moe=True)
+        groups.append(p)
+    pool = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+
+    x = _rms(x, params["ln_final"], cfg.rms_eps)
+    if "lm_head" in params:
+        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
+    else:
+        logits = (x @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    return logits, pool
+
+
+class MLAPagedServer(PagedServer):
+    """Continuous-batching server over the compressed-latent page pool.
+
+    Inherits the whole serving machinery from :class:`PagedServer` (slots,
+    admission with worst-case reservation, cancel, per-request sampling,
+    step loop) — only the three model hooks differ. Works under
+    :class:`~ssp_x_vit_tpu.llm.engine.ServingEngine` and the HTTP frontend.
+
+    ``chunked_prefill`` and ``prefix_cache`` are not wired for MLA yet
+    (the chunked path needs an offset-aware MLA prefill); refused loudly.
+    """
+
+    def __init__(self, params: Params, cfg: DeepseekConfig, *,
+                 max_batch: int = 4, num_pages: int = 128,
+                 page_size: int = 64, max_context: int = 1024,
+                 cache_dtype=jnp.bfloat16,
+                 chunked_prefill: Optional[int] = None,
+                 prefix_cache: bool = False):
+        if chunked_prefill is not None or prefix_cache:
+            raise ValueError("MLA paged serving does not support "
+                             "chunked_prefill/prefix_cache yet")
+        if isinstance(cache_dtype, dict) or cache_dtype == jnp.int8:
+            raise ValueError("int8 latent pool not wired yet; use bf16/f32")
+        super().__init__(params, cfg, max_batch=max_batch,
+                         num_pages=num_pages, page_size=page_size,
+                         max_context=max_context, cache_dtype=cache_dtype,
+                         chunked_prefill=None, prefix_cache=False)
+
+    # ---------------- model hooks ----------------
+
+    def _init_pools(self, num_pages: int, page_size: int, cache_dtype):
+        self.pool = init_mla_pool(self.cfg, num_pages, page_size, cache_dtype)
+
+    def _prefill(self, prompt: List[int], pt: np.ndarray, m: int):
+        assert m == 0, "prefix cache is refused in __init__"
+        p_pad = min(bucket_prompt_pad(len(prompt)),
+                    self.max_pages_per_seq * self.page_size)
+        toks = np.zeros((1, p_pad), np.int32)
+        toks[0, : len(prompt)] = prompt
+        logits, self.pool = mla_paged_prefill(
+            self.params, jnp.asarray(toks), self.pool, self.cfg,
+            jnp.asarray(pt), jnp.asarray(len(prompt), jnp.int32))
+        return logits
+
+    def _decode(self, tokens: np.ndarray, pts: np.ndarray, lens: np.ndarray):
+        logits, self.pool = mla_paged_decode_step(
+            self.params, jnp.asarray(tokens), self.pool, self.cfg,
+            jnp.asarray(pts), jnp.asarray(lens))
+        return logits
+
+
+def mla_paged_generate(params: Params, cfg: DeepseekConfig, prompts, *,
+                       max_new_tokens: int = 32,
+                       eos_token_id: Optional[int] = None,
+                       page_size: int = 64, cache_dtype=jnp.bfloat16,
+                       max_batch: Optional[int] = None):
+    """Bulk MLA paged generation (ragged prompts, continuous batching).
+    Returns per-prompt arrays (prompt + generation, trimmed at eos) in
+    input order — the paged counterpart of deepseek_generate."""
+    prompts = [np.asarray(p).reshape(-1).astype(np.int32) for p in prompts]
+    counts = [-(-(len(p) + max_new_tokens + 1) // page_size) for p in prompts]
+    srv = MLAPagedServer(
+        params, cfg, max_batch=max_batch or len(prompts),
+        num_pages=1 + sum(counts), page_size=page_size,
+        max_context=max(len(p) + max_new_tokens + 1 for p in prompts),
+        cache_dtype=cache_dtype)
+    ids = [srv.add_request(p, max_new_tokens=max_new_tokens,
+                           eos_token_id=eos_token_id) for p in prompts]
+    finished = srv.run()
+    return [finished[i] for i in ids]

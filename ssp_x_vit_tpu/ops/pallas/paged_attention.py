@@ -430,6 +430,34 @@ def _page_size_of(pages):
     return (pages["q"] if isinstance(pages, dict) else pages).shape[2]
 
 
+def paged_pool_write(pages, new, page_table, positions):
+    """Write one token's vector per sequence into a SINGLE pool
+    [nkv, P, ps, hd] — the MLA compressed-latent pool stores ONE pool
+    (cat(c, k_rot), nkv=1) instead of a K/V pair (llm/paged_mla.py).
+
+    new: [b, nkv, hd]; positions [b] = logical slot being written
+    (== current seq_len). Returns the updated pool (array or int8
+    pool pytree). Functional (donation-safe under jit)."""
+    b = positions.shape[0]
+    ps = _page_size_of(pages)
+    phys = page_table[jnp.arange(b), positions // ps]          # [b]
+    return _pool_write(pages, new, phys, positions % ps)
+
+
+def paged_pool_write_many(pages, new, page_table, start, valid_len=None):
+    """Prefill-write s consecutive tokens for ONE sequence into a single
+    pool. new: [s, nkv, hd]; page_table: [mp] this sequence's pages;
+    start: first logical slot. ``valid_len`` (traced ok) redirects positions
+    >= start + valid_len to trash page 0 (static-shape padded prefill)."""
+    s = new.shape[0]
+    ps = _page_size_of(pages)
+    pos = start + jnp.arange(s)
+    phys = page_table[pos // ps]                               # [s]
+    if valid_len is not None:
+        phys = jnp.where(pos < start + valid_len, phys, 0)
+    return _pool_write(pages, new, phys, pos % ps)
+
+
 def paged_cache_write(k_pages, v_pages, k_new, v_new, page_table, positions):
     """Write one token's K/V per sequence into its page.
 
@@ -437,13 +465,8 @@ def paged_cache_write(k_pages, v_pages, k_new, v_new, page_table, positions):
     (== current seq_len). Returns updated pools (arrays or int8 pool
     pytrees). Functional (donation-safe under jit).
     """
-    b = positions.shape[0]
-    ps = _page_size_of(k_pages)
-    page = positions // ps
-    off = positions % ps
-    phys = page_table[jnp.arange(b), page]                     # [b]
-    return (_pool_write(k_pages, k_new, phys, off),
-            _pool_write(v_pages, v_new, phys, off))
+    return (paged_pool_write(k_pages, k_new, page_table, positions),
+            paged_pool_write(v_pages, v_new, page_table, positions))
 
 
 def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start,
@@ -455,12 +478,5 @@ def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start,
     >= start + valid_len to trash page 0 (static-shape padded prefill).
     Returns updated pools (arrays or int8 pool pytrees).
     """
-    s = k_new.shape[0]
-    ps = _page_size_of(k_pages)
-    pos = start + jnp.arange(s)
-    phys = page_table[pos // ps]                               # [s]
-    if valid_len is not None:
-        phys = jnp.where(pos < start + valid_len, phys, 0)
-    off = pos % ps
-    return (_pool_write(k_pages, k_new, phys, off),
-            _pool_write(v_pages, v_new, phys, off))
+    return (paged_pool_write_many(k_pages, k_new, page_table, start, valid_len),
+            paged_pool_write_many(v_pages, v_new, page_table, start, valid_len))
