@@ -41,6 +41,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--max-length", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--paged", action="store_true",
+                    help="also A/B the paged continuous-batching servers")
     args = ap.parse_args()
 
     import jax
@@ -93,8 +96,55 @@ def main():
         mha_params, mha_cfg, prompt[None], max_length=M))
     results["mha_b1_tok_per_s"] = round(gen / t, 1)
 
-    results["mla_vs_mha"] = round(
+    results["mla_vs_mha_b1"] = round(
         results["mla_b1_tok_per_s"] / results["mha_b1_tok_per_s"], 2)
+
+    # batched whole-generation: weights amortize over rows, the per-step
+    # traffic shifts to the CACHE — where MLA's 7.1x smaller per-token
+    # footprint (1152 vs 8192 B/layer) is the architecture's whole point
+    B = args.batch
+    prompts_b = rng.integers(0, 32000, size=(B, P)).astype(np.int32)
+    t = time_call(lambda: deepseek_generate(
+        mla_params, mla_cfg, prompts_b, max_new_tokens=gen))
+    results[f"mla_b{B}_tok_per_s"] = round(B * gen / t, 1)
+    t = time_call(lambda: generate_kv_scan(
+        mha_params, mha_cfg, prompts_b, max_length=M))
+    results[f"mha_b{B}_tok_per_s"] = round(B * gen / t, 1)
+    results[f"mla_vs_mha_b{B}"] = round(
+        results[f"mla_b{B}_tok_per_s"] / results[f"mha_b{B}_tok_per_s"], 2)
+
+    if args.paged:
+        # continuous-batching servers, host step loop (per-step dispatch
+        # rides the tunnel; same loop shape for both, so the RATIO is the
+        # signal). Page size 64, per-slot positions.
+        from ssp_x_vit_tpu.llm.paged import PagedServer
+        from ssp_x_vit_tpu.llm.paged_mla import MLAPagedServer
+
+        def run_server(mk):
+            srv = mk()
+            for i in range(B):
+                srv.add_request(prompts_b[i], max_new_tokens=gen)
+            t0 = time.perf_counter()
+            srv.run()
+            return time.perf_counter() - t0
+
+        np_pages = 1 + B * (-(-M // 64))
+        mk_mla = lambda: MLAPagedServer(
+            mla_params, mla_cfg, max_batch=B, num_pages=np_pages,
+            page_size=64, max_context=M + 64)
+        mk_mha = lambda: PagedServer(
+            mha_params, mha_cfg, max_batch=B, num_pages=np_pages,
+            page_size=64, max_context=M + 64)
+        run_server(mk_mla)  # compile
+        results[f"mla_paged_b{B}_tok_per_s"] = round(
+            B * gen / run_server(mk_mla), 1)
+        run_server(mk_mha)  # compile
+        results[f"mha_paged_b{B}_tok_per_s"] = round(
+            B * gen / run_server(mk_mha), 1)
+        results[f"mla_vs_mha_paged_b{B}"] = round(
+            results[f"mla_paged_b{B}_tok_per_s"]
+            / results[f"mha_paged_b{B}_tok_per_s"], 2)
+
     print(json.dumps(results))
 
 

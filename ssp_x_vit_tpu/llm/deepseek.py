@@ -30,8 +30,10 @@ different from the per-head K/V caches of ``llm/serve.py``:
 
 HF parity: logits match ``transformers`` ``DeepseekV3ForCausalLM``
 (tests/test_deepseek.py); checkpoints load via :func:`load_hf_deepseek`.
-``rope_scaling`` (YaRN + mscale) is refused for now — the scaling/softmax
-temperature interaction is checkpoint-specific and untested here.
+``rope_scaling`` supports deepseek-style YaRN (mscale/mscale_all_dim): the
+cos/sin tables carry the mscale-ratio attention factor (llm/rope.py) and the
+softmax scale is multiplied by ``yarn_get_mscale(factor, mscale_all_dim)**2``
+(:func:`mla_softmax_scale`), matching HF ``DeepseekV3Attention.__init__``.
 """
 
 from __future__ import annotations
@@ -46,11 +48,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ssp_x_vit_tpu.llm.rope import (RopeScaling, parse_rope_scaling,
+                                    rope_freqs, yarn_get_mscale)
+
 Params = Dict[str, Any]
 
 __all__ = ["DeepseekConfig", "init_deepseek_params", "deepseek_forward",
            "load_hf_deepseek", "config_from_hf_deepseek",
-           "deepseek_generate", "mla_cache_bytes_per_token"]
+           "deepseek_generate", "mla_cache_bytes_per_token",
+           "mla_softmax_scale"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +85,7 @@ class DeepseekConfig:
     first_k_dense_replace: int = 0
     hidden_act: str = "silu"
     rope_theta: float = 10000.0
+    rope_scaling: Optional[RopeScaling] = None  # frozen/hashable, rides jit
     rms_eps: float = 1e-6
     tie_embeddings: bool = False
 
@@ -196,16 +203,30 @@ def _rms(x, scale, eps):
 
 def _rope_tables(cfg: DeepseekConfig, positions: jax.Array):
     """cos/sin [*pos_shape, rope_dim] for given integer positions, HF
-    non-interleaved table layout (freqs duplicated across halves)."""
-    from ssp_x_vit_tpu.llm.rope import rope_freqs
-
+    non-interleaved table layout (freqs duplicated across halves); under
+    yarn the tables carry the attention factor (mscale ratio), matching
+    transformers rotary embeddings."""
     inv_freq_np, attn_scale = rope_freqs(cfg.rope_theta,
-                                         cfg.qk_rope_head_dim, None)
-    assert attn_scale == 1.0
+                                         cfg.qk_rope_head_dim,
+                                         cfg.rope_scaling)
     inv_freq = jnp.asarray(inv_freq_np)                       # [rd/2]
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     emb = jnp.concatenate([freqs, freqs], axis=-1)            # [..., rd]
-    return jnp.cos(emb), jnp.sin(emb)
+    return jnp.cos(emb) * attn_scale, jnp.sin(emb) * attn_scale
+
+
+def mla_softmax_scale(cfg: DeepseekConfig) -> float:
+    """HF ``DeepseekV3Attention.__init__``: the softmax scale is
+    ``qk_head_dim**-0.5``, multiplied by ``yarn_get_mscale(factor,
+    mscale_all_dim)**2`` whenever rope_scaling carries a truthy
+    ``mscale_all_dim`` (checked on presence, not rope_type — mirroring
+    transformers exactly)."""
+    scale = cfg.qk_head_dim ** -0.5
+    sc = cfg.rope_scaling
+    if sc is not None and sc.mscale_all_dim:
+        m = yarn_get_mscale(sc.factor, sc.mscale_all_dim)
+        scale *= m * m
+    return scale
 
 
 def _deinterleave(x):
@@ -275,7 +296,7 @@ def _mla_attention(x, bp, cfg: DeepseekConfig, dt):
     k_rot = _apply_rope(k_rot_raw, cos[None], sin[None],
                         cfg.rope_interleave)                  # [b, s, rd]
 
-    scale = cfg.qk_head_dim ** -0.5
+    scale = mla_softmax_scale(cfg)
     # compute-dtype operands with f32 MXU accumulation (softmax in f32):
     # exact at f32, and at bf16 the matmuls stream bf16 instead of paying
     # the 3-pass f32 MXU penalty (docs/tpu_notes.md matmul-precision note)
@@ -452,7 +473,7 @@ def _absorbed_decode_attention(x, bp, cfg: DeepseekConfig, dt,
                          preferred_element_type=jnp.float32)
               + jnp.einsum("bhp,bsp->bhs", q_rot, kr_cache.astype(dt),
                            preferred_element_type=jnp.float32))
-    scores = scores * (cfg.qk_head_dim ** -0.5)
+    scores = scores * mla_softmax_scale(cfg)
     S = c_cache.shape[1]
     valid = jnp.arange(S)[None, None] <= t
     probs = jax.nn.softmax(jnp.where(valid, scores, -jnp.inf), axis=-1)
@@ -572,11 +593,6 @@ def config_from_hf_deepseek(d: Dict[str, Any]) -> DeepseekConfig:
         # top-k) instead of sigmoid + correction bias; wiring its router
         # variant is future work — refuse rather than silently mis-route
         raise ValueError(f"not a deepseek_v3 config: {d.get('model_type')}")
-    if d.get("rope_scaling"):
-        raise ValueError(
-            "deepseek rope_scaling (YaRN + mscale softmax temperature) is "
-            "not supported yet; re-export the checkpoint without scaling "
-            "or serve within the base context window")
     n_routed = d.get("n_routed_experts") or 0
     return DeepseekConfig(
         vocab_size=d["vocab_size"],
@@ -601,6 +617,7 @@ def config_from_hf_deepseek(d: Dict[str, Any]) -> DeepseekConfig:
         routed_scaling_factor=d.get("routed_scaling_factor", 1.0),
         first_k_dense_replace=d.get("first_k_dense_replace", 0),
         rope_theta=d.get("rope_theta", 10000.0),
+        rope_scaling=parse_rope_scaling(d.get("rope_scaling")),
         rms_eps=d.get("rms_norm_eps", 1e-6),
         tie_embeddings=d.get("tie_word_embeddings", False),
     )

@@ -21,7 +21,8 @@ Absorbed decode maps EXACTLY onto the existing paged-attention kernel
   ``cat(probs @ c, probs @ kr)``, so slicing the kernel output to the
   first kv_lora_rank dims yields the compressed-space context exactly;
 - scale: the kernel scales by ``1/sqrt(kvr+rd)``; pre-multiplying q_cat by
-  ``sqrt(kvr+rd)/sqrt(qk_head_dim)`` restores MLA's ``1/sqrt(qk_head_dim)``.
+  ``sqrt(kvr+rd) * mla_softmax_scale(cfg)`` restores MLA's softmax scale
+  (``1/sqrt(qk_head_dim)``, times the yarn mscale temperature when scaled).
 
 So the scalar-prefetch page-walk kernel, the jnp reference, the int8-pool
 variants, and the dispatch gate all serve MLA with zero new kernel code —
@@ -50,7 +51,7 @@ import numpy as np
 
 from ssp_x_vit_tpu.llm.deepseek import (
     DeepseekConfig, Params, _apply_rope, _deepseek_moe, _glu, _mla_compressed,
-    _mla_q, _rms, _rope_tables, deepseek_forward,
+    _mla_q, _rms, _rope_tables, deepseek_forward, mla_softmax_scale,
 )
 from ssp_x_vit_tpu.llm.paged import PagedServer
 from ssp_x_vit_tpu.llm.serve import bucket_prompt_pad
@@ -122,8 +123,9 @@ def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
     q_c = jnp.einsum("bhn,rhn->bhr", q_nope, wkv[:, :, :nope],
                      preferred_element_type=jnp.float32).astype(dt)
     q_cat = jnp.concatenate([q_c, q_rot], axis=-1)            # [b, nq, D]
-    # kernel divides by sqrt(D); MLA wants 1/sqrt(qk_head_dim)
-    q_cat = q_cat * (D ** 0.5 / cfg.qk_head_dim ** 0.5)
+    # kernel divides by sqrt(D); MLA wants mla_softmax_scale (1/sqrt(
+    # qk_head_dim), times the yarn mscale_all_dim temperature when scaled)
+    q_cat = q_cat * (D ** 0.5 * mla_softmax_scale(cfg))
     ctx = paged_attention(q_cat, pool_l, pool_l, page_tables, seq_lens + 1)
     ctx_c = ctx[..., :kvr]                                    # [b, nq, kvr]
     out = jnp.einsum("bhr,rhv->bhv", ctx_c.astype(dt), wkv[:, :, nope:],

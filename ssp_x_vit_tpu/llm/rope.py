@@ -50,6 +50,11 @@ class RopeScaling:
     beta_slow: float = 1.0
     attention_factor: Optional[float] = None
     truncate: bool = True
+    # deepseek-style yarn: when attention_factor is None and BOTH are set,
+    # attention_factor = get_mscale(factor, mscale)/get_mscale(factor,
+    # mscale_all_dim) (transformers _compute_yarn_parameters)
+    mscale: Optional[float] = None
+    mscale_all_dim: Optional[float] = None
 
     def __post_init__(self):
         if self.rope_type not in ("linear", "llama3", "yarn"):
@@ -63,6 +68,13 @@ class RopeScaling:
 
 def _default_inv_freq(theta: float, rd: int) -> np.ndarray:
     return 1.0 / (theta ** (np.arange(0, rd, 2, dtype=np.float64) / rd))
+
+
+def yarn_get_mscale(scale: float, mscale: float = 1.0) -> float:
+    """transformers ``get_mscale``: the yarn attention temperature."""
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
 
 
 def _llama3_inv_freq(theta: float, rd: int, sc: RopeScaling) -> np.ndarray:
@@ -94,10 +106,12 @@ def _yarn_inv_freq(theta: float, rd: int,
 
     if sc.attention_factor is not None:
         attn_scale = float(sc.attention_factor)
-    elif sc.factor > 1.0:
-        attn_scale = 0.1 * math.log(sc.factor) + 1.0
+    elif sc.mscale and sc.mscale_all_dim:
+        # deepseek-style: ratio of the two mscale temperatures
+        attn_scale = (yarn_get_mscale(sc.factor, sc.mscale)
+                      / yarn_get_mscale(sc.factor, sc.mscale_all_dim))
     else:
-        attn_scale = 1.0
+        attn_scale = yarn_get_mscale(sc.factor)
 
     def correction_dim(num_rotations: float) -> float:
         return (rd * math.log(old_ctx / (num_rotations * 2.0 * math.pi))
@@ -170,9 +184,10 @@ def parse_rope_scaling(d) -> Optional[RopeScaling]:
         kw["attention_factor"] = float(d["attention_factor"])
     if "truncate" in d:
         kw["truncate"] = bool(d["truncate"])
-    if d.get("mscale") is not None or d.get("mscale_all_dim") is not None:
-        raise ValueError("deepseek-style yarn mscale/mscale_all_dim is not "
-                         "supported (no deepseek arch here)")
+    if d.get("mscale") is not None:
+        kw["mscale"] = float(d["mscale"])
+    if d.get("mscale_all_dim") is not None:
+        kw["mscale_all_dim"] = float(d["mscale_all_dim"])
     return RopeScaling(**kw)
 
 
@@ -193,4 +208,8 @@ def export_rope_scaling(sc: Optional[RopeScaling]):
                  truncate=sc.truncate)
         if sc.attention_factor is not None:
             d["attention_factor"] = sc.attention_factor
+        if sc.mscale is not None:
+            d["mscale"] = sc.mscale
+        if sc.mscale_all_dim is not None:
+            d["mscale_all_dim"] = sc.mscale_all_dim
     return d

@@ -117,17 +117,50 @@ def test_non_interleaved_rope_matches_hf(tmp_path):
                                rtol=5e-4, atol=5e-4)
 
 
-def test_absorbed_decode_matches_full_recompute():
+def test_yarn_mscale_logits_match_hf(tmp_path):
+    """Deepseek-style YaRN: cos/sin carry the mscale-RATIO attention factor
+    (rope.py) AND the softmax scale gains yarn_get_mscale(factor,
+    mscale_all_dim)**2 (HF DeepseekV3Attention.__init__). mscale !=
+    mscale_all_dim makes the two effects distinguishable — either one wrong
+    breaks parity."""
+    scaling = {"rope_type": "yarn", "factor": 4.0, "beta_fast": 8.0,
+               "beta_slow": 1.0, "mscale": 1.2, "mscale_all_dim": 0.8,
+               "original_max_position_embeddings": 16}
+    model = _save_hf_deepseek(tmp_path / "yarn", seed=4,
+                              rope_scaling=scaling,
+                              first_k_dense_replace=3)
+    params, cfg = load_hf_deepseek(str(tmp_path / "yarn"))
+    assert cfg.rope_scaling is not None
+    assert cfg.rope_scaling.mscale == 1.2
+    assert cfg.rope_scaling.mscale_all_dim == 0.8
+
+    tokens = (np.arange(24, dtype=np.int32)[None] * 13) % 96
+    ours = deepseek_forward(params, jnp.asarray(tokens), cfg,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), _hf_logits(model, tokens),
+                               rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("yarn", [False, True])
+def test_absorbed_decode_matches_full_recompute(yarn):
     """Greedy generation over the compressed cache (absorbed decode) must
     equal argmax over the full-recompute forward at every step — the
-    weight-absorption identity plus cache exactness."""
+    weight-absorption identity plus cache exactness. The yarn arm checks
+    the scaled cos/sin tables and mscale softmax temperature thread
+    identically through both paths."""
+    from ssp_x_vit_tpu.llm.rope import RopeScaling
+
+    sc = RopeScaling(rope_type="yarn", factor=4.0, mscale=1.2,
+                     mscale_all_dim=0.8,
+                     original_max_position_embeddings=16) if yarn else None
     cfg = DeepseekConfig(
         vocab_size=64, hidden_size=32, num_layers=3, num_heads=4,
         q_lora_rank=12, kv_lora_rank=16, qk_nope_head_dim=8,
         qk_rope_head_dim=4, v_head_dim=8, intermediate_size=48,
         moe_intermediate_size=16, n_routed_experts=4, n_shared_experts=1,
         num_experts_per_tok=2, n_group=2, topk_group=1,
-        routed_scaling_factor=1.5, first_k_dense_replace=1)
+        routed_scaling_factor=1.5, first_k_dense_replace=1,
+        rope_scaling=sc)
     params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
     prompt = np.asarray([3, 11, 7, 30], np.int32)
     n = 8
@@ -196,8 +229,6 @@ def dataclasses_replace(cfg, **kw):
 def test_refusals():
     with pytest.raises(ValueError, match="deepseek_v3"):
         config_from_hf_deepseek({"model_type": "llama"})
-    with pytest.raises(ValueError, match="rope_scaling"):
-        config_from_hf_deepseek({"model_type": "deepseek_v3",
-                                 "rope_scaling": {"type": "yarn"}})
+    # dynamic-NTK rope refusal rides parse_rope_scaling (test_rope_scaling)
     with pytest.raises(ValueError, match="topk_group"):
         DeepseekConfig(n_routed_experts=8, n_group=2, topk_group=4)

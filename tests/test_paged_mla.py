@@ -19,6 +19,7 @@ from ssp_x_vit_tpu.llm.deepseek import (
 from ssp_x_vit_tpu.llm.paged_mla import (
     MLAPagedServer, mla_paged_generate,
 )
+from ssp_x_vit_tpu.llm.rope import RopeScaling
 
 
 def _cfg(**kw):
@@ -29,10 +30,17 @@ def _cfg(**kw):
     return DeepseekConfig(**base)
 
 
-@pytest.fixture(scope="module", params=["dense", "moe_qlora"])
+@pytest.fixture(scope="module", params=["dense", "moe_qlora", "yarn"])
 def model(request):
     if request.param == "dense":
         cfg = _cfg()
+    elif request.param == "yarn":
+        # deepseek-style yarn: scaled cos/sin AND the mscale_all_dim softmax
+        # temperature must thread identically through prefill (full forward)
+        # and the kernel's pre-multiplied q_cat scale correction
+        cfg = _cfg(rope_scaling=RopeScaling(
+            rope_type="yarn", factor=4.0, mscale=1.2, mscale_all_dim=0.8,
+            original_max_position_embeddings=16))
     else:
         cfg = _cfg(n_routed_experts=4, n_shared_experts=1,
                    num_experts_per_tok=2, first_k_dense_replace=1,

@@ -46,6 +46,14 @@ def _hf_inv_freq(kind, theta, head_dim, scaling_dict, max_pos=131072):
     ("yarn", 10000.0, {"rope_type": "yarn", "factor": 4.0,
                        "attention_factor": 1.3, "truncate": False,
                        "original_max_position_embeddings": 4096}),
+    # deepseek-style: attention factor = mscale-temperature ratio
+    ("yarn", 10000.0, {"rope_type": "yarn", "factor": 40.0,
+                       "beta_fast": 32.0, "beta_slow": 1.0,
+                       "mscale": 1.0, "mscale_all_dim": 1.0,
+                       "original_max_position_embeddings": 4096}),
+    ("yarn", 10000.0, {"rope_type": "yarn", "factor": 4.0,
+                       "mscale": 1.2, "mscale_all_dim": 0.8,
+                       "original_max_position_embeddings": 4096}),
     ("linear", 10000.0, {"rope_type": "linear", "factor": 2.0}),
 ])
 def test_inv_freq_matches_transformers(kind, theta, d):
@@ -66,7 +74,9 @@ def test_export_parse_round_trip():
     for sc in (LLAMA3, YARN,
                RopeScaling(rope_type="linear", factor=2.0),
                RopeScaling(rope_type="yarn", factor=4.0,
-                           attention_factor=1.25, truncate=False)):
+                           attention_factor=1.25, truncate=False),
+               RopeScaling(rope_type="yarn", factor=40.0,
+                           mscale=1.0, mscale_all_dim=1.0)):
         assert parse_rope_scaling(export_rope_scaling(sc)) == sc
     assert export_rope_scaling(None) is None
     assert parse_rope_scaling(None) is None
