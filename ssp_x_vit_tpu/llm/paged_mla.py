@@ -56,7 +56,8 @@ from ssp_x_vit_tpu.llm.deepseek import (
 from ssp_x_vit_tpu.llm.paged import PagedServer
 from ssp_x_vit_tpu.llm.serve import bucket_prompt_pad
 from ssp_x_vit_tpu.ops.pallas.paged_attention import (
-    paged_attention, paged_pool_write, paged_pool_write_many,
+    _quantize_token_kv, paged_attention, paged_pool_write,
+    paged_pool_write_many,
 )
 
 __all__ = ["MLAPagedServer", "init_mla_pool", "mla_paged_prefill",
@@ -66,13 +67,23 @@ __all__ = ["MLAPagedServer", "init_mla_pool", "mla_paged_prefill",
 def init_mla_pool(cfg: DeepseekConfig, num_pages: int, page_size: int,
                   dtype=jnp.bfloat16):
     """[L, 1, num_pages, page_size, kv_lora_rank + qk_rope_head_dim]
-    (page 0 reserved as trash, cf. paged.init_paged_pools)."""
+    (page 0 reserved as trash, cf. paged.init_paged_pools). ``int8``
+    returns the quantized-pool pytree {"q": codes, "s": per-token f32
+    scales} — the same contract the generic page-walk kernel folds
+    (llm/paged.init_paged_pools); the scale covers the WHOLE cat(c, k_rot)
+    vector, and the context-slice identity survives quantization because
+    dequantization is per-token elementwise (linearity argument above)."""
     shape = (cfg.num_layers, 1, num_pages, page_size,
              cfg.kv_lora_rank + cfg.qk_rope_head_dim)
+    if dtype == jnp.int8:
+        return {"q": jnp.zeros(shape, jnp.int8),
+                "s": jnp.ones(shape[:-1], jnp.float32)}
     return jnp.zeros(shape, dtype)
 
 
 def _pool_compute_dtype(pool):
+    if isinstance(pool, dict):
+        return jnp.bfloat16
     return jnp.float32 if pool.dtype == jnp.float32 else jnp.bfloat16
 
 
@@ -90,11 +101,16 @@ def mla_paged_prefill(params: Params, tokens: jax.Array, pool,
         logit_position=jnp.maximum(seq_len - 1, 0))
     cat = jnp.concatenate([c, kr], axis=-1)[:, 0]             # [L, s, D]
     s = tokens.shape[1]
-    ps = pool.shape[3]
+    ps = (pool["q"] if isinstance(pool, dict) else pool).shape[3]
     pos = jnp.arange(s)
     phys = jnp.where(pos < seq_len, page_table[pos // ps], 0)
-    pool = pool.at[:, :, phys, pos % ps].set(
-        cat[:, None].astype(pool.dtype))
+    if isinstance(pool, dict):
+        codes, sc = _quantize_token_kv(cat)                   # [L,s,D],[L,s]
+        pool = {"q": pool["q"].at[:, :, phys, pos % ps].set(codes[:, None]),
+                "s": pool["s"].at[:, :, phys, pos % ps].set(sc[:, None])}
+    else:
+        pool = pool.at[:, :, phys, pos % ps].set(
+            cat[:, None].astype(pool.dtype))
     return logits[0, 0], pool
 
 
@@ -162,14 +178,18 @@ def mla_paged_decode_step(params: Params, tokens: jax.Array, pool,
 
         return jax.lax.scan(body, x, (blocks, pool_grp))
 
+    # int8 pools are {"q","s"} pytrees: slice/concat the layer axis leafwise
     groups = []
     if nk:
-        x, p = run_group(x, params["dense_blocks"], pool[:nk], moe=False)
+        x, p = run_group(x, params["dense_blocks"],
+                         jax.tree.map(lambda a: a[:nk], pool), moe=False)
         groups.append(p)
     if cfg.n_moe_layers:
-        x, p = run_group(x, params["moe_blocks"], pool[nk:], moe=True)
+        x, p = run_group(x, params["moe_blocks"],
+                         jax.tree.map(lambda a: a[nk:], pool), moe=True)
         groups.append(p)
-    pool = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+    pool = groups[0] if len(groups) == 1 else jax.tree.map(
+        lambda *a: jnp.concatenate(a, axis=0), *groups)
 
     x = _rms(x, params["ln_final"], cfg.rms_eps)
     if "lm_head" in params:
@@ -187,8 +207,12 @@ class MLAPagedServer(PagedServer):
     step loop) — only the three model hooks differ. Works under
     :class:`~ssp_x_vit_tpu.llm.engine.ServingEngine` and the HTTP frontend.
 
-    ``chunked_prefill`` and ``prefix_cache`` are not wired for MLA yet
-    (the chunked path needs an offset-aware MLA prefill); refused loudly.
+    ``cache_dtype=jnp.int8`` stores the latent pool quantized (per-token
+    symmetric scales over the whole cat(c, k_rot) vector; the generic
+    kernel folds the scales) — halving the already head-count-independent
+    cache bytes. ``chunked_prefill`` and ``prefix_cache`` are not wired
+    for MLA yet (the chunked path needs an offset-aware MLA prefill);
+    refused loudly.
     """
 
     def __init__(self, params: Params, cfg: DeepseekConfig, *,
@@ -200,8 +224,9 @@ class MLAPagedServer(PagedServer):
         if chunked_prefill is not None or prefix_cache:
             raise ValueError("MLA paged serving does not support "
                              "chunked_prefill/prefix_cache yet")
-        if isinstance(cache_dtype, dict) or cache_dtype == jnp.int8:
-            raise ValueError("int8 latent pool not wired yet; use bf16/f32")
+        if isinstance(cache_dtype, dict):
+            raise ValueError("MLA stores ONE latent pool; per-K/V dtype "
+                             "dicts do not apply — pass jnp.int8 directly")
         super().__init__(params, cfg, max_batch=max_batch,
                          num_pages=num_pages, page_size=page_size,
                          max_context=max_context, cache_dtype=cache_dtype,

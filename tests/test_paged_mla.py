@@ -17,7 +17,8 @@ from ssp_x_vit_tpu.llm.deepseek import (
     DeepseekConfig, deepseek_generate, init_deepseek_params,
 )
 from ssp_x_vit_tpu.llm.paged_mla import (
-    MLAPagedServer, mla_paged_generate,
+    MLAPagedServer, init_mla_pool, mla_paged_decode_step, mla_paged_generate,
+    mla_paged_prefill,
 )
 from ssp_x_vit_tpu.llm.rope import RopeScaling
 
@@ -108,8 +109,56 @@ def test_mla_server_refusals(model):
         MLAPagedServer(params, cfg, chunked_prefill=8)
     with pytest.raises(ValueError, match="chunked_prefill"):
         MLAPagedServer(params, cfg, prefix_cache=True)
-    with pytest.raises(ValueError, match="int8"):
-        MLAPagedServer(params, cfg, cache_dtype=jnp.int8)
+    with pytest.raises(ValueError, match="ONE latent pool"):
+        MLAPagedServer(params, cfg,
+                       cache_dtype={"k": jnp.int8, "v": jnp.int8})
+
+
+def test_mla_int8_pool_structure():
+    cfg = _cfg()
+    pool = init_mla_pool(cfg, 8, 4, jnp.int8)
+    D = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+    assert pool["q"].shape == (3, 1, 8, 4, D) and pool["q"].dtype == jnp.int8
+    assert pool["s"].shape == (3, 1, 8, 4) and pool["s"].dtype == jnp.float32
+
+
+def test_mla_int8_pool_decode_logits_close():
+    """Quantized latent pages are lossy, so the pin is a logit error bound:
+    after identical prefill, one decode step over the int8 pool must land
+    near the bf16-pool logits (both run bf16 compute — the delta isolates
+    the per-token cat(c, k_rot) quantization)."""
+    cfg = _cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray(np.asarray([[5, 1, 2, 9, 11, 4, 0, 0]], np.int32))
+    pt = np.asarray([1, 2, 3, 0], np.int32)
+    out = {}
+    for dtype in (jnp.bfloat16, jnp.int8):
+        pool = init_mla_pool(cfg, 8, 4, dtype)
+        _, pool = mla_paged_prefill(params, toks, pool, cfg,
+                                    jnp.asarray(pt), jnp.asarray(6, jnp.int32))
+        lg, _ = mla_paged_decode_step(params, jnp.asarray([3], jnp.int32),
+                                      pool, cfg, jnp.asarray(pt[None]),
+                                      jnp.asarray([6], jnp.int32))
+        out[str(dtype)] = np.asarray(lg)
+    np.testing.assert_allclose(out[str(jnp.int8)], out[str(jnp.bfloat16)],
+                               atol=0.08)
+
+
+def test_mla_int8_pool_generation(model):
+    """End-to-end int8-pool serving: the FIRST generated token comes from
+    the prefill full forward (pool-independent), so it equals the
+    bf16-pool run exactly; the rest must be valid ids of the right length
+    (greedy equality is NOT guaranteed under quantization)."""
+    params, cfg = model
+    prompts = [np.arange(5) % 64 + 1, np.asarray([7, 9])]
+    out8 = mla_paged_generate(params, cfg, prompts, max_new_tokens=6,
+                              page_size=4, cache_dtype=jnp.int8)
+    outb = mla_paged_generate(params, cfg, prompts, max_new_tokens=6,
+                              page_size=4, cache_dtype=jnp.bfloat16)
+    for p, o8, ob in zip(prompts, out8, outb):
+        assert o8.shape == ob.shape
+        assert o8[len(p)] == ob[len(p)]
+        assert np.all((0 <= o8) & (o8 < cfg.vocab_size))
 
 
 def test_engine_serves_mla(model):
