@@ -53,7 +53,7 @@ from ssp_x_vit_tpu.llm.deepseek import (
     DeepseekConfig, Params, _apply_rope, _deepseek_moe, _glu, _mla_compressed,
     _mla_q, _rms, _rope_tables, deepseek_forward, mla_softmax_scale,
 )
-from ssp_x_vit_tpu.llm.paged import PagedServer
+from ssp_x_vit_tpu.llm.paged import _NEG_INF, PagedServer
 from ssp_x_vit_tpu.llm.serve import bucket_prompt_pad
 from ssp_x_vit_tpu.ops.pallas.paged_attention import (
     _quantize_token_kv, paged_attention, paged_pool_write,
@@ -61,6 +61,7 @@ from ssp_x_vit_tpu.ops.pallas.paged_attention import (
 )
 
 __all__ = ["MLAPagedServer", "init_mla_pool", "mla_paged_prefill",
+           "mla_prefill_chunk", "mla_paged_prefill_chunked",
            "mla_paged_decode_step", "mla_paged_generate"]
 
 
@@ -112,6 +113,147 @@ def mla_paged_prefill(params: Params, tokens: jax.Array, pool,
         pool = pool.at[:, :, phys, pos % ps].set(
             cat[:, None].astype(pool.dtype))
     return logits[0, 0], pool
+
+
+def _gather_latents(pool_l, page_table, dt):
+    """ONE sequence's mp mapped pages -> [mp*ps, D] latent rows in compute
+    dtype (dequantized for int8 pools); gather BEFORE dequantizing — the
+    pool may hold many more pages than the table maps."""
+    if isinstance(pool_l, dict):
+        codes = pool_l["q"][:, page_table].astype(jnp.float32)
+        scales = pool_l["s"][:, page_table]
+        out = (codes * scales[..., None]).astype(dt)
+    else:
+        out = pool_l[:, page_table].astype(dt)
+    return out.reshape(-1, out.shape[-1])                     # nkv=1 folded
+
+
+def _mla_chunk_attention(h, bp, cfg: DeepseekConfig, dt, pool_l, page_table,
+                         seq_len, chunk_start, cos, sin):
+    """One layer of CHUNKED MLA prefill: C tokens at global positions
+    [chunk_start, chunk_start + C) attend over the whole latent page pool
+    (earlier chunks' latents ride the pages; this chunk's are written
+    first, exactly like the decode path — the vLLM chunked-prefill memory
+    model of paged._chunk_prefill_layer, in compressed space). h [1, C, d]
+    post-ln1; cos/sin [C, rd] at the global positions. Returns
+    (attn_out [1, C, d], updated pool_l)."""
+    C = h.shape[1]
+    nq, kvr = cfg.num_heads, cfg.kv_lora_rank
+    nope, vd = cfg.qk_nope_head_dim, cfg.v_head_dim
+
+    q = _mla_q(h, bp, cfg, dt)                                # [1, nq, C, qk]
+    q_nope, q_rot = jnp.split(q, [nope], axis=-1)
+    q_rot = _apply_rope(q_rot, cos[None, None], sin[None, None],
+                        cfg.rope_interleave)
+
+    c_new, kr_raw = _mla_compressed(h, bp, cfg, dt)           # [1, C, ·]
+    kr_new = _apply_rope(kr_raw, cos[None], sin[None], cfg.rope_interleave)
+    vec = jnp.concatenate([c_new, kr_new], axis=-1)[0][:, None]  # [C, 1, D]
+    pool_l = paged_pool_write_many(
+        pool_l, vec, page_table, chunk_start,
+        valid_len=jnp.maximum(seq_len - chunk_start, 0))
+
+    wkv = bp["kv_b_kernel"].astype(dt).reshape(kvr, nq, nope + vd)
+    q_c = jnp.einsum("bhcn,rhn->bhcr", q_nope, wkv[:, :, :nope],
+                     preferred_element_type=jnp.float32).astype(dt)
+    q_cat = jnp.concatenate([q_c, q_rot], axis=-1)            # [1, nq, C, D]
+
+    lat = _gather_latents(pool_l, page_table, dt)             # [K, D]
+    scores = jnp.einsum("hcD,kD->hck", q_cat[0], lat,
+                        preferred_element_type=jnp.float32)
+    scores = scores * mla_softmax_scale(cfg)
+    row = chunk_start + jnp.arange(C)[:, None]                # global q pos
+    col = jnp.arange(lat.shape[0])[None, :]
+    mask = (col <= row) & (col < seq_len)
+    scores = jnp.where(mask[None], scores, _NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("hck,kD->hcD", w.astype(lat.dtype), lat,
+                     preferred_element_type=jnp.float32).astype(dt)
+    ctx_c = ctx[..., :kvr]                                    # [nq, C, kvr]
+    out = jnp.einsum("hcr,rhv->chv", ctx_c, wkv[:, :, nope:],
+                     preferred_element_type=jnp.float32).astype(dt)
+    out = out.reshape(C, nq * vd) @ bp["o_kernel"].astype(dt)
+    return out[None], pool_l
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def mla_prefill_chunk(params: Params, tokens: jax.Array, pool,
+                      cfg: DeepseekConfig, page_table: jax.Array,
+                      chunk_start: jax.Array, seq_len: jax.Array):
+    """One chunk ([1, C] tokens at global [chunk_start, chunk_start+C)) of
+    a chunked MLA prefill. Returns (logits at min(seq_len, chunk_start+C)
+    - 1 [V], pool). ONE compile per chunk size C; O(C * mp*ps) score
+    memory instead of O(p_pad^2)."""
+    dt = _pool_compute_dtype(pool)
+    C = tokens.shape[1]
+    x = params["embed"].astype(dt)[tokens]                    # [1, C, d]
+    positions = chunk_start + jnp.arange(C)
+    cos, sin = _rope_tables(cfg, positions)                   # [C, rd]
+    nk = cfg.n_dense_layers
+
+    def run_group(x, blocks, pool_grp, moe):
+        def body(x, scanned):
+            bp, pool_l = scanned
+            h = _rms(x, bp["ln1"], cfg.rms_eps)
+            attn, pool_l = _mla_chunk_attention(
+                h, bp, cfg, dt, pool_l, page_table, seq_len, chunk_start,
+                cos, sin)
+            x = x + attn
+            h2 = _rms(x, bp["ln2"], cfg.rms_eps)
+            if moe:
+                mlp = _deepseek_moe(h2, bp, cfg, dt)
+            else:
+                mlp = _glu(h2, bp["gate_kernel"], bp["up_kernel"],
+                           bp["down_kernel"], dt)
+            return x + mlp, pool_l
+
+        return jax.lax.scan(body, x, (blocks, pool_grp))
+
+    groups = []
+    if nk:
+        x, p = run_group(x, params["dense_blocks"],
+                         jax.tree.map(lambda a: a[:nk], pool), moe=False)
+        groups.append(p)
+    if cfg.n_moe_layers:
+        x, p = run_group(x, params["moe_blocks"],
+                         jax.tree.map(lambda a: a[nk:], pool), moe=True)
+        groups.append(p)
+    pool = groups[0] if len(groups) == 1 else jax.tree.map(
+        lambda *a: jnp.concatenate(a, axis=0), *groups)
+
+    x = _rms(x, params["ln_final"], cfg.rms_eps)
+    last = jnp.clip(jnp.minimum(seq_len, chunk_start + C) - 1 - chunk_start,
+                    0, C - 1)
+    out = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=1)[:, 0]  # [1, d]
+    if "lm_head" in params:
+        logits = (out @ params["lm_head"].astype(dt)).astype(jnp.float32)
+    else:
+        logits = (out @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    return logits[0], pool
+
+
+def mla_paged_prefill_chunked(params: Params, prompt, pool,
+                              cfg: DeepseekConfig, page_table, *,
+                              chunk_size: int = 64, start: int = 0):
+    """Prefill one prompt through fixed-size chunks (mla_prefill_chunk).
+    Returns (next-token logits [V], pool). ``start`` skips tokens whose
+    latents the pages already hold (prefix caching — exact: latents are a
+    function of the token prefix and absolute positions only, and for int8
+    pools the per-token quantizer is content-derived too, so shared pages
+    hold identical codes). Must be page-aligned."""
+    prompt = np.asarray(prompt, np.int32).reshape(-1)
+    n = len(prompt)
+    seq_len = jnp.asarray(n, jnp.int32)
+    logits = None
+    for c0 in range(start, n, chunk_size):
+        chunk = np.zeros((1, chunk_size), np.int32)
+        chunk[0, : min(chunk_size, n - c0)] = prompt[c0: c0 + chunk_size]
+        lg, pool = mla_prefill_chunk(
+            params, jnp.asarray(chunk), pool, cfg, jnp.asarray(page_table),
+            jnp.asarray(c0, jnp.int32), seq_len)
+        if c0 <= n - 1 < c0 + chunk_size:
+            logits = lg
+    return logits, pool
 
 
 def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
@@ -210,9 +352,11 @@ class MLAPagedServer(PagedServer):
     ``cache_dtype=jnp.int8`` stores the latent pool quantized (per-token
     symmetric scales over the whole cat(c, k_rot) vector; the generic
     kernel folds the scales) — halving the already head-count-independent
-    cache bytes. ``chunked_prefill`` and ``prefix_cache`` are not wired
-    for MLA yet (the chunked path needs an offset-aware MLA prefill);
-    refused loudly.
+    cache bytes. ``chunked_prefill``/``prefix_cache`` ride the base
+    server's machinery over :func:`mla_paged_prefill_chunked` (offset-aware
+    chunk prefill in compressed space): the prefix-cache exactness argument
+    holds because latents are a function of the token prefix and absolute
+    positions only.
     """
 
     def __init__(self, params: Params, cfg: DeepseekConfig, *,
@@ -221,16 +365,14 @@ class MLAPagedServer(PagedServer):
                  cache_dtype=jnp.bfloat16,
                  chunked_prefill: Optional[int] = None,
                  prefix_cache: bool = False):
-        if chunked_prefill is not None or prefix_cache:
-            raise ValueError("MLA paged serving does not support "
-                             "chunked_prefill/prefix_cache yet")
         if isinstance(cache_dtype, dict):
             raise ValueError("MLA stores ONE latent pool; per-K/V dtype "
                              "dicts do not apply — pass jnp.int8 directly")
         super().__init__(params, cfg, max_batch=max_batch,
                          num_pages=num_pages, page_size=page_size,
                          max_context=max_context, cache_dtype=cache_dtype,
-                         chunked_prefill=None, prefix_cache=False)
+                         chunked_prefill=chunked_prefill,
+                         prefix_cache=prefix_cache)
 
     # ---------------- model hooks ----------------
 
@@ -238,7 +380,13 @@ class MLAPagedServer(PagedServer):
         self.pool = init_mla_pool(self.cfg, num_pages, page_size, cache_dtype)
 
     def _prefill(self, prompt: List[int], pt: np.ndarray, m: int):
-        assert m == 0, "prefix cache is refused in __init__"
+        if self.chunked_prefill is not None or m > 0:
+            # prefix reuse requires the offset-capable chunked path
+            logits, self.pool = mla_paged_prefill_chunked(
+                self.params, prompt, self.pool, self.cfg, pt,
+                chunk_size=self.chunked_prefill or 64,
+                start=m * self.page_size)
+            return logits
         p_pad = min(bucket_prompt_pad(len(prompt)),
                     self.max_pages_per_seq * self.page_size)
         toks = np.zeros((1, p_pad), np.int32)

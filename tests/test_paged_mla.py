@@ -18,7 +18,7 @@ from ssp_x_vit_tpu.llm.deepseek import (
 )
 from ssp_x_vit_tpu.llm.paged_mla import (
     MLAPagedServer, init_mla_pool, mla_paged_decode_step, mla_paged_generate,
-    mla_paged_prefill,
+    mla_paged_prefill, mla_paged_prefill_chunked,
 )
 from ssp_x_vit_tpu.llm.rope import RopeScaling
 
@@ -105,13 +105,87 @@ def test_mla_server_eos_stops(model):
 
 def test_mla_server_refusals(model):
     params, cfg = model
-    with pytest.raises(ValueError, match="chunked_prefill"):
-        MLAPagedServer(params, cfg, chunked_prefill=8)
-    with pytest.raises(ValueError, match="chunked_prefill"):
-        MLAPagedServer(params, cfg, prefix_cache=True)
     with pytest.raises(ValueError, match="ONE latent pool"):
         MLAPagedServer(params, cfg,
                        cache_dtype={"k": jnp.int8, "v": jnp.int8})
+
+
+def test_mla_chunked_prefill_matches_whole(model):
+    """Offset-aware chunked MLA prefill (fixed C-token chunks attending
+    over the latent pages) must equal the whole-prompt prefill: greedy
+    generations match exactly at f32, prompt lengths hitting mid-chunk
+    tails, sub-chunk prompts, and exact multiples."""
+    params, cfg = model
+    prompts = [np.arange(11) % 64 + 1,          # 2 chunks of 4 + tail 3
+               np.asarray([9, 3]),              # shorter than one chunk
+               np.arange(8) % 64 + 1]           # exact chunk multiple
+    ref_srv = MLAPagedServer(params, cfg, max_batch=4, num_pages=32,
+                             page_size=4, max_context=64,
+                             cache_dtype=jnp.float32)
+    chk_srv = MLAPagedServer(params, cfg, max_batch=4, num_pages=32,
+                             page_size=4, max_context=64,
+                             cache_dtype=jnp.float32, chunked_prefill=4)
+    ref_ids = [ref_srv.add_request(p, max_new_tokens=8) for p in prompts]
+    chk_ids = [chk_srv.add_request(p, max_new_tokens=8) for p in prompts]
+    ref_outs, chk_outs = ref_srv.run(), chk_srv.run()
+    for r, c in zip(ref_ids, chk_ids):
+        np.testing.assert_array_equal(ref_outs[r], chk_outs[c])
+
+
+def test_mla_prefix_cache_reuse_and_exactness(model):
+    """Automatic prefix caching over latent pages: a second prompt sharing
+    a page-aligned prefix reuses the registered pages and generations
+    equal an uncached MLA server's exactly (latents are a function of the
+    token prefix + absolute positions only)."""
+    params, cfg = model
+    shared = (np.arange(16) % 64 + 1).tolist()          # 4 full pages, ps=4
+    p1, p2 = shared + [7, 8, 9], shared + [11, 12]
+    srv = MLAPagedServer(params, cfg, max_batch=2, num_pages=48, page_size=4,
+                         max_context=64, cache_dtype=jnp.float32,
+                         prefix_cache=True)
+    r1 = srv.add_request(p1, max_new_tokens=8)
+    assert srv.prefix_hit_pages == 0
+    r2 = srv.add_request(p2, max_new_tokens=8)
+    assert srv.prefix_hit_pages == 4                    # whole shared prefix
+    outs = srv.run()
+    ref = MLAPagedServer(params, cfg, max_batch=2, num_pages=48, page_size=4,
+                         max_context=64, cache_dtype=jnp.float32)
+    for p, rid in zip((p1, p2), (r1, r2)):
+        rr = ref.add_request(p, max_new_tokens=8)
+        np.testing.assert_array_equal(outs[rid], ref.run()[rr])
+
+
+def test_mla_chunked_prefill_int8_pool():
+    """int8 latent pages under chunked prefill are lossy TWICE — later
+    chunks attend over already-quantized earlier pages, unlike the
+    whole-prompt MLA prefill whose attention is in-graph and exact — so
+    (unlike the llama pools, where BOTH paths attend over the written
+    pages) int8 chunked == whole does NOT hold for MLA. Pin a logit bound
+    vs the bf16-pool chunked run (same bf16 compute; the delta isolates
+    quantization), plus the server running end-to-end."""
+    cfg = _cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(2), cfg)
+    prompt = np.arange(10) % 64 + 1
+    pt = np.zeros(16, np.int32)
+    pt[:3] = [1, 2, 3]
+    out = {}
+    for dtype in (jnp.bfloat16, jnp.int8):
+        pool = init_mla_pool(cfg, 32, 4, dtype)
+        lg, _ = mla_paged_prefill_chunked(params, prompt, pool, cfg, pt,
+                                          chunk_size=4)
+        out[str(dtype)] = np.asarray(lg)
+    np.testing.assert_allclose(out[str(jnp.int8)], out[str(jnp.bfloat16)],
+                               atol=0.08)
+
+    srv = MLAPagedServer(params, cfg, max_batch=1, num_pages=32, page_size=4,
+                         max_context=64, cache_dtype=jnp.int8,
+                         chunked_prefill=4)
+    free0 = len(srv.free_pages)
+    rid = srv.add_request(prompt, max_new_tokens=6)
+    res = srv.run()[rid]
+    assert len(srv.free_pages) == free0
+    assert res.shape == (16,)
+    assert np.all((0 <= res) & (res < cfg.vocab_size))
 
 
 def test_mla_int8_pool_structure():
