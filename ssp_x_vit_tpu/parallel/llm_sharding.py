@@ -372,3 +372,72 @@ def moe_llama_param_specs_like(params: Params) -> Dict[str, Any]:
 
 def shard_moe_llama_params(params: Params, mesh: Mesh) -> Params:
     return _place_by_specs(params, moe_llama_param_specs_like(params), mesh)
+
+
+# ---------------- DeepSeek / MLA tensor parallelism ----------------
+
+# head-major output-dim kernels (column-parallel: sharding the last axis by
+# equal parts == contiguous head groups, since the layout is (head, dim)
+# pairs) and their row-parallel consumers
+_DS_COL = frozenset({"q_kernel", "q_b_kernel", "kv_b_kernel",
+                     "gate_kernel", "up_kernel", "shared_gate", "shared_up"})
+_DS_ROW = frozenset({"o_kernel", "down_kernel", "shared_down"})
+
+
+def deepseek_param_specs_like(params: Params) -> Dict[str, Any]:
+    """Megatron-for-MLA specs for the DeepSeek pytree (llm/deepseek.py):
+
+    - column-parallel q/q_b/kv_b (head-major output dims) and dense-FFN /
+      shared-expert gate/up; row-parallel o/down (sharded contraction
+      psums);
+    - routed-expert kernels [L, E, d, f] shard the EXPERT axis — the
+      dropless einsums' [T, E, f] intermediates shard over E from the
+      weight placement alone, and the gate-combine contraction over E
+      psums (cf. moe_llama_param_specs_like);
+    - the low-rank a-projections (q_a, kv_a), norms, router, and
+      e_score_correction_bias replicate (tiny, head-independent).
+
+    The payoff is MLA-specific: the compressed latent cache derives from
+    the REPLICATED kv_a projection, so it replicates under tp — no
+    head-sharded cache to manage — while every per-head matmul of the
+    absorbed decode (q, q_nope @ W_k, scores, context re-expansion, o)
+    shards cleanly over heads."""
+    def block_spec(k, ndim):
+        if ndim == 4:                       # expert-stacked [L, E, d, f]
+            return P(None, "model", None, None)
+        if k in _DS_COL:
+            return P(None, None, "model")
+        if k in _DS_ROW:
+            return P(None, "model", None)
+        return P(*([None] * ndim))
+
+    specs: Dict[str, Any] = {}
+    for k, v in params.items():
+        if k in ("dense_blocks", "moe_blocks"):
+            specs[k] = {bk: block_spec(bk, bv.ndim) for bk, bv in v.items()}
+        else:
+            specs[k] = _top_key_spec(k, v.ndim)
+    return specs
+
+
+def shard_deepseek_params(params: Params, mesh: Mesh, cfg) -> Params:
+    """Place a DeepSeek pytree tensor-parallel over mesh axis 'model'.
+    deepseek_generate / deepseek_forward then run tensor-parallel with no
+    code changes — GSPMD compiles the collectives from the placements."""
+    tp = mesh.shape["model"]
+    if cfg.num_heads % tp:
+        raise ValueError(f"num_heads {cfg.num_heads} not divisible by "
+                         f"model-axis size {tp}")
+    if cfg.n_routed_experts and cfg.n_routed_experts % tp:
+        raise ValueError(f"n_routed_experts {cfg.n_routed_experts} not "
+                         f"divisible by model-axis size {tp}")
+    if cfg.vocab_size % tp:
+        raise ValueError(f"vocab_size {cfg.vocab_size} not divisible by "
+                         f"model-axis size {tp}")
+    if cfg.n_dense_layers and cfg.intermediate_size % tp:
+        raise ValueError(f"intermediate_size {cfg.intermediate_size} not "
+                         f"divisible by model-axis size {tp}")
+    if cfg.n_moe_layers and cfg.n_shared_experts and \
+            (cfg.moe_intermediate_size * cfg.n_shared_experts) % tp:
+        raise ValueError("shared-expert width not divisible by model axis")
+    return _place_by_specs(params, deepseek_param_specs_like(params), mesh)

@@ -500,3 +500,47 @@ def test_fsdp_train_step_matches_single_device():
     mu_leaf = s2[0].mu["blocks"]["q_kernel"]
     assert "data" in jax.tree.leaves(tuple(mu_leaf.sharding.spec)), \
         mu_leaf.sharding.spec
+
+
+def test_tp_deepseek_mla_matches_single_device():
+    """DeepSeek MLA tensor parallelism from placements alone (megatron for
+    MLA): head-major column-parallel q/q_b/kv_b, row-parallel o,
+    expert-axis MoE sharding, vocab-sharded lm_head — the compressed
+    latent cache derives from the replicated kv_a projection so it
+    replicates. Greedy absorbed-decode generation over the tp=4 mesh
+    equals single device token-for-token (f32)."""
+    from ssp_x_vit_tpu.llm.deepseek import (
+        DeepseekConfig, deepseek_generate, init_deepseek_params,
+    )
+    from ssp_x_vit_tpu.parallel.llm_sharding import shard_deepseek_params
+
+    cfg = DeepseekConfig(vocab_size=64, hidden_size=16, num_layers=3,
+                         num_heads=4, kv_lora_rank=8, qk_nope_head_dim=4,
+                         qk_rope_head_dim=4, v_head_dim=4,
+                         intermediate_size=24, n_routed_experts=4,
+                         n_shared_experts=1, num_experts_per_tok=2,
+                         moe_intermediate_size=12, q_lora_rank=8,
+                         first_k_dense_replace=1, routed_scaling_factor=1.5)
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    prompt = np.asarray([3, 11, 7, 30], np.int32)
+    ref = deepseek_generate(params, cfg, prompt, max_new_tokens=6,
+                            compute_dtype=jnp.float32)
+    mesh = make_mesh(model=4)
+    sharded = shard_deepseek_params(params, mesh, cfg)
+    tp = deepseek_generate(sharded, cfg, prompt, max_new_tokens=6,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(ref))
+
+
+def test_tp_deepseek_divisibility_refusals():
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig, init_deepseek_params
+    from ssp_x_vit_tpu.parallel.llm_sharding import shard_deepseek_params
+
+    mesh = make_mesh(model=4)
+    cfg = DeepseekConfig(vocab_size=64, hidden_size=16, num_layers=2,
+                         num_heads=2, kv_lora_rank=8, qk_nope_head_dim=4,
+                         qk_rope_head_dim=4, v_head_dim=4,
+                         intermediate_size=24, n_routed_experts=0)
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="num_heads"):
+        shard_deepseek_params(params, mesh, cfg)
