@@ -34,6 +34,18 @@ def _window_nll(params, tokens, attn_gate, mlp_gate, neuron_mask, cfg: LlamaConf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _window_nll_deepseek(params, tokens, cfg):
+    """DeepSeek/MLA window NLL (same shifted-NLL contract as _window_nll;
+    gates/masks don't apply — the MLA family has no pruning surgery)."""
+    from ssp_x_vit_tpu.llm.deepseek import deepseek_forward
+
+    logits = deepseek_forward(params, tokens, cfg, compute_dtype=jnp.float32)
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+    return jnp.sum(nll), nll.size
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _window_nll_candidates(params, tokens, attn_gates, mlp_gates, neuron_mask, cfg: LlamaConfig):
     """Vmapped candidate evaluation: attn_gates/mlp_gates [C, L] -> per-candidate
     summed NLL [C]. One dispatch scores a whole batch of skip patterns — the
@@ -114,6 +126,23 @@ def evaluate_perplexity(
     num_samples = ids.size // seq_len
     if num_samples == 0:
         raise ValueError(f"need at least {seq_len} tokens, got {ids.size}")
+
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
+
+    if isinstance(cfg, DeepseekConfig):
+        if attn_gate is not None or mlp_gate is not None \
+                or neuron_mask is not None:
+            raise ValueError("gates/masks don't apply to the MLA family")
+        total_nll, total_tokens = 0.0, 0
+        for i in range(0, num_samples, batch_size):
+            j = min(i + batch_size, num_samples)
+            window = ids[i * seq_len: j * seq_len].reshape(j - i, seq_len)
+            s, n = _window_nll_deepseek(params, jnp.asarray(window, jnp.int32),
+                                        cfg)
+            total_nll += float(s)
+            total_tokens += int(n)
+        return float(np.exp(total_nll / max(1, total_tokens)))
+
     L = cfg.num_layers
     ga = jnp.asarray(attn_gate, jnp.float32) if attn_gate is not None else jnp.ones((L,), jnp.float32)
     gm = jnp.asarray(mlp_gate, jnp.float32) if mlp_gate is not None else jnp.ones((L,), jnp.float32)

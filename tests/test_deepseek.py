@@ -232,3 +232,31 @@ def test_refusals():
     # dynamic-NTK rope refusal rides parse_rope_scaling (test_rope_scaling)
     with pytest.raises(ValueError, match="topk_group"):
         DeepseekConfig(n_routed_experts=8, n_group=2, topk_group=4)
+
+
+def test_evaluate_perplexity_deepseek():
+    """evaluate_perplexity dispatches DeepseekConfig onto deepseek_forward
+    (same shifted-NLL contract); gates/masks are refused — the MLA family
+    has no pruning surgery."""
+    from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
+
+    cfg = DeepseekConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        kv_lora_rank=16, qk_nope_head_dim=8, qk_rope_head_dim=4,
+        v_head_dim=8, intermediate_size=48, n_routed_experts=0)
+    params = init_deepseek_params(jax.random.PRNGKey(1), cfg)
+    ids = (np.arange(64, dtype=np.int32) * 7) % 64
+
+    ppl = evaluate_perplexity(params, cfg, ids, seq_len=16, batch_size=2)
+
+    logits = np.asarray(deepseek_forward(
+        params, jnp.asarray(ids.reshape(4, 16)), cfg,
+        compute_dtype=jnp.float32))
+    lp = jax.nn.log_softmax(jnp.asarray(logits[:, :-1]), axis=-1)
+    nll = -np.take_along_axis(np.asarray(lp),
+                              ids.reshape(4, 16)[:, 1:, None], axis=-1)
+    assert abs(ppl - float(np.exp(nll.mean()))) < 1e-4
+
+    with pytest.raises(ValueError, match="MLA"):
+        evaluate_perplexity(params, cfg, ids, seq_len=16,
+                            attn_gate=np.ones(2))
