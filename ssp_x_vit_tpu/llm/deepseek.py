@@ -250,14 +250,43 @@ def _apply_rope(x, cos, sin, interleave: bool):
 # attention (full-sequence path)
 # --------------------------------------------------------------------------
 
+def _mm(x, bp, name, dt):
+    """Quantization-aware projection matmul (ops.common.mm_quant): plain
+    ``<name>`` kernels, int8 ``<name>_q`` + per-out-channel
+    ``<name>_scale`` epilogues (llm/quant.quantize_deepseek_params_int8),
+    one dispatch shared with the llama family's paths."""
+    from ssp_x_vit_tpu.ops.common import mm_quant
+
+    return mm_quant(x, bp, name, dt)
+
+
+def _kv_b_matrix(bp, dt):
+    """The [kvr, nq*(nope+vd)] kv_b weight AS A MATRIX — the absorbed
+    decode folds it through per-head einsums rather than a single matmul,
+    so int8 entries dequantize here (per-out-channel scale broadcast over
+    the kvr rows; small: rank x heads*(nope+vd))."""
+    if "kv_b_kernel_q" in bp:
+        return (bp["kv_b_kernel_q"].astype(jnp.float32)
+                * bp["kv_b_kernel_scale"].astype(jnp.float32)[None]).astype(dt)
+    return bp["kv_b_kernel"].astype(dt)
+
+
+def _head_logits(x, params, dt):
+    """Final lm_head projection -> f32 logits: tied-embed fallback, int8
+    lm_head_q via _mm (one dispatch with the block projections)."""
+    if "lm_head" in params or "lm_head_q" in params:
+        return _mm(x, params, "lm_head", dt).astype(jnp.float32)
+    return (x @ params["embed"].T.astype(dt)).astype(jnp.float32)
+
+
 def _mla_q(x, bp, cfg: DeepseekConfig, dt):
     """[b, s, d] -> q [b, nq, s, qk_head_dim] (pre-rope)."""
     b, s, _ = x.shape
     if cfg.q_lora_rank is None:
-        q = x @ bp["q_kernel"].astype(dt)
+        q = _mm(x, bp, "q_kernel", dt)
     else:
-        qa = _rms(x @ bp["q_a_kernel"].astype(dt), bp["q_a_norm"], cfg.rms_eps)
-        q = qa @ bp["q_b_kernel"].astype(dt)
+        qa = _rms(_mm(x, bp, "q_a_kernel", dt), bp["q_a_norm"], cfg.rms_eps)
+        q = _mm(qa, bp, "q_b_kernel", dt)
     return q.reshape(b, s, cfg.num_heads, cfg.qk_head_dim).transpose(0, 2, 1, 3)
 
 
@@ -265,7 +294,7 @@ def _mla_compressed(x, bp, cfg: DeepseekConfig, dt):
     """[b, s, d] -> (c_norm [b, s, kvr], k_rot_raw [b, s, rd]). ``c_norm`` is
     the POST-kv_a_layernorm compressed vector — exactly what the serving
     cache stores (kv_b consumes the normalized vector)."""
-    ckv = x @ bp["kv_a_kernel"].astype(dt)
+    ckv = _mm(x, bp, "kv_a_kernel", dt)
     c, k_rot = jnp.split(ckv, [cfg.kv_lora_rank], axis=-1)
     return _rms(c, bp["kv_a_norm"], cfg.rms_eps), k_rot
 
@@ -273,7 +302,7 @@ def _mla_compressed(x, bp, cfg: DeepseekConfig, dt):
 def _mla_expand_kv(c_norm, bp, cfg: DeepseekConfig, dt):
     """compressed [b, s, kvr] -> (k_nope [b, nq, s, nope], v [b, nq, s, vd])."""
     b, s, _ = c_norm.shape
-    kv = (c_norm @ bp["kv_b_kernel"].astype(dt)).reshape(
+    kv = _mm(c_norm, bp, "kv_b_kernel", dt).reshape(
         b, s, cfg.num_heads, cfg.qk_nope_head_dim + cfg.v_head_dim
     ).transpose(0, 2, 1, 3)
     return jnp.split(kv, [cfg.qk_nope_head_dim], axis=-1)
@@ -311,17 +340,19 @@ def _mla_attention(x, bp, cfg: DeepseekConfig, dt):
                      preferred_element_type=jnp.float32).astype(dt)
     out = ctx.transpose(0, 2, 1, 3).reshape(b, s,
                                             cfg.num_heads * cfg.v_head_dim)
-    return out @ bp["o_kernel"].astype(dt), c_norm, k_rot
+    return _mm(out, bp, "o_kernel", dt), c_norm, k_rot
 
 
 # --------------------------------------------------------------------------
 # MLPs
 # --------------------------------------------------------------------------
 
-def _glu(x, gate_k, up_k, down_k, dt):
-    g = x @ gate_k.astype(dt)
-    u = x @ up_k.astype(dt)
-    return (jax.nn.silu(g) * u) @ down_k.astype(dt)
+def _glu(x, bp, dt, names=("gate_kernel", "up_kernel", "down_kernel")):
+    """SwiGLU over named block params (quantization-aware via _mm);
+    ``names`` selects the shared-expert triple in the MoE path."""
+    g = _mm(x, bp, names[0], dt)
+    u = _mm(x, bp, names[1], dt)
+    return _mm(jax.nn.silu(g) * u, bp, names[2], dt)
 
 
 def _deepseek_route(xt, bp, cfg: DeepseekConfig):
@@ -357,14 +388,23 @@ def _deepseek_moe(x, bp, cfg: DeepseekConfig, dt):
     b, s, d = x.shape
     xt = x.reshape(b * s, d)
     sel = _deepseek_route(xt, bp, cfg).astype(dt)              # [T, E]
-    g = jnp.einsum("td,edf->tef", xt, bp["gate_kernel"].astype(dt))
-    u = jnp.einsum("td,edf->tef", xt, bp["up_kernel"].astype(dt))
-    y = jnp.einsum("tef,efd->ted", jax.nn.silu(g) * u,
-                   bp["down_kernel"].astype(dt))
+
+    def expert_mm(spec, t, name):
+        """einsum against bf16/f32 OR int8 expert kernels — per-(expert,
+        out-channel) scales fold into the epilogue (cf. parallel/moe.py)."""
+        if name in bp:
+            return jnp.einsum(spec, t, bp[name].astype(dt))
+        y = jnp.einsum(spec, t, bp[name + "_q"].astype(dt))
+        E = y.shape[1]
+        return y * bp[name + "_scale"].astype(dt).reshape(1, E, -1)
+
+    g = expert_mm("td,edf->tef", xt, "gate_kernel")
+    u = expert_mm("td,edf->tef", xt, "up_kernel")
+    y = expert_mm("tef,efd->ted", jax.nn.silu(g) * u, "down_kernel")
     routed = jnp.einsum("te,ted->td", sel, y).reshape(b, s, d)
     if cfg.n_shared_experts:
-        routed = routed + _glu(x, bp["shared_gate"], bp["shared_up"],
-                               bp["shared_down"], dt)
+        routed = routed + _glu(x, bp, dt,
+                               ("shared_gate", "shared_up", "shared_down"))
     return routed
 
 
@@ -380,8 +420,7 @@ def _block(x, bp, cfg: DeepseekConfig, dt, moe: bool):
     if moe:
         mlp_out = _deepseek_moe(h, bp, cfg, dt)
     else:
-        mlp_out = _glu(h, bp["gate_kernel"], bp["up_kernel"],
-                       bp["down_kernel"], dt)
+        mlp_out = _glu(h, bp, dt)
     return x + mlp_out, c_norm, k_rot
 
 
@@ -415,10 +454,7 @@ def deepseek_forward(params: Params, input_ids: jax.Array,
     x = _rms(x, params["ln_final"], cfg.rms_eps)
     if logit_position is not None:
         x = jax.lax.dynamic_slice_in_dim(x, logit_position, 1, axis=1)
-    if "lm_head" in params:
-        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
-    else:
-        logits = (x @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    logits = _head_logits(x, params, dt)
     if not return_caches:
         return logits
     c_all = jnp.concatenate([c for c, _ in caches], axis=0)
@@ -462,7 +498,7 @@ def _absorbed_decode_attention(x, bp, cfg: DeepseekConfig, dt,
     kr_cache = jax.lax.dynamic_update_slice_in_dim(
         kr_cache, k_rot_new.astype(kr_cache.dtype), t, axis=1)
 
-    wkv = bp["kv_b_kernel"].astype(dt).reshape(kvr, nq, nope + vd)
+    wkv = _kv_b_matrix(bp, dt).reshape(kvr, nq, nope + vd)
     wk = wkv[:, :, :nope]                                     # [kvr, nq, nope]
     wv = wkv[:, :, nope:]                                     # [kvr, nq, vd]
 
@@ -482,7 +518,7 @@ def _absorbed_decode_attention(x, bp, cfg: DeepseekConfig, dt,
     out = jnp.einsum("bhr,rhv->bhv", ctx_c, wv,
                      preferred_element_type=jnp.float32).astype(dt)
     out = out.reshape(b, nq * vd)
-    return out @ bp["o_kernel"].astype(dt), c_cache, kr_cache
+    return _mm(out, bp, "o_kernel", dt), c_cache, kr_cache
 
 
 def _decode_step(params: Params, token: jax.Array, cfg: DeepseekConfig, dt,
@@ -501,8 +537,7 @@ def _decode_step(params: Params, token: jax.Array, cfg: DeepseekConfig, dt,
             if moe:
                 mlp = _deepseek_moe(h2[:, None], bp, cfg, dt)[:, 0]
             else:
-                mlp = _glu(h2, bp["gate_kernel"], bp["up_kernel"],
-                           bp["down_kernel"], dt)
+                mlp = _glu(h2, bp, dt)
             return x + mlp, (c, kr)
 
         return jax.lax.scan(body, x, (blocks, c_grp, kr_grp))
@@ -522,10 +557,7 @@ def _decode_step(params: Params, token: jax.Array, cfg: DeepseekConfig, dt,
     kr_caches = jnp.concatenate(new_kr, axis=0)
 
     x = _rms(x, params["ln_final"], cfg.rms_eps)
-    if "lm_head" in params:
-        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
-    else:
-        logits = (x @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    logits = _head_logits(x, params, dt)
     return logits, c_caches, kr_caches
 
 

@@ -50,8 +50,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssp_x_vit_tpu.llm.deepseek import (
-    DeepseekConfig, Params, _apply_rope, _deepseek_moe, _glu, _mla_compressed,
-    _mla_q, _rms, _rope_tables, deepseek_forward, mla_softmax_scale,
+    DeepseekConfig, Params, _apply_rope, _deepseek_moe, _glu, _head_logits,
+    _kv_b_matrix, _mla_compressed, _mla_q, _mm, _rms, _rope_tables,
+    deepseek_forward, mla_softmax_scale,
 )
 from ssp_x_vit_tpu.llm.paged import _NEG_INF, PagedServer
 from ssp_x_vit_tpu.llm.serve import bucket_prompt_pad
@@ -153,7 +154,7 @@ def _mla_chunk_attention(h, bp, cfg: DeepseekConfig, dt, pool_l, page_table,
         pool_l, vec, page_table, chunk_start,
         valid_len=jnp.maximum(seq_len - chunk_start, 0))
 
-    wkv = bp["kv_b_kernel"].astype(dt).reshape(kvr, nq, nope + vd)
+    wkv = _kv_b_matrix(bp, dt).reshape(kvr, nq, nope + vd)
     q_c = jnp.einsum("bhcn,rhn->bhcr", q_nope, wkv[:, :, :nope],
                      preferred_element_type=jnp.float32).astype(dt)
     q_cat = jnp.concatenate([q_c, q_rot], axis=-1)            # [1, nq, C, D]
@@ -172,7 +173,7 @@ def _mla_chunk_attention(h, bp, cfg: DeepseekConfig, dt, pool_l, page_table,
     ctx_c = ctx[..., :kvr]                                    # [nq, C, kvr]
     out = jnp.einsum("hcr,rhv->chv", ctx_c, wkv[:, :, nope:],
                      preferred_element_type=jnp.float32).astype(dt)
-    out = out.reshape(C, nq * vd) @ bp["o_kernel"].astype(dt)
+    out = _mm(out.reshape(C, nq * vd), bp, "o_kernel", dt)
     return out[None], pool_l
 
 
@@ -203,8 +204,7 @@ def mla_prefill_chunk(params: Params, tokens: jax.Array, pool,
             if moe:
                 mlp = _deepseek_moe(h2, bp, cfg, dt)
             else:
-                mlp = _glu(h2, bp["gate_kernel"], bp["up_kernel"],
-                           bp["down_kernel"], dt)
+                mlp = _glu(h2, bp, dt)
             return x + mlp, pool_l
 
         return jax.lax.scan(body, x, (blocks, pool_grp))
@@ -225,10 +225,7 @@ def mla_prefill_chunk(params: Params, tokens: jax.Array, pool,
     last = jnp.clip(jnp.minimum(seq_len, chunk_start + C) - 1 - chunk_start,
                     0, C - 1)
     out = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=1)[:, 0]  # [1, d]
-    if "lm_head" in params:
-        logits = (out @ params["lm_head"].astype(dt)).astype(jnp.float32)
-    else:
-        logits = (out @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    logits = _head_logits(out, params, dt)
     return logits[0], pool
 
 
@@ -277,7 +274,7 @@ def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
     vec = jnp.concatenate([c_new, kr_new], axis=-1)           # [b, 1, D]
     pool_l = paged_pool_write(pool_l, vec, page_tables, seq_lens)
 
-    wkv = bp["kv_b_kernel"].astype(dt).reshape(kvr, nq, nope + vd)
+    wkv = _kv_b_matrix(bp, dt).reshape(kvr, nq, nope + vd)
     q_c = jnp.einsum("bhn,rhn->bhr", q_nope, wkv[:, :, :nope],
                      preferred_element_type=jnp.float32).astype(dt)
     q_cat = jnp.concatenate([q_c, q_rot], axis=-1)            # [b, nq, D]
@@ -288,7 +285,7 @@ def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
     ctx_c = ctx[..., :kvr]                                    # [b, nq, kvr]
     out = jnp.einsum("bhr,rhv->bhv", ctx_c.astype(dt), wkv[:, :, nope:],
                      preferred_element_type=jnp.float32).astype(dt)
-    return out.reshape(b, nq * vd) @ bp["o_kernel"].astype(dt), pool_l
+    return _mm(out.reshape(b, nq * vd), bp, "o_kernel", dt), pool_l
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
@@ -314,8 +311,7 @@ def mla_paged_decode_step(params: Params, tokens: jax.Array, pool,
             if moe:
                 mlp = _deepseek_moe(h2[:, None], bp, cfg, dt)[:, 0]
             else:
-                mlp = _glu(h2, bp["gate_kernel"], bp["up_kernel"],
-                           bp["down_kernel"], dt)
+                mlp = _glu(h2, bp, dt)
             return x + mlp, pool_l
 
         return jax.lax.scan(body, x, (blocks, pool_grp))
@@ -334,10 +330,7 @@ def mla_paged_decode_step(params: Params, tokens: jax.Array, pool,
         lambda *a: jnp.concatenate(a, axis=0), *groups)
 
     x = _rms(x, params["ln_final"], cfg.rms_eps)
-    if "lm_head" in params:
-        logits = (x @ params["lm_head"].astype(dt)).astype(jnp.float32)
-    else:
-        logits = (x @ params["embed"].T.astype(dt)).astype(jnp.float32)
+    logits = _head_logits(x, params, dt)
     return logits, pool
 
 

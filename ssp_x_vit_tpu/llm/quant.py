@@ -85,6 +85,42 @@ def quantize_llm_params_int8(params: Params, cfg: LlamaConfig) -> Params:
     return out
 
 
+# DeepSeek/MLA projection kernels (llm/deepseek.py): the low-rank a/b
+# projections, the absorbed kv_b, o, dense-FFN and shared-expert GLUs, and
+# the expert-stacked routed kernels ([L, E, d_in, d_out] quantize
+# per-(expert, out-channel)). router/e_bias stay float (tiny,
+# selection-critical); norms stay float.
+DS_QUANT_KEYS = ("q_kernel", "q_a_kernel", "q_b_kernel", "kv_a_kernel",
+                 "kv_b_kernel", "o_kernel", "gate_kernel", "up_kernel",
+                 "down_kernel", "shared_gate", "shared_up", "shared_down")
+
+
+def quantize_deepseek_params_int8(params: Params, cfg) -> Params:
+    """int8 weights for the DeepSeek/MLA family: every projection kernel in
+    ``dense_blocks``/``moe_blocks`` becomes ``k+"_q"`` (int8) +
+    ``k+"_scale"`` (f32 per-out-channel), consumed by deepseek._mm /
+    _kv_b_matrix / the expert-einsum epilogues. The absorbed-decode
+    exactness argument is unchanged — both the full forward and the
+    absorbed paths consume the same dequantized weights."""
+    out = {k: v for k, v in params.items()
+           if k not in ("dense_blocks", "moe_blocks")}
+    for grp in ("dense_blocks", "moe_blocks"):
+        if grp not in params:
+            continue
+        blocks = {}
+        for k, v in params[grp].items():
+            if k in DS_QUANT_KEYS:
+                w_q, scale = quantize_weight_int8(v)
+                blocks[k + "_q"], blocks[k + "_scale"] = w_q, scale
+            else:
+                blocks[k] = v
+        out[grp] = blocks
+    if "lm_head" in out:  # untied head only; tied embed.T stays float
+        w_q, scale = quantize_weight_int8(out.pop("lm_head"))
+        out["lm_head_q"], out["lm_head_scale"] = w_q, scale
+    return out
+
+
 def quantize_llm_params_int4(params: Params, cfg: LlamaConfig) -> Params:
     """int4 variant: projection kernels become ``k + "_q4"`` (packed
     [K/2, N] int8 nibbles, ops/pallas/quant_matmul.pack_int4 layout) +

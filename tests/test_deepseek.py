@@ -260,3 +260,88 @@ def test_evaluate_perplexity_deepseek():
     with pytest.raises(ValueError, match="MLA"):
         evaluate_perplexity(params, cfg, ids, seq_len=16,
                             attn_gate=np.ones(2))
+
+
+def _moe_cfg_for_quant():
+    return DeepseekConfig(
+        vocab_size=64, hidden_size=32, num_layers=3, num_heads=4,
+        q_lora_rank=12, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=4, v_head_dim=8, intermediate_size=48,
+        moe_intermediate_size=16, n_routed_experts=4, n_shared_experts=1,
+        num_experts_per_tok=2, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, first_k_dense_replace=1)
+
+
+def _dequantize_deepseek(qp):
+    from ssp_x_vit_tpu.llm.quant import dequantize_weight
+
+    out = {k: v for k, v in qp.items()
+           if k not in ("dense_blocks", "moe_blocks", "lm_head_q",
+                        "lm_head_scale")}
+    if "lm_head_q" in qp:
+        out["lm_head"] = dequantize_weight(qp["lm_head_q"],
+                                           qp["lm_head_scale"], jnp.float32)
+    for grp in ("dense_blocks", "moe_blocks"):
+        if grp not in qp:
+            continue
+        out[grp] = {}
+        for k, v in qp[grp].items():
+            if k.endswith("_q"):
+                out[grp][k[:-2]] = dequantize_weight(
+                    v, qp[grp][k[:-2] + "_scale"], jnp.float32)
+            elif not k.endswith("_scale"):
+                out[grp][k] = v
+    return out
+
+
+def test_int8_weights_deepseek_matches_dequantized():
+    """int8-in-graph (per-out-channel scale epilogues in _mm, _kv_b_matrix,
+    and the expert-einsum epilogues) must equal running on host-dequantized
+    weights — scales commute with every contraction, including the absorbed
+    per-head folds. Greedy generation (prefill full forward + absorbed
+    decode scan) must therefore match EXACTLY at f32."""
+    from ssp_x_vit_tpu.llm.quant import quantize_deepseek_params_int8
+
+    cfg = _moe_cfg_for_quant()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int8(params, cfg)
+    deq = _dequantize_deepseek(qp)
+    prompt = np.asarray([5, 9, 2, 7], np.int32)
+    out_q = deepseek_generate(qp, cfg, prompt, max_new_tokens=8,
+                              compute_dtype=jnp.float32)
+    out_d = deepseek_generate(deq, cfg, prompt, max_new_tokens=8,
+                              compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_d))
+
+
+def test_int8_weights_deepseek_logits_close_to_dense():
+    from ssp_x_vit_tpu.llm.quant import quantize_deepseek_params_int8
+
+    cfg = _moe_cfg_for_quant()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int8(params, cfg)
+    toks = jnp.asarray((np.arange(16, dtype=np.int32)[None] * 5) % 64)
+    dense = np.asarray(deepseek_forward(params, toks, cfg,
+                                        compute_dtype=jnp.float32))
+    quant = np.asarray(deepseek_forward(qp, toks, cfg,
+                                        compute_dtype=jnp.float32))
+    rel = np.linalg.norm(quant - dense) / np.linalg.norm(dense)
+    assert rel < 0.15, rel
+
+
+def test_int8_weights_deepseek_paged_server():
+    """Quantized MLA weights through the paged continuous-batching server:
+    greedy == deepseek_generate on the same quantized pytree (f32 pools)."""
+    from ssp_x_vit_tpu.llm.paged_mla import MLAPagedServer
+    from ssp_x_vit_tpu.llm.quant import quantize_deepseek_params_int8
+
+    cfg = _moe_cfg_for_quant()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int8(params, cfg)
+    prompt = np.asarray([3, 5, 8], np.int32)
+    ref = deepseek_generate(qp, cfg, prompt, max_new_tokens=6,
+                            compute_dtype=jnp.float32)
+    srv = MLAPagedServer(qp, cfg, max_batch=1, num_pages=16, page_size=4,
+                         max_context=32, cache_dtype=jnp.float32)
+    rid = srv.add_request(prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(srv.run()[rid], np.asarray(ref))
