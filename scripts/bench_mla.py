@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--paged", action="store_true",
                     help="also A/B the paged continuous-batching servers")
+    ap.add_argument("--int8", action="store_true",
+                    help="also measure int8-weight variants at b=1")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +114,25 @@ def main():
     results[f"mha_b{B}_tok_per_s"] = round(B * gen / t, 1)
     results[f"mla_vs_mha_b{B}"] = round(
         results[f"mla_b{B}_tok_per_s"] / results[f"mha_b{B}_tok_per_s"], 2)
+
+    if args.int8:
+        # int8 weights (per-out-channel scale epilogues): b=1 decode is
+        # weight-bandwidth-bound, so halved weight bytes should show up
+        # directly; MLA's absorbed decode adds the dequantized-kv_b matrix
+        # per layer (rank-sized, negligible)
+        from ssp_x_vit_tpu.llm.quant import (quantize_deepseek_params_int8,
+                                             quantize_llm_params_int8)
+
+        mla_q = quantize_deepseek_params_int8(mla_params, mla_cfg)
+        mha_q = quantize_llm_params_int8(mha_params, mha_cfg)
+        t = time_call(lambda: deepseek_generate(
+            mla_q, mla_cfg, prompt, max_new_tokens=gen))
+        results["mla_int8_b1_tok_per_s"] = round(gen / t, 1)
+        t = time_call(lambda: generate_kv_scan(
+            mha_q, mha_cfg, prompt[None], max_length=M))
+        results["mha_int8_b1_tok_per_s"] = round(gen / t, 1)
+        results["mla_int8_vs_bf16_b1"] = round(
+            results["mla_int8_b1_tok_per_s"] / results["mla_b1_tok_per_s"], 2)
 
     if args.paged:
         # continuous-batching servers, host step loop (per-step dispatch
