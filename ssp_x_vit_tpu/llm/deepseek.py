@@ -56,7 +56,8 @@ Params = Dict[str, Any]
 __all__ = ["DeepseekConfig", "init_deepseek_params", "deepseek_forward",
            "load_hf_deepseek", "config_from_hf_deepseek",
            "deepseek_generate", "mla_cache_bytes_per_token",
-           "mla_softmax_scale"]
+           "mla_softmax_scale", "export_hf_deepseek", "hf_dict_from_deepseek",
+           "save_deepseek_model", "load_deepseek_model"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -731,4 +732,168 @@ def load_hf_deepseek(model_dir: str,
         params["moe_blocks"] = stack(moe)
     if not cfg.tie_embeddings:
         params["lm_head"] = jnp.asarray(t(g("lm_head.weight")), dtype)
+    return params, cfg
+
+
+def hf_dict_from_deepseek(cfg: DeepseekConfig) -> Dict[str, Any]:
+    """Inverse of :func:`config_from_hf_deepseek`: a config.json dict that
+    transformers ``DeepseekV3Config`` accepts and that round-trips through
+    the parser. Dense-only configs (n_routed_experts == 0) export with
+    ``first_k_dense_replace == num_layers`` so no HF layer instantiates a
+    router."""
+    from ssp_x_vit_tpu.llm.rope import export_rope_scaling
+
+    dense_only = cfg.n_routed_experts == 0
+    return {
+        "architectures": ["DeepseekV3ForCausalLM"],
+        "model_type": "deepseek_v3",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_heads,
+        "q_lora_rank": cfg.q_lora_rank,
+        "kv_lora_rank": cfg.kv_lora_rank,
+        "qk_nope_head_dim": cfg.qk_nope_head_dim,
+        "qk_rope_head_dim": cfg.qk_rope_head_dim,
+        # HF DeepseekV3Config: rotary tables are built at head_dim, which
+        # for MLA equals the rope sub-dimension
+        "head_dim": cfg.qk_rope_head_dim,
+        "v_head_dim": cfg.v_head_dim,
+        "rope_interleave": cfg.rope_interleave,
+        "intermediate_size": cfg.intermediate_size,
+        "moe_intermediate_size": cfg.moe_intermediate_size,
+        "n_routed_experts": cfg.n_routed_experts,
+        "n_shared_experts": cfg.n_shared_experts if not dense_only else 0,
+        "num_experts_per_tok": cfg.num_experts_per_tok,
+        "n_group": cfg.n_group,
+        "topk_group": cfg.topk_group,
+        "norm_topk_prob": cfg.norm_topk_prob,
+        "routed_scaling_factor": cfg.routed_scaling_factor,
+        "first_k_dense_replace": (cfg.num_layers if dense_only
+                                  else cfg.first_k_dense_replace),
+        "hidden_act": cfg.hidden_act,
+        "rope_theta": cfg.rope_theta,
+        "rope_scaling": export_rope_scaling(cfg.rope_scaling),
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": cfg.tie_embeddings,
+        "attention_bias": False,
+    }
+
+
+def export_hf_deepseek(out_dir: str, params: Params,
+                       cfg: DeepseekConfig) -> str:
+    """Export a DeepSeek pytree as an HF checkpoint (config.json +
+    model.safetensors) that ``DeepseekV3ForCausalLM.from_pretrained`` loads
+    with identical logits — the exact inverse of :func:`load_hf_deepseek`
+    (kernels transposed back to [out, in], the two stacked groups unrolled
+    to global layer indices, expert stacks unstacked). Quantized pytrees
+    are refused (int8 codes have no HF encoding — export dense and
+    re-quantize after from_pretrained)."""
+    from ssp_x_vit_tpu.models.checkpoints import _write_safetensors
+
+    for grp in ("dense_blocks", "moe_blocks"):
+        if grp in params and any(k.endswith(("_q", "_q4", "_scale"))
+                                 for k in params[grp]):
+            raise ValueError("quantized pytrees have no HF encoding — "
+                             "export the dense params and quantize after "
+                             "from_pretrained")
+    if "lm_head_q" in params:
+        raise ValueError("quantized lm_head has no HF encoding")
+
+    hf_cfg = hf_dict_from_deepseek(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    tensors: Dict[str, np.ndarray] = {}
+
+    def put(name, arr, transpose=False):
+        a = np.asarray(arr, np.float32)
+        tensors[name] = np.ascontiguousarray(a.T if transpose else a)
+
+    nk = cfg.n_dense_layers
+    for i in range(cfg.num_layers):
+        moe = i >= nk
+        blocks = params["moe_blocks" if moe else "dense_blocks"]
+        li = i - nk if moe else i
+        pre = f"model.layers.{i}"
+        put(pre + ".input_layernorm.weight", blocks["ln1"][li])
+        put(pre + ".post_attention_layernorm.weight", blocks["ln2"][li])
+        put(pre + ".self_attn.kv_a_proj_with_mqa.weight",
+            blocks["kv_a_kernel"][li], True)
+        put(pre + ".self_attn.kv_a_layernorm.weight", blocks["kv_a_norm"][li])
+        put(pre + ".self_attn.kv_b_proj.weight", blocks["kv_b_kernel"][li],
+            True)
+        put(pre + ".self_attn.o_proj.weight", blocks["o_kernel"][li], True)
+        if cfg.q_lora_rank is None:
+            put(pre + ".self_attn.q_proj.weight", blocks["q_kernel"][li],
+                True)
+        else:
+            put(pre + ".self_attn.q_a_proj.weight", blocks["q_a_kernel"][li],
+                True)
+            put(pre + ".self_attn.q_a_layernorm.weight",
+                blocks["q_a_norm"][li])
+            put(pre + ".self_attn.q_b_proj.weight", blocks["q_b_kernel"][li],
+                True)
+        mp = pre + ".mlp"
+        if not moe:
+            put(mp + ".gate_proj.weight", blocks["gate_kernel"][li], True)
+            put(mp + ".up_proj.weight", blocks["up_kernel"][li], True)
+            put(mp + ".down_proj.weight", blocks["down_kernel"][li], True)
+        else:
+            put(mp + ".gate.weight", blocks["router"][li], True)
+            put(mp + ".gate.e_score_correction_bias", blocks["e_bias"][li])
+            for ours, theirs in (("gate_kernel", "gate_proj"),
+                                 ("up_kernel", "up_proj"),
+                                 ("down_kernel", "down_proj")):
+                for e in range(cfg.n_routed_experts):
+                    put(f"{mp}.experts.{e}.{theirs}.weight",
+                        blocks[ours][li][e], True)
+            if cfg.n_shared_experts:
+                put(mp + ".shared_experts.gate_proj.weight",
+                    blocks["shared_gate"][li], True)
+                put(mp + ".shared_experts.up_proj.weight",
+                    blocks["shared_up"][li], True)
+                put(mp + ".shared_experts.down_proj.weight",
+                    blocks["shared_down"][li], True)
+
+    put("model.embed_tokens.weight", params["embed"])
+    put("model.norm.weight", params["ln_final"])
+    if not cfg.tie_embeddings and "lm_head" in params:
+        put("lm_head.weight", params["lm_head"], True)
+
+    _write_safetensors(os.path.join(out_dir, "model.safetensors"), tensors,
+                       metadata={"format": "pt"})
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    return out_dir
+
+
+def save_deepseek_model(out_dir: str, params: Params,
+                        cfg: DeepseekConfig) -> str:
+    """Persist a DeepSeek model (dense or int8-quantized pytree) as
+    model.npz + config.json — the native serving-deployment artifact
+    (cf. checkpoints.save_llm_model)."""
+    from ssp_x_vit_tpu.models.checkpoints import save_params_npz
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_params_npz(os.path.join(out_dir, "model.npz"), params)
+    d = dataclasses.asdict(cfg)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(d, f, indent=2)
+    return out_dir
+
+
+def load_deepseek_model(model_dir: str,
+                        dtype=jnp.bfloat16) -> Tuple[Params, DeepseekConfig]:
+    """Inverse of save_deepseek_model; int8 codes keep their dtype
+    (quantized models round-trip losslessly), float leaves cast to
+    ``dtype``."""
+    from ssp_x_vit_tpu.models.checkpoints import load_params_npz
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        d = json.load(f)
+    if isinstance(d.get("rope_scaling"), dict):
+        d["rope_scaling"] = RopeScaling(**d["rope_scaling"])
+    cfg = DeepseekConfig(**d)
+    params = load_params_npz(os.path.join(model_dir, "model.npz"),
+                             dtype=dtype)
     return params, cfg

@@ -345,3 +345,85 @@ def test_int8_weights_deepseek_paged_server():
                          max_context=32, cache_dtype=jnp.float32)
     rid = srv.add_request(prompt, max_new_tokens=6)
     np.testing.assert_array_equal(srv.run()[rid], np.asarray(ref))
+
+
+def test_hf_export_round_trip(tmp_path):
+    """export_hf_deepseek inverts load_hf_deepseek: exported checkpoints
+    reload with identical f32 logits through BOTH our loader and
+    transformers DeepseekV3ForCausalLM (MoE + q_lora + shared experts)."""
+    from ssp_x_vit_tpu.llm.deepseek import export_hf_deepseek
+
+    cfg = DeepseekConfig(
+        vocab_size=96, hidden_size=32, num_layers=3, num_heads=4,
+        q_lora_rank=12, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=4, v_head_dim=8, intermediate_size=48,
+        moe_intermediate_size=16, n_routed_experts=8, n_shared_experts=1,
+        num_experts_per_tok=2, n_group=4, topk_group=2,
+        routed_scaling_factor=2.5, first_k_dense_replace=1)
+    params = init_deepseek_params(jax.random.PRNGKey(3), cfg)
+    out = str(tmp_path / "export")
+    export_hf_deepseek(out, params, cfg)
+
+    tokens = (np.arange(20, dtype=np.int32)[None] * 7) % 96
+    ours = np.asarray(deepseek_forward(params, jnp.asarray(tokens), cfg,
+                                       compute_dtype=jnp.float32))
+
+    p2, cfg2 = load_hf_deepseek(out)
+    assert cfg2 == cfg
+    back = np.asarray(deepseek_forward(p2, jnp.asarray(tokens), cfg2,
+                                       compute_dtype=jnp.float32))
+    np.testing.assert_allclose(back, ours, rtol=1e-6, atol=1e-6)
+
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(out).eval()
+    np.testing.assert_allclose(_hf_logits(model, tokens), ours,
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_hf_export_dense_only_and_refusals(tmp_path):
+    from ssp_x_vit_tpu.llm.deepseek import export_hf_deepseek
+    from ssp_x_vit_tpu.llm.quant import quantize_deepseek_params_int8
+
+    cfg = DeepseekConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        kv_lora_rank=16, qk_nope_head_dim=8, qk_rope_head_dim=4,
+        v_head_dim=8, intermediate_size=48, n_routed_experts=0)
+    params = init_deepseek_params(jax.random.PRNGKey(4), cfg)
+    out = str(tmp_path / "dense")
+    export_hf_deepseek(out, params, cfg)
+    p2, cfg2 = load_hf_deepseek(out)
+    assert cfg2.n_moe_layers == 0
+    tokens = (np.arange(12, dtype=np.int32)[None] * 5) % 64
+    np.testing.assert_allclose(
+        np.asarray(deepseek_forward(p2, jnp.asarray(tokens), cfg2,
+                                    compute_dtype=jnp.float32)),
+        np.asarray(deepseek_forward(params, jnp.asarray(tokens), cfg,
+                                    compute_dtype=jnp.float32)),
+        rtol=1e-6, atol=1e-6)
+
+    qp = quantize_deepseek_params_int8(params, cfg)
+    with pytest.raises(ValueError, match="no HF encoding"):
+        export_hf_deepseek(str(tmp_path / "q"), qp, cfg)
+
+
+def test_native_save_load_quantized(tmp_path):
+    """save_deepseek_model/load_deepseek_model: int8 pytrees round-trip
+    losslessly (codes keep dtype), greedy generation identical."""
+    from ssp_x_vit_tpu.llm.deepseek import (load_deepseek_model,
+                                            save_deepseek_model)
+    from ssp_x_vit_tpu.llm.quant import quantize_deepseek_params_int8
+
+    cfg = _moe_cfg_for_quant()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int8(params, cfg)
+    save_deepseek_model(str(tmp_path / "m"), qp, cfg)
+    p2, cfg2 = load_deepseek_model(str(tmp_path / "m"), dtype=jnp.float32)
+    assert cfg2 == cfg
+    assert p2["moe_blocks"]["o_kernel_q"].dtype == jnp.int8
+    prompt = np.asarray([5, 9, 2, 7], np.int32)
+    ref = deepseek_generate(qp, cfg, prompt, max_new_tokens=6,
+                            compute_dtype=jnp.float32)
+    out = deepseek_generate(p2, cfg2, prompt, max_new_tokens=6,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
