@@ -16,6 +16,7 @@ Usage:
 """
 
 import argparse
+import json
 import logging
 import math
 import os
@@ -102,6 +103,26 @@ def load_model(args):
     from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
 
     if os.path.isdir(args.model):
+        cfg_path = os.path.join(args.model, "config.json")
+        model_type = None
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                model_type = json.load(f).get("model_type")
+        if model_type == "deepseek_v3":
+            from ssp_x_vit_tpu.llm.deepseek import load_hf_deepseek
+
+            return load_hf_deepseek(args.model)
+        if os.path.exists(os.path.join(args.model, "model.npz")):
+            # native npz artifacts (save_llm_model / save_deepseek_model) —
+            # deepseek configs are the ones carrying kv_lora_rank
+            with open(cfg_path) as f:
+                if "kv_lora_rank" in json.load(f):
+                    from ssp_x_vit_tpu.llm.deepseek import load_deepseek_model
+
+                    return load_deepseek_model(args.model)
+            from ssp_x_vit_tpu.llm.checkpoints import load_llm_model
+
+            return load_llm_model(args.model)
         return load_hf_llama(args.model)
     if args.model == "tiny-random":
         cfg = LlamaConfig(**TINY_RANDOM)
@@ -128,10 +149,22 @@ def load_model(args):
     if args.model == "tiny-random-qwen3":
         cfg = LlamaConfig(**TINY_RANDOM, model_type="qwen3", qk_norm=True)
         return init_llama_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32), cfg
+    if args.model == "tiny-random-deepseek":
+        from ssp_x_vit_tpu.llm.deepseek import (DeepseekConfig,
+                                                init_deepseek_params)
+
+        dcfg = DeepseekConfig(
+            vocab_size=512, hidden_size=64, num_layers=4, num_heads=4,
+            q_lora_rank=24, kv_lora_rank=32, qk_nope_head_dim=16,
+            qk_rope_head_dim=8, v_head_dim=16, intermediate_size=172,
+            moe_intermediate_size=48, n_routed_experts=4, n_shared_experts=1,
+            num_experts_per_tok=2, first_k_dense_replace=1)
+        return init_deepseek_params(jax.random.PRNGKey(args.seed), dcfg), dcfg
     raise SystemExit("--model must be a local HF directory, 'tiny-random', "
                      "'tiny-random-phi', 'tiny-random-opt', "
-                     "'tiny-random-gemma', 'tiny-random-gemma2' or "
-                     f"'tiny-random-qwen3'; got {args.model}")
+                     "'tiny-random-gemma', 'tiny-random-gemma2', "
+                     "'tiny-random-qwen3' or 'tiny-random-deepseek'; "
+                     f"got {args.model}")
 
 
 def load_corpora(args, cfg):
@@ -180,8 +213,30 @@ def main():
 
     set_seed(args.seed)
     params, cfg = load_model(args)
-    logging.info(f"Model: {cfg.model_type} L={cfg.num_layers} d={cfg.hidden_size} "
+    logging.info(f"Model: {getattr(cfg, 'model_type', 'deepseek_v3')} "
+                 f"L={cfg.num_layers} d={cfg.hidden_size} "
                  f"f={cfg.intermediate_size}")
+
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig as _DeepseekConfig
+
+    is_deepseek = isinstance(cfg, _DeepseekConfig)
+    if is_deepseek:
+        # the MLA family has no pruning surgery/hooks — dense evaluation,
+        # int8 quantization, and --save-model only (serving lives in
+        # cli/serve_http)
+        unsupported = [f for f, on in (
+            ("--pruning_method", args.pruning_method is not None),
+            ("--ablation", args.ablation),
+            ("--evaluate_inference", args.evaluate_inference),
+            ("--evaluate_downstream", args.evaluate_downstream),
+            ("--evaluate_qualitative", args.evaluate_qualitative),
+            ("--main_table_results", args.main_table_results),
+            ("--quantize int4", args.quantize == "int4"),
+            ("--w8a8", args.w8a8)) if on]
+        if unsupported:
+            raise SystemExit("deepseek models support --dense with "
+                             "--evaluate_perplexity, --quantize int8, and "
+                             f"--save-model only; got {unsupported}")
 
     wikitext_ids, c4_val_ids, fineweb_ids, c4_train_ids = load_corpora(args, cfg)
     calibration = D.get_calibration(c4_train_ids, args.num_calibration, seq_len=args.seq_len)
@@ -193,11 +248,14 @@ def main():
 
         if args.quantize != 'none' and not isinstance(c, SlicedLlamaConfig):
             from ssp_x_vit_tpu.llm.quant import (
-                quantize_llm_params_int4, quantize_llm_params_int8,
+                quantize_deepseek_params_int8, quantize_llm_params_int4,
+                quantize_llm_params_int8,
             )
 
             q = (quantize_llm_params_int8 if args.quantize == 'int8'
                  else quantize_llm_params_int4)
+            if is_deepseek:
+                q = quantize_deepseek_params_int8  # int4 refused above
             p = q(p, c)
             logging.info(f"Evaluating {args.quantize}-quantized weights")
             if args.w8a8:
@@ -245,7 +303,15 @@ def main():
                             "(re-slice from the saved rotation instead)")
             return
         try:
-            fn = export_hf_llama if args.save_format == 'hf' else save_llm_model
+            if is_deepseek:
+                from ssp_x_vit_tpu.llm.deepseek import (export_hf_deepseek,
+                                                        save_deepseek_model)
+
+                fn = (export_hf_deepseek if args.save_format == 'hf'
+                      else save_deepseek_model)
+            else:
+                fn = (export_hf_llama if args.save_format == 'hf'
+                      else save_llm_model)
             path = fn(out, p, c)
             logging.info(f"[ARTIFACT] {args.save_format} model -> {path}")
         except ValueError as e:

@@ -8,6 +8,8 @@ is pinned against the full-recompute forward (the weight-absorption identity
 must be exact up to fp error).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -427,3 +429,32 @@ def test_native_save_load_quantized(tmp_path):
     out = deepseek_generate(p2, cfg2, prompt, max_new_tokens=6,
                             compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_main_llm_loader_dispatches_deepseek(tmp_path):
+    """main_llm.load_model (the CLI + serve_http loader): tiny-random
+    alias, exported HF dirs (model_type dispatch), and native npz dirs
+    (kv_lora_rank sniff) all land on the deepseek loaders."""
+    import sys
+    import types
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from main_llm import load_model
+
+    from ssp_x_vit_tpu.llm.deepseek import (export_hf_deepseek,
+                                            save_deepseek_model)
+
+    params, cfg = load_model(
+        types.SimpleNamespace(model="tiny-random-deepseek", seed=0))
+    assert isinstance(cfg, DeepseekConfig)
+
+    export_hf_deepseek(str(tmp_path / "hf"), params, cfg)
+    _, c2 = load_model(
+        types.SimpleNamespace(model=str(tmp_path / "hf"), seed=0))
+    assert c2 == cfg
+
+    save_deepseek_model(str(tmp_path / "npz"), params, cfg)
+    _, c3 = load_model(
+        types.SimpleNamespace(model=str(tmp_path / "npz"), seed=0))
+    assert c3 == cfg
