@@ -36,6 +36,22 @@ TINY = ViTConfig(
 )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiled_program_count():
+    """XLA's CPU compiler sporadically SEGFAULTS after ~1000 cumulative
+    compiles in one process (jax 0.9.0; observed at a different,
+    individually-green test each run, always inside
+    backend_compile_and_load). Dropping compiled executables between test
+    modules keeps the live-program count bounded. Costs a few recompiles
+    for cross-test jits within a later module; the alternative is running
+    the suite in several processes."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def tiny_cfg() -> ViTConfig:
     return TINY
