@@ -160,10 +160,22 @@ def load_model(args):
             moe_intermediate_size=48, n_routed_experts=4, n_shared_experts=1,
             num_experts_per_tok=2, first_k_dense_replace=1)
         return init_deepseek_params(jax.random.PRNGKey(args.seed), dcfg), dcfg
+    if args.model == "tiny-random-deepseek-dense":
+        # all-dense MLA variant: the 2SSP target (stage-1 needs dense GLUs)
+        from ssp_x_vit_tpu.llm.deepseek import (DeepseekConfig,
+                                                init_deepseek_params)
+
+        dcfg = DeepseekConfig(
+            vocab_size=512, hidden_size=64, num_layers=4, num_heads=4,
+            q_lora_rank=24, kv_lora_rank=32, qk_nope_head_dim=16,
+            qk_rope_head_dim=8, v_head_dim=16, intermediate_size=172,
+            n_routed_experts=0)
+        return init_deepseek_params(jax.random.PRNGKey(args.seed), dcfg), dcfg
     raise SystemExit("--model must be a local HF directory, 'tiny-random', "
                      "'tiny-random-phi', 'tiny-random-opt', "
                      "'tiny-random-gemma', 'tiny-random-gemma2', "
-                     "'tiny-random-qwen3' or 'tiny-random-deepseek'; "
+                     "'tiny-random-qwen3', 'tiny-random-deepseek' or "
+                     "'tiny-random-deepseek-dense'; "
                      f"got {args.model}")
 
 
@@ -221,22 +233,28 @@ def main():
 
     is_deepseek = isinstance(cfg, _DeepseekConfig)
     if is_deepseek:
-        # the MLA family has no pruning surgery/hooks — dense evaluation,
-        # int8 quantization, and --save-model only (serving lives in
-        # cli/serve_http)
+        # MLA supports the reference pruning methods (2ssp on dense-GLU
+        # configs, depth baselines on any config — llm/pruning_deepseek.py),
+        # perplexity/latency evaluation, int8 quantization and --save-model.
+        # SliceGPT is refused (the rotation does not commute with the
+        # low-rank kv_a/kv_b factorization); downstream/qualitative ride the
+        # llama-family generate paths only.
         unsupported = [f for f, on in (
-            ("--pruning_method", args.pruning_method is not None),
+            ("--pruning_method slicegpt", args.pruning_method == "slicegpt"),
+            ("--pruning_method 2ssp on a MoE deepseek (stage-1 FFN width "
+             "needs dense GLU MLPs; use the depth baselines or a "
+             "first_k_dense_replace==num_layers config)",
+             args.pruning_method == "2ssp" and cfg.n_routed_experts > 0),
             ("--ablation", args.ablation),
-            ("--evaluate_inference", args.evaluate_inference),
             ("--evaluate_downstream", args.evaluate_downstream),
             ("--evaluate_qualitative", args.evaluate_qualitative),
-            ("--main_table_results", args.main_table_results),
             ("--quantize int4", args.quantize == "int4"),
             ("--w8a8", args.w8a8)) if on]
         if unsupported:
-            raise SystemExit("deepseek models support --dense with "
-                             "--evaluate_perplexity, --quantize int8, and "
-                             f"--save-model only; got {unsupported}")
+            raise SystemExit("unsupported for deepseek models: "
+                             f"{unsupported} (slicegpt rotation does not "
+                             "commute with the MLA factorization; int4/w8a8 "
+                             "and the harness paths are llama-family only)")
 
     wikitext_ids, c4_val_ids, fineweb_ids, c4_train_ids = load_corpora(args, cfg)
     calibration = D.get_calibration(c4_train_ids, args.num_calibration, seq_len=args.seq_len)

@@ -54,6 +54,7 @@ from ssp_x_vit_tpu.llm.rope import (RopeScaling, parse_rope_scaling,
 Params = Dict[str, Any]
 
 __all__ = ["DeepseekConfig", "init_deepseek_params", "deepseek_forward",
+           "deepseek_forward_materialized",
            "load_hf_deepseek", "config_from_hf_deepseek",
            "deepseek_generate", "mla_cache_bytes_per_token",
            "mla_softmax_scale", "export_hf_deepseek", "hf_dict_from_deepseek",
@@ -89,10 +90,38 @@ class DeepseekConfig:
     rope_scaling: Optional[RopeScaling] = None  # frozen/hashable, rides jit
     rms_eps: float = 1e-6
     tie_embeddings: bool = False
+    # pruning surgery state (cf. LlamaConfig): uniform stage-1 FFN width on
+    # the dense blocks, and globally-indexed attention submodules physically
+    # removed by materialize_deepseek_attention_pruning
+    pruned_intermediate_size: Optional[int] = None
+    pruned_attention_blocks: Tuple[int, ...] = ()
 
     @property
     def qk_head_dim(self) -> int:
         return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def effective_intermediate(self) -> int:
+        return (self.pruned_intermediate_size
+                if self.pruned_intermediate_size is not None
+                else self.intermediate_size)
+
+    @property
+    def attn_store_index(self):
+        """Global layer index -> index into the layer's GROUP attention
+        stacks (compacted past removed attention submodules), or None when
+        this block's attention was pruned. Each group (dense prefix, MoE
+        suffix) compacts independently — their stacks are separate pytrees."""
+        out, nk = [], self.n_dense_layers
+        counts = {False: 0, True: 0}
+        for i in range(self.num_layers):
+            grp = i >= nk
+            if i in self.pruned_attention_blocks:
+                out.append(None)
+            else:
+                out.append(counts[grp])
+                counts[grp] += 1
+        return out
 
     @property
     def n_dense_layers(self) -> int:
@@ -107,6 +136,11 @@ class DeepseekConfig:
     def __post_init__(self):
         if self.hidden_act != "silu":
             raise ValueError("deepseek engine supports silu GLU only")
+        if not isinstance(self.pruned_attention_blocks, tuple):
+            # JSON round-trips (load_deepseek_model) hand back lists; the
+            # config must stay hashable (it rides jit as a static arg)
+            object.__setattr__(self, "pruned_attention_blocks",
+                               tuple(int(i) for i in self.pruned_attention_blocks))
         if self.n_routed_experts and self.topk_group > self.n_group:
             raise ValueError("topk_group must be <= n_group")
         if self.n_routed_experts and self.n_routed_experts % max(self.n_group, 1):
@@ -145,6 +179,9 @@ def _attn_param_shapes(cfg: DeepseekConfig):
 
 def init_deepseek_params(rng: jax.Array, cfg: DeepseekConfig,
                          dtype=jnp.float32) -> Params:
+    if cfg.pruned_attention_blocks:
+        raise ValueError("init builds uniform stacks; materialize attention "
+                         "pruning from an unpruned model instead")
     d, fm, E = cfg.hidden_size, cfg.moe_intermediate_size, cfg.n_routed_experts
     keys = iter(jax.random.split(rng, 64))
 
@@ -175,7 +212,7 @@ def init_deepseek_params(rng: jax.Array, cfg: DeepseekConfig,
                 blocks["shared_up"] = nrm((n, d, fs))
                 blocks["shared_down"] = nrm((n, fs, d))
         else:
-            f = cfg.intermediate_size
+            f = cfg.effective_intermediate
             blocks["gate_kernel"] = nrm((n, d, f))
             blocks["up_kernel"] = nrm((n, d, f))
             blocks["down_kernel"] = nrm((n, f, d))
@@ -413,44 +450,163 @@ def _deepseek_moe(x, bp, cfg: DeepseekConfig, dt):
 # forward
 # --------------------------------------------------------------------------
 
-def _block(x, bp, cfg: DeepseekConfig, dt, moe: bool):
+def _block(x, bp, cfg: DeepseekConfig, dt, moe: bool,
+           ga=None, gm=None, collect_stats: bool = False):
+    """One decoder block. ``ga``/``gm`` are scalar float gates (0 skips the
+    attention / MLP submodule — the zero-retrace search parameterization the
+    llama family uses, cf. llama_forward). ``collect_stats`` additionally
+    returns the token-sumsq of the down_proj INPUT (the 2SSP stage-1
+    statistic, reference src/pruning.py:271-276) — dense GLU blocks only."""
     attn_out, c_norm, k_rot = _mla_attention(
         _rms(x, bp["ln1"], cfg.rms_eps), bp, cfg, dt)
+    if ga is not None:
+        attn_out = attn_out * ga.astype(x.dtype)
     x = x + attn_out
     h = _rms(x, bp["ln2"], cfg.rms_eps)
+    stats = None
     if moe:
         mlp_out = _deepseek_moe(h, bp, cfg, dt)
     else:
-        mlp_out = _glu(h, bp, dt)
-    return x + mlp_out, c_norm, k_rot
+        g = _mm(h, bp, "gate_kernel", dt)
+        u = _mm(h, bp, "up_kernel", dt)
+        hidden = jax.nn.silu(g) * u
+        if collect_stats:
+            stats = jnp.sum(jnp.square(hidden.astype(jnp.float32)), axis=1)
+        mlp_out = _mm(hidden, bp, "down_kernel", dt)
+    if gm is not None:
+        mlp_out = mlp_out * gm.astype(x.dtype)
+    return x + mlp_out, c_norm, k_rot, stats
 
 
 def deepseek_forward(params: Params, input_ids: jax.Array,
                      cfg: DeepseekConfig, *, compute_dtype=jnp.bfloat16,
                      return_caches: bool = False,
-                     logit_position: Optional[jax.Array] = None):
+                     logit_position: Optional[jax.Array] = None,
+                     attn_gate: Optional[jax.Array] = None,
+                     mlp_gate: Optional[jax.Array] = None,
+                     collect_mlp_stats: bool = False,
+                     return_block_outputs: bool = False):
     """input_ids [b, s] -> logits [b, s, V] f32. ``return_caches`` also
     returns the serving-cache tensors (c [L, b, s, kvr], k_rot [L, b, s, rd],
     rope already applied) — the prefill path of :func:`deepseek_generate`.
     ``logit_position`` (traced ok) computes logits at ONLY that position
-    ([b, 1, V]) — prefill paths skip the full [s, V] lm_head matmul."""
+    ([b, 1, V]) — prefill paths skip the full [s, V] lm_head matmul.
+
+    Pruning instrumentation (the MLA analogues of llama_forward's):
+    ``attn_gate``/``mlp_gate`` [L] float gates skip submodules without a
+    retrace; ``collect_mlp_stats`` / ``return_block_outputs`` return an aux
+    dict as a second output — ``mlp_stats`` [L, b, f] (dense-GLU configs
+    only) and ``block_outputs`` [L, b, s, d]."""
+    if cfg.pruned_attention_blocks:
+        raise ValueError("use deepseek_forward_materialized for "
+                         "attention-materialized configs")
+    if collect_mlp_stats and cfg.n_moe_layers:
+        raise ValueError(
+            "2SSP width instrumentation targets dense GLU MLPs; MoE blocks "
+            "route tokens per-expert and have no single down_proj input")
     dt = compute_dtype
     x = params["embed"].astype(dt)[input_ids]
     caches = []
+    aux_parts = []
+    L = cfg.num_layers
+    ga_all = attn_gate if attn_gate is not None else jnp.ones((L,), jnp.float32)
+    gm_all = mlp_gate if mlp_gate is not None else jnp.ones((L,), jnp.float32)
+    want_aux = collect_mlp_stats or return_block_outputs
+    nk = cfg.n_dense_layers
 
-    def scan_group(x, blocks, moe):
-        def body(x, bp):
-            x, c, kr = _block(x, bp, cfg, dt, moe)
-            return x, (c, kr)
+    def scan_group(x, blocks, moe, ga, gm):
+        def body(x, scanned):
+            bp, g_a, g_m = scanned
+            x, c, kr, stats = _block(x, bp, cfg, dt, moe, g_a, g_m,
+                                     collect_mlp_stats and not moe)
+            ys = {"c": c, "kr": kr}
+            if collect_mlp_stats and not moe:
+                ys["mlp_stats"] = stats
+            if return_block_outputs:
+                ys["block_outputs"] = x
+            return x, ys
 
-        return jax.lax.scan(body, x, blocks)
+        return jax.lax.scan(body, x, (blocks, ga, gm))
 
     if cfg.n_dense_layers:
-        x, cache = scan_group(x, params["dense_blocks"], moe=False)
-        caches.append(cache)
+        x, ys = scan_group(x, params["dense_blocks"], False,
+                           ga_all[:nk], gm_all[:nk])
+        caches.append((ys["c"], ys["kr"]))
+        aux_parts.append(ys)
     if cfg.n_moe_layers:
-        x, cache = scan_group(x, params["moe_blocks"], moe=True)
-        caches.append(cache)
+        x, ys = scan_group(x, params["moe_blocks"], True,
+                           ga_all[nk:], gm_all[nk:])
+        caches.append((ys["c"], ys["kr"]))
+        aux_parts.append(ys)
+
+    x = _rms(x, params["ln_final"], cfg.rms_eps)
+    if logit_position is not None:
+        x = jax.lax.dynamic_slice_in_dim(x, logit_position, 1, axis=1)
+    logits = _head_logits(x, params, dt)
+
+    aux = {}
+    if collect_mlp_stats:
+        aux["mlp_stats"] = jnp.concatenate(
+            [p["mlp_stats"] for p in aux_parts if "mlp_stats" in p], axis=0)
+    if return_block_outputs:
+        aux["block_outputs"] = jnp.concatenate(
+            [p["block_outputs"] for p in aux_parts], axis=0)
+
+    if not return_caches:
+        return (logits, aux) if want_aux else logits
+    c_all = jnp.concatenate([c for c, _ in caches], axis=0)
+    kr_all = jnp.concatenate([kr for _, kr in caches], axis=0)
+    if want_aux:
+        return logits, (c_all, kr_all), aux
+    return logits, (c_all, kr_all)
+
+
+_ATTN_BASES = ("ln1", "q_kernel", "q_a_kernel", "q_a_norm", "q_b_kernel",
+               "kv_a_kernel", "kv_a_norm", "kv_b_kernel", "o_kernel")
+_MLP_BASES = ("ln2", "gate_kernel", "up_kernel", "down_kernel",
+              "router", "e_bias", "shared_gate", "shared_up", "shared_down")
+
+
+def _layer_params(blocks, bases, idx):
+    """Per-layer param dict copying whichever storage variant each base key
+    has (plain / int8 ``_q`` + ``_scale``) — ops.common.pick_param_variants,
+    shared with the llama/ViT materialized forwards."""
+    from ssp_x_vit_tpu.ops.common import pick_param_variants
+
+    return pick_param_variants(blocks, bases, idx)
+
+
+def deepseek_forward_materialized(params: Params, input_ids: jax.Array,
+                                  cfg: DeepseekConfig, *,
+                                  compute_dtype=jnp.bfloat16,
+                                  return_caches: bool = False,
+                                  logit_position: Optional[jax.Array] = None):
+    """Unrolled forward for attention-materialized models: the MLA weights
+    of ``cfg.pruned_attention_blocks`` are physically absent from the group
+    stacks (cf. llama_forward_materialized). ``return_caches`` emits the
+    compressed cache for the SURVIVING attention layers only, stacked in
+    layer order ([L_attn, b, s, ...])."""
+    dt = compute_dtype
+    x = params["embed"].astype(dt)[input_ids]
+    store = cfg.attn_store_index
+    nk = cfg.n_dense_layers
+    caches = []
+
+    for i in range(cfg.num_layers):
+        moe = i >= nk
+        blocks = params["moe_blocks" if moe else "dense_blocks"]
+        li = i - nk if moe else i
+        j = store[i]
+        if j is not None:
+            bp = _layer_params(blocks, _ATTN_BASES, j)
+            attn_out, c, kr = _mla_attention(
+                _rms(x, bp["ln1"], cfg.rms_eps), bp, cfg, dt)
+            x = x + attn_out
+            caches.append((c, kr))
+        mp = _layer_params(blocks, _MLP_BASES, li)
+        h = _rms(x, mp["ln2"], cfg.rms_eps)
+        mlp_out = _deepseek_moe(h, mp, cfg, dt) if moe else _glu(h, mp, dt)
+        x = x + mlp_out
 
     x = _rms(x, params["ln_final"], cfg.rms_eps)
     if logit_position is not None:
@@ -458,8 +614,8 @@ def deepseek_forward(params: Params, input_ids: jax.Array,
     logits = _head_logits(x, params, dt)
     if not return_caches:
         return logits
-    c_all = jnp.concatenate([c for c, _ in caches], axis=0)
-    kr_all = jnp.concatenate([kr for _, kr in caches], axis=0)
+    c_all = jnp.stack([c for c, _ in caches], axis=0)
+    kr_all = jnp.stack([kr for _, kr in caches], axis=0)
     return logits, (c_all, kr_all)
 
 
@@ -562,6 +718,42 @@ def _decode_step(params: Params, token: jax.Array, cfg: DeepseekConfig, dt,
     return logits, c_caches, kr_caches
 
 
+def _decode_step_materialized(params: Params, token: jax.Array,
+                              cfg: DeepseekConfig, dt, c_caches, kr_caches, t):
+    """Unrolled decode step for attention-materialized models: caches are
+    stacked over the SURVIVING attention layers ([La, b, S, ...]); pruned
+    blocks run MLP-only."""
+    x = params["embed"].astype(dt)[token]
+    store = cfg.attn_store_index
+    nk = cfg.n_dense_layers
+    new_c, new_kr = [], []
+    a = 0
+    for i in range(cfg.num_layers):
+        moe = i >= nk
+        blocks = params["moe_blocks" if moe else "dense_blocks"]
+        li = i - nk if moe else i
+        if store[i] is not None:
+            bp = _layer_params(blocks, _ATTN_BASES, store[i])
+            h = _rms(x, bp["ln1"], cfg.rms_eps)
+            attn, c, kr = _absorbed_decode_attention(
+                h, bp, cfg, dt, c_caches[a], kr_caches[a], t)
+            x = x + attn
+            new_c.append(c)
+            new_kr.append(kr)
+            a += 1
+        mp = _layer_params(blocks, _MLP_BASES, li)
+        h2 = _rms(x, mp["ln2"], cfg.rms_eps)
+        if moe:
+            mlp = _deepseek_moe(h2[:, None], mp, cfg, dt)[:, 0]
+        else:
+            mlp = _glu(h2, mp, dt)
+        x = x + mlp
+
+    x = _rms(x, params["ln_final"], cfg.rms_eps)
+    logits = _head_logits(x, params, dt)
+    return logits, jnp.stack(new_c, axis=0), jnp.stack(new_kr, axis=0)
+
+
 def deepseek_generate(params: Params, cfg: DeepseekConfig, prompt,
                       *, max_new_tokens: int = 32,
                       eos_token_id: Optional[int] = None,
@@ -583,7 +775,11 @@ def deepseek_generate(params: Params, cfg: DeepseekConfig, prompt,
     S = s0 + max_new_tokens
     dt = compute_dtype
 
-    logits, (c, kr) = deepseek_forward(
+    materialized = bool(cfg.pruned_attention_blocks)
+    prefill = (deepseek_forward_materialized if materialized
+               else deepseek_forward)
+    decode = _decode_step_materialized if materialized else _decode_step
+    logits, (c, kr) = prefill(
         params, jnp.asarray(batch), cfg, compute_dtype=dt,
         return_caches=True)
     first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)   # [b]
@@ -594,8 +790,8 @@ def deepseek_generate(params: Params, cfg: DeepseekConfig, prompt,
 
     def step(carry, _):
         token, c_c, kr_c, t = carry
-        logits, c_c, kr_c = _decode_step(params, token, cfg, dt,
-                                         c_c, kr_c, t)
+        logits, c_c, kr_c = decode(params, token, cfg, dt,
+                                   c_c, kr_c, t)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, c_c, kr_c, t + 1), token
 
@@ -761,7 +957,10 @@ def hf_dict_from_deepseek(cfg: DeepseekConfig) -> Dict[str, Any]:
         "head_dim": cfg.qk_rope_head_dim,
         "v_head_dim": cfg.v_head_dim,
         "rope_interleave": cfg.rope_interleave,
-        "intermediate_size": cfg.intermediate_size,
+        # width-pruned (2SSP stage-1) models export with the PRUNED
+        # intermediate size — the reference's save_pretrained convention
+        # (src/pruning.py:286-290)
+        "intermediate_size": cfg.effective_intermediate,
         "moe_intermediate_size": cfg.moe_intermediate_size,
         "n_routed_experts": cfg.n_routed_experts,
         "n_shared_experts": cfg.n_shared_experts if not dense_only else 0,
@@ -800,6 +999,10 @@ def export_hf_deepseek(out_dir: str, params: Params,
                              "from_pretrained")
     if "lm_head_q" in params:
         raise ValueError("quantized lm_head has no HF encoding")
+    if cfg.pruned_attention_blocks:
+        raise ValueError("attention-materialized models have no HF encoding "
+                         "(DeepseekV3 layers always carry self_attn) — use "
+                         "save_deepseek_model for the native artifact")
 
     hf_cfg = hf_dict_from_deepseek(cfg)
     os.makedirs(out_dir, exist_ok=True)

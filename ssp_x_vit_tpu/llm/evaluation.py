@@ -34,15 +34,44 @@ def _window_nll(params, tokens, attn_gate, mlp_gate, neuron_mask, cfg: LlamaConf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _window_nll_deepseek(params, tokens, cfg):
-    """DeepSeek/MLA window NLL (same shifted-NLL contract as _window_nll;
-    gates/masks don't apply — the MLA family has no pruning surgery)."""
+def _window_nll_deepseek(params, tokens, attn_gate, mlp_gate, cfg):
+    """DeepSeek/MLA window NLL (same shifted-NLL contract as _window_nll);
+    gates drive the depth-pruning searches exactly like the llama family."""
     from ssp_x_vit_tpu.llm.deepseek import deepseek_forward
 
-    logits = deepseek_forward(params, tokens, cfg, compute_dtype=jnp.float32)
+    logits = deepseek_forward(params, tokens, cfg, compute_dtype=jnp.float32,
+                              attn_gate=attn_gate, mlp_gate=mlp_gate)
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
     return jnp.sum(nll), nll.size
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _window_nll_deepseek_materialized(params, tokens, cfg):
+    from ssp_x_vit_tpu.llm.deepseek import deepseek_forward_materialized
+
+    logits = deepseek_forward_materialized(params, tokens, cfg,
+                                           compute_dtype=jnp.float32)
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+    return jnp.sum(nll), nll.size
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _window_nll_candidates_deepseek(params, tokens, attn_gates, mlp_gates, cfg):
+    """Vmapped gate-candidate scoring for the MLA family — one dispatch per
+    chunk of skip patterns (2SSP stage-2 / blockpruner inner loop)."""
+    from ssp_x_vit_tpu.llm.deepseek import deepseek_forward
+
+    def one(ga, gm):
+        logits = deepseek_forward(params, tokens, cfg,
+                                  compute_dtype=jnp.float32,
+                                  attn_gate=ga, mlp_gate=gm)
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
+        return jnp.sum(nll)
+
+    return jax.vmap(one)(attn_gates, mlp_gates)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -76,12 +105,15 @@ def evaluate_perplexity_candidates(
     Candidates are evaluated ``chunk`` at a time inside one jitted vmap
     (memory-bounded); all windows stream through each chunk.
     """
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
+
     ids = np.asarray(input_ids).reshape(-1)
     num_samples = ids.size // seq_len
     C, L = np.asarray(attn_gates).shape
     ga = jnp.asarray(attn_gates, jnp.float32)
     gm = jnp.asarray(mlp_gates if mlp_gates is not None else np.ones((C, L)), jnp.float32)
     nm = jnp.ones((L, 1), jnp.float32)
+    is_mla = isinstance(cfg, DeepseekConfig)
 
     totals = np.zeros((C,), np.float64)
     tokens_per_window = seq_len - 1
@@ -89,7 +121,11 @@ def evaluate_perplexity_candidates(
         tokens = jnp.asarray(ids[i * seq_len : (i + 1) * seq_len].reshape(1, -1), jnp.int32)
         for c0 in range(0, C, chunk):
             sl = slice(c0, min(C, c0 + chunk))
-            sums = _window_nll_candidates(params, tokens, ga[sl], gm[sl], nm, cfg)
+            if is_mla:
+                sums = _window_nll_candidates_deepseek(params, tokens,
+                                                       ga[sl], gm[sl], cfg)
+            else:
+                sums = _window_nll_candidates(params, tokens, ga[sl], gm[sl], nm, cfg)
             totals[sl] += np.asarray(sums, np.float64)
     return np.exp(totals / max(1, num_samples * tokens_per_window))
 
@@ -130,15 +166,24 @@ def evaluate_perplexity(
     from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
 
     if isinstance(cfg, DeepseekConfig):
-        if attn_gate is not None or mlp_gate is not None \
-                or neuron_mask is not None:
-            raise ValueError("gates/masks don't apply to the MLA family")
+        if neuron_mask is not None:
+            raise ValueError("neuron masks don't apply to the MLA family "
+                             "(stage-1 width materializes directly)")
+        L = cfg.num_layers
+        ga = (jnp.asarray(attn_gate, jnp.float32) if attn_gate is not None
+              else jnp.ones((L,), jnp.float32))
+        gm = (jnp.asarray(mlp_gate, jnp.float32) if mlp_gate is not None
+              else jnp.ones((L,), jnp.float32))
+        mla_materialized = bool(cfg.pruned_attention_blocks)
         total_nll, total_tokens = 0.0, 0
         for i in range(0, num_samples, batch_size):
             j = min(i + batch_size, num_samples)
             window = ids[i * seq_len: j * seq_len].reshape(j - i, seq_len)
-            s, n = _window_nll_deepseek(params, jnp.asarray(window, jnp.int32),
-                                        cfg)
+            tokens = jnp.asarray(window, jnp.int32)
+            if mla_materialized:
+                s, n = _window_nll_deepseek_materialized(params, tokens, cfg)
+            else:
+                s, n = _window_nll_deepseek(params, tokens, ga, gm, cfg)
             total_nll += float(s)
             total_tokens += int(n)
         return float(np.exp(total_nll / max(1, total_tokens)))
@@ -185,11 +230,19 @@ def evaluate_inference_time(params, cfg: LlamaConfig, sample: np.ndarray,
     """Mean forward latency (ms) over a sample (reference src/evaluation.py:119-146),
     using the in-graph scan harness (docs/tpu_notes.md)."""
     from ssp_x_vit_tpu.evaluation.latency import measure_latency_scan
+    from ssp_x_vit_tpu.llm.deepseek import (DeepseekConfig, deepseek_forward,
+                                            deepseek_forward_materialized)
 
     tokens = jnp.asarray(np.asarray(sample).reshape(1, -1), jnp.int32)
     materialized = bool(cfg.pruned_attention_blocks)
 
-    if materialized:
+    if isinstance(cfg, DeepseekConfig):
+        fwd_fn = (deepseek_forward_materialized if materialized
+                  else deepseek_forward)
+
+        def fwd(tokens, params):
+            return fwd_fn(params, tokens, cfg)
+    elif materialized:
         def fwd(tokens, params):
             return llama_forward_materialized(params, tokens, cfg)
     else:

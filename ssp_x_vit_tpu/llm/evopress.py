@@ -35,17 +35,28 @@ DEFAULT_ARGS = dict(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _logits(params, tokens, attn_gate, mlp_gate, cfg: LlamaConfig):
-    logits, _ = llama_forward(params, tokens, cfg, attn_gate=attn_gate, mlp_gate=mlp_gate)
-    return logits
+def _gated_logits(params, tokens, attn_gate, mlp_gate, cfg):
+    """Gated forward, llama or MLA (the search mechanics are identical —
+    both families expose zero-retrace attn/mlp gates)."""
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig, deepseek_forward
+
+    if isinstance(cfg, DeepseekConfig):
+        return deepseek_forward(params, tokens, cfg, attn_gate=attn_gate,
+                                mlp_gate=mlp_gate)
+    return llama_forward(params, tokens, cfg, attn_gate=attn_gate,
+                         mlp_gate=mlp_gate)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _kl_sum(params, tokens, target_logits, attn_gate, mlp_gate, cfg: LlamaConfig):
+def _logits(params, tokens, attn_gate, mlp_gate, cfg):
+    return _gated_logits(params, tokens, attn_gate, mlp_gate, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _kl_sum(params, tokens, target_logits, attn_gate, mlp_gate, cfg):
     """Sum over (positions) of KL(target || candidate) and position count,
     excluding the last position (reference :70-71)."""
-    logits, _ = llama_forward(params, tokens, cfg, attn_gate=attn_gate, mlp_gate=mlp_gate)
+    logits = _gated_logits(params, tokens, attn_gate, mlp_gate, cfg)
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     lt = jax.nn.log_softmax(target_logits[:, :-1].astype(jnp.float32), axis=-1)
     kl = jnp.sum(jnp.exp(lt) * (lt - lp), axis=-1)  # [b, s-1]

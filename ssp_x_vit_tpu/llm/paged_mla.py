@@ -361,6 +361,11 @@ class MLAPagedServer(PagedServer):
         if isinstance(cache_dtype, dict):
             raise ValueError("MLA stores ONE latent pool; per-K/V dtype "
                              "dicts do not apply — pass jnp.int8 directly")
+        if cfg.pruned_attention_blocks:
+            raise ValueError(
+                "paged MLA serving rides the uniform scan-group layout; "
+                "attention-materialized models serve through "
+                "deepseek_generate (contiguous cache) instead")
         super().__init__(params, cfg, max_batch=max_batch,
                          num_pages=num_pages, page_size=page_size,
                          max_context=max_context, cache_dtype=cache_dtype,

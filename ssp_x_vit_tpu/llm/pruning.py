@@ -34,10 +34,20 @@ from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
 # shared helpers
 # ---------------------------------------------------------------------------
 
+def _is_mla(cfg) -> bool:
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
+
+    return isinstance(cfg, DeepseekConfig)
+
+
 def count_main_params(cfg: LlamaConfig) -> Tuple[int, int, int]:
     """(main_layers_total, attn_per_block, mlp_per_block) — reference counts
     model.model.layers / self_attn / mlp parameters (src/pruning.py:234-241).
     RMSNorm scales included in the block total like torch's sum."""
+    if _is_mla(cfg):
+        from ssp_x_vit_tpu.llm.pruning_deepseek import count_main_params_deepseek
+
+        return count_main_params_deepseek(cfg)
     d, f = cfg.hidden_size, cfg.effective_intermediate
     hq = cfg.num_heads * cfg.head_dim
     hkv = cfg.num_kv_heads * cfg.head_dim
@@ -59,8 +69,13 @@ def count_main_params(cfg: LlamaConfig) -> Tuple[int, int, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _mlp_stats_batch(params, tokens, cfg: LlamaConfig):
-    _, aux = llama_forward(params, tokens, cfg, collect_mlp_stats=True)
+def _mlp_stats_batch(params, tokens, cfg):
+    if _is_mla(cfg):
+        from ssp_x_vit_tpu.llm.deepseek import deepseek_forward
+
+        _, aux = deepseek_forward(params, tokens, cfg, collect_mlp_stats=True)
+    else:
+        _, aux = llama_forward(params, tokens, cfg, collect_mlp_stats=True)
     return aux["mlp_stats"]  # [L, b, f] sumsq of down_proj input over tokens
 
 
@@ -83,6 +98,11 @@ def materialize_llm_width_pruning(
 ) -> Tuple[Params, LlamaConfig]:
     """Slice gate/up cols and down rows to the kept neurons per block
     (reference prune_mlp, src/utilities.py:392-425). Uniform keep count."""
+    if _is_mla(cfg):
+        from ssp_x_vit_tpu.llm.pruning_deepseek import \
+            materialize_deepseek_width_pruning
+
+        return materialize_deepseek_width_pruning(params, cfg, keep_indices)
     L = cfg.num_layers
     keeps = [np.asarray(k) for k in keep_indices]
     n_keep = len(keeps[0])
@@ -236,6 +256,11 @@ def materialize_llm_depth_pruning(
 ) -> Tuple[Params, LlamaConfig]:
     """Physically drop pruned blocks' attention weights (reference deletes
     q/k/v/o projections, src/utilities.py:486-503)."""
+    if _is_mla(cfg):
+        from ssp_x_vit_tpu.llm.pruning_deepseek import \
+            materialize_deepseek_attention_pruning
+
+        return materialize_deepseek_attention_pruning(params, cfg, blocks_to_prune)
     pruned = tuple(sorted(set(int(i) for i in blocks_to_prune)))
     if getattr(cfg, "num_experts", 0):
         raise ValueError("depth materialization targets dense-MLP configs; "
@@ -282,6 +307,11 @@ def materialize_llm_block_removal(
     unless the survivors break the arch's HF encoding (checked at export,
     not here).
     """
+    if _is_mla(cfg):
+        from ssp_x_vit_tpu.llm.pruning_deepseek import \
+            materialize_deepseek_block_removal
+
+        return materialize_deepseek_block_removal(params, cfg, blocks_to_remove)
     removed = tuple(sorted(set(int(i) for i in blocks_to_remove)))
     if not removed:
         return params, cfg
@@ -315,8 +345,14 @@ def materialize_llm_block_removal(
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "last_token"))
-def _block_outputs(params, tokens, cfg: LlamaConfig, last_token: bool):
-    _, aux = llama_forward(params, tokens, cfg, return_block_outputs=True)
+def _block_outputs(params, tokens, cfg, last_token: bool):
+    if _is_mla(cfg):
+        from ssp_x_vit_tpu.llm.deepseek import deepseek_forward
+
+        _, aux = deepseek_forward(params, tokens, cfg,
+                                  return_block_outputs=True)
+    else:
+        _, aux = llama_forward(params, tokens, cfg, return_block_outputs=True)
     outs = aux["block_outputs"]  # [L, b, s, d]
     if last_token:
         return outs[:, 0, -1, :]  # [L, d]

@@ -238,8 +238,8 @@ def test_refusals():
 
 def test_evaluate_perplexity_deepseek():
     """evaluate_perplexity dispatches DeepseekConfig onto deepseek_forward
-    (same shifted-NLL contract); gates/masks are refused — the MLA family
-    has no pruning surgery."""
+    (same shifted-NLL contract); attn/mlp gates ride through to the gated
+    forward (pruning surgery, tests/test_deepseek_pruning.py)."""
     from ssp_x_vit_tpu.llm.evaluation import evaluate_perplexity
 
     cfg = DeepseekConfig(
@@ -259,9 +259,9 @@ def test_evaluate_perplexity_deepseek():
                               ids.reshape(4, 16)[:, 1:, None], axis=-1)
     assert abs(ppl - float(np.exp(nll.mean()))) < 1e-4
 
-    with pytest.raises(ValueError, match="MLA"):
-        evaluate_perplexity(params, cfg, ids, seq_len=16,
-                            attn_gate=np.ones(2))
+    gated = evaluate_perplexity(params, cfg, ids, seq_len=16, batch_size=2,
+                                attn_gate=np.ones(2), mlp_gate=np.ones(2))
+    assert abs(gated - ppl) < 1e-4
 
 
 def _moe_cfg_for_quant():
