@@ -235,26 +235,24 @@ def main():
     if is_deepseek:
         # MLA supports the reference pruning methods (2ssp on dense-GLU
         # configs, depth baselines on any config — llm/pruning_deepseek.py),
-        # perplexity/latency evaluation, int8 quantization and --save-model.
-        # SliceGPT is refused (the rotation does not commute with the
-        # low-rank kv_a/kv_b factorization); downstream/qualitative ride the
-        # llama-family generate paths only.
+        # perplexity/latency/downstream/qualitative evaluation, int8/int4
+        # quantization (int4 keeps routed expert stacks at int8 — no nibble
+        # layout for the expert einsum), w8a8, and --save-model. SliceGPT is
+        # refused (the rotation does not commute with the low-rank
+        # kv_a/kv_b factorization); the ablation suite is a llama-layout
+        # study (zero-scatter indices assume per-head q/k/v kernels).
         unsupported = [f for f, on in (
             ("--pruning_method slicegpt", args.pruning_method == "slicegpt"),
             ("--pruning_method 2ssp on a MoE deepseek (stage-1 FFN width "
              "needs dense GLU MLPs; use the depth baselines or a "
              "first_k_dense_replace==num_layers config)",
              args.pruning_method == "2ssp" and cfg.n_routed_experts > 0),
-            ("--ablation", args.ablation),
-            ("--evaluate_downstream", args.evaluate_downstream),
-            ("--evaluate_qualitative", args.evaluate_qualitative),
-            ("--quantize int4", args.quantize == "int4"),
-            ("--w8a8", args.w8a8)) if on]
+            ("--ablation", args.ablation)) if on]
         if unsupported:
             raise SystemExit("unsupported for deepseek models: "
                              f"{unsupported} (slicegpt rotation does not "
-                             "commute with the MLA factorization; int4/w8a8 "
-                             "and the harness paths are llama-family only)")
+                             "commute with the MLA factorization; the "
+                             "ablation suite assumes the llama layout)")
 
     wikitext_ids, c4_val_ids, fineweb_ids, c4_train_ids = load_corpora(args, cfg)
     calibration = D.get_calibration(c4_train_ids, args.num_calibration, seq_len=args.seq_len)
@@ -266,14 +264,15 @@ def main():
 
         if args.quantize != 'none' and not isinstance(c, SlicedLlamaConfig):
             from ssp_x_vit_tpu.llm.quant import (
-                quantize_deepseek_params_int8, quantize_llm_params_int4,
-                quantize_llm_params_int8,
+                quantize_deepseek_params_int4, quantize_deepseek_params_int8,
+                quantize_llm_params_int4, quantize_llm_params_int8,
             )
 
             q = (quantize_llm_params_int8 if args.quantize == 'int8'
                  else quantize_llm_params_int4)
             if is_deepseek:
-                q = quantize_deepseek_params_int8  # int4 refused above
+                q = (quantize_deepseek_params_int8 if args.quantize == 'int8'
+                     else quantize_deepseek_params_int4)
             p = q(p, c)
             logging.info(f"Evaluating {args.quantize}-quantized weights")
             if args.w8a8:

@@ -306,6 +306,11 @@ def _kv_b_matrix(bp, dt):
     if "kv_b_kernel_q" in bp:
         return (bp["kv_b_kernel_q"].astype(jnp.float32)
                 * bp["kv_b_kernel_scale"].astype(jnp.float32)[None]).astype(dt)
+    if "kv_b_kernel_q4" in bp:
+        from ssp_x_vit_tpu.ops.pallas.quant_matmul import unpack_int4
+
+        return (unpack_int4(bp["kv_b_kernel_q4"]).astype(jnp.float32)
+                * bp["kv_b_kernel_scale"].astype(jnp.float32)[None]).astype(dt)
     return bp["kv_b_kernel"].astype(dt)
 
 
@@ -485,7 +490,8 @@ def deepseek_forward(params: Params, input_ids: jax.Array,
                      attn_gate: Optional[jax.Array] = None,
                      mlp_gate: Optional[jax.Array] = None,
                      collect_mlp_stats: bool = False,
-                     return_block_outputs: bool = False):
+                     return_block_outputs: bool = False,
+                     remat: bool = False):
     """input_ids [b, s] -> logits [b, s, V] f32. ``return_caches`` also
     returns the serving-cache tensors (c [L, b, s, kvr], k_rot [L, b, s, rd],
     rope already applied) — the prefill path of :func:`deepseek_generate`.
@@ -496,7 +502,8 @@ def deepseek_forward(params: Params, input_ids: jax.Array,
     ``attn_gate``/``mlp_gate`` [L] float gates skip submodules without a
     retrace; ``collect_mlp_stats`` / ``return_block_outputs`` return an aux
     dict as a second output — ``mlp_stats`` [L, b, f] (dense-GLU configs
-    only) and ``block_outputs`` [L, b, s, d]."""
+    only) and ``block_outputs`` [L, b, s, d]. ``remat`` checkpoints each
+    scanned block (per-layer rematerialization for training)."""
     if cfg.pruned_attention_blocks:
         raise ValueError("use deepseek_forward_materialized for "
                          "attention-materialized configs")
@@ -526,6 +533,8 @@ def deepseek_forward(params: Params, input_ids: jax.Array,
                 ys["block_outputs"] = x
             return x, ys
 
+        if remat:
+            body = jax.checkpoint(body)
         return jax.lax.scan(body, x, (blocks, ga, gm))
 
     if cfg.n_dense_layers:

@@ -21,6 +21,28 @@ import numpy as np
 from ssp_x_vit_tpu.llm.model import LlamaConfig, llama_forward, llama_forward_materialized
 
 
+def full_logits(params, tokens, cfg, compute_dtype):
+    """[b, s] -> [b, s, V] logits for ANY served config — llama family or
+    DeepSeek/MLA — picking the gated or materialized forward from the
+    config. The one dispatch the qualitative-generation and lm-eval
+    harness paths share, so those surfaces are model-family agnostic
+    (reference src/evaluation.py:69-160 runs them through HF generate/
+    forward, which is likewise arch-generic)."""
+    from ssp_x_vit_tpu.llm.deepseek import (DeepseekConfig, deepseek_forward,
+                                            deepseek_forward_materialized)
+
+    if isinstance(cfg, DeepseekConfig):
+        fwd = (deepseek_forward_materialized if cfg.pruned_attention_blocks
+               else deepseek_forward)
+        return fwd(params, tokens, cfg, compute_dtype=compute_dtype)
+    if cfg.pruned_attention_blocks:
+        return llama_forward_materialized(params, tokens, cfg,
+                                          compute_dtype=compute_dtype)
+    logits, _ = llama_forward(params, tokens, cfg,
+                              compute_dtype=compute_dtype)
+    return logits
+
+
 def greedy_generate(
     params,
     cfg: LlamaConfig,
@@ -35,20 +57,13 @@ def greedy_generate(
 
     compute_dtype = compute_dtype or _jnp.bfloat16
     ids = list(np.asarray(input_ids).reshape(-1).tolist())
-    materialized = bool(cfg.pruned_attention_blocks)
 
     # One padded-shape compile: right-pad to max_length, read logits at cursor.
     pad = 0
 
     @jax.jit
     def step_logits(tokens, cursor):
-        if materialized:
-            logits = llama_forward_materialized(params, tokens, cfg,
-                                                compute_dtype=compute_dtype)
-        else:
-            logits, _ = llama_forward(params, tokens, cfg,
-                                      compute_dtype=compute_dtype)
-        return logits[0, cursor]
+        return full_logits(params, tokens, cfg, compute_dtype)[0, cursor]
 
     while len(ids) < max_length:
         tokens = np.full((1, max_length), pad, np.int32)
@@ -99,17 +114,11 @@ def beam_generate(
     early_stopping). All live beams are scored in ONE padded batched forward
     per step (shapes static -> a single compile)."""
     prompt = list(np.asarray(input_ids).reshape(-1).tolist())
-    materialized = bool(cfg.pruned_attention_blocks)
     compute_dtype = compute_dtype or jnp.bfloat16
 
     @jax.jit
     def step_logits(tokens, cursor):
-        if materialized:
-            logits = llama_forward_materialized(params, tokens, cfg,
-                                                compute_dtype=compute_dtype)
-        else:
-            logits, _ = llama_forward(params, tokens, cfg,
-                                      compute_dtype=compute_dtype)
+        logits = full_logits(params, tokens, cfg, compute_dtype)
         return jax.nn.log_softmax(logits[:, cursor].astype(jnp.float32), axis=-1)
 
     beams = [(0.0, prompt, False)]  # (logprob, ids, finished)

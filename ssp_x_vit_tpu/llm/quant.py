@@ -121,6 +121,45 @@ def quantize_deepseek_params_int8(params: Params, cfg) -> Params:
     return out
 
 
+def quantize_deepseek_params_int4(params: Params, cfg) -> Params:
+    """int4 weights for the DeepSeek/MLA family: 2-D projection kernels
+    (stacked [L, K, N] in ``dense_blocks``/``moe_blocks``) become
+    ``k+"_q4"`` packed nibbles + ``k+"_scale"``, consumed by deepseek._mm
+    (pallas quant4 kernel) and _kv_b_matrix (host-free unpack, the absorbed
+    decode folds the dequantized matrix through per-head einsums).
+
+    Routed expert stacks ([L, E, K, N], ndim==4) stay INT8 per-(expert,
+    out-channel) — the expert einsum path has no nibble layout (same
+    limitation as quantize_llm_params_int4's MoE refusal); the mixed
+    int4-projections/int8-experts pytree is the supported MoE artifact.
+    lm_head stays int8 (same accuracy/size tradeoff as the llama family);
+    router/e_bias/norms stay float."""
+    import jax as _jax
+
+    from ssp_x_vit_tpu.ops.pallas.quant_matmul import quantize_weight_int4
+
+    out = {k: v for k, v in params.items()
+           if k not in ("dense_blocks", "moe_blocks")}
+    for grp in ("dense_blocks", "moe_blocks"):
+        if grp not in params:
+            continue
+        blocks = {}
+        for k, v in params[grp].items():
+            if k not in DS_QUANT_KEYS:
+                blocks[k] = v
+            elif v.ndim == 4:  # routed expert stacks -> int8
+                w_q, scale = quantize_weight_int8(v)
+                blocks[k + "_q"], blocks[k + "_scale"] = w_q, scale
+            else:              # stacked 2-D projections -> packed int4
+                w_p, scale = _jax.vmap(quantize_weight_int4)(v)
+                blocks[k + "_q4"], blocks[k + "_scale"] = w_p, scale
+        out[grp] = blocks
+    if "lm_head" in out:  # untied head only; tied embed.T stays float
+        w_q, scale = quantize_weight_int8(out.pop("lm_head"))
+        out["lm_head_q"], out["lm_head_scale"] = w_q, scale
+    return out
+
+
 def quantize_llm_params_int4(params: Params, cfg: LlamaConfig) -> Params:
     """int4 variant: projection kernels become ``k + "_q4"`` (packed
     [K/2, N] int8 nibbles, ops/pallas/quant_matmul.pack_int4 layout) +

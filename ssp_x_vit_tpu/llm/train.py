@@ -33,9 +33,28 @@ def next_token_loss(params: Params, tokens: jax.Array, cfg: LlamaConfig, *,
     Depth-materialized pruned configs train too — the 2SSP recovery-finetune
     loop (prune -> brief finetune -> serve). Their unrolled forward has no
     scanned layer to checkpoint, so ``remat`` is a no-op there.
+
+    DeepSeek/MLA configs dispatch to the deepseek engine. No MoE aux term
+    is added for them: DeepSeek-V3 balances experts via the
+    e_score_correction_bias (auxiliary-loss-free strategy), not a
+    load-balance loss — the bias is a buffer the V3 recipe nudges outside
+    the gradient; recovery finetuning keeps it frozen.
     """
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
+
     aux = {}
-    if cfg.pruned_attention_blocks:
+    if isinstance(cfg, DeepseekConfig):
+        from ssp_x_vit_tpu.llm.deepseek import (deepseek_forward,
+                                                deepseek_forward_materialized)
+
+        if cfg.pruned_attention_blocks:
+            logits = deepseek_forward_materialized(
+                params, tokens[:, :-1], cfg, compute_dtype=compute_dtype)
+        else:
+            logits = deepseek_forward(params, tokens[:, :-1], cfg,
+                                      compute_dtype=compute_dtype,
+                                      remat=remat)
+    elif cfg.pruned_attention_blocks:
         from ssp_x_vit_tpu.llm.model import llama_forward_materialized
 
         logits = llama_forward_materialized(params, tokens[:, :-1], cfg,
@@ -46,7 +65,7 @@ def next_token_loss(params: Params, tokens: jax.Array, cfg: LlamaConfig, *,
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]
     loss = nll.mean()
-    if cfg.num_experts:
+    if getattr(cfg, "num_experts", 0):
         # switch load-balance loss, averaged over layers (GShard/Switch
         # convention), weighted by router_aux_coef
         loss = loss + cfg.router_aux_coef * jnp.mean(aux["moe_aux_loss"])
@@ -91,11 +110,15 @@ def make_distill_train_step(teacher_params: Params, teacher_cfg: LlamaConfig,
         optimizer = optax.adamw(1e-4)
 
     def fwd(params, cfg, tokens):
-        if cfg.pruned_attention_blocks:
-            from ssp_x_vit_tpu.llm.model import llama_forward_materialized
+        from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig, deepseek_forward
 
-            return llama_forward_materialized(params, tokens, cfg,
-                                              compute_dtype=compute_dtype)
+        if isinstance(cfg, DeepseekConfig) and not cfg.pruned_attention_blocks:
+            return deepseek_forward(params, tokens, cfg,
+                                    compute_dtype=compute_dtype, remat=remat)
+        if isinstance(cfg, DeepseekConfig) or cfg.pruned_attention_blocks:
+            from ssp_x_vit_tpu.llm.generate import full_logits
+
+            return full_logits(params, tokens, cfg, compute_dtype)
         logits, _ = llama_forward(params, tokens, cfg,
                                   compute_dtype=compute_dtype, remat=remat)
         return logits

@@ -24,24 +24,23 @@ from ssp_x_vit_tpu.llm.model import LlamaConfig, llama_forward, llama_forward_ma
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _token_logprobs(params, tokens, cfg: LlamaConfig):
-    """tokens [b, s] -> log p(tokens[t] | tokens[<t]) at positions 1..s-1."""
-    if cfg.pruned_attention_blocks:
-        logits = llama_forward_materialized(params, tokens, cfg)
-    else:
-        logits, _ = llama_forward(params, tokens, cfg)
+def _token_logprobs(params, tokens, cfg):
+    """tokens [b, s] -> log p(tokens[t] | tokens[<t]) at positions 1..s-1.
+    Model-family agnostic via generate.full_logits (llama family + MLA)."""
+    from ssp_x_vit_tpu.llm.generate import full_logits
+
+    logits = full_logits(params, tokens, cfg, jnp.bfloat16)
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     return jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]  # [b, s-1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _token_logprobs_and_argmax(params, tokens, cfg: LlamaConfig):
+def _token_logprobs_and_argmax(params, tokens, cfg):
     """Like ``_token_logprobs`` but also returns the greedy (argmax) token at
     each position — needed for the lm-eval harness ``is_greedy`` bit."""
-    if cfg.pruned_attention_blocks:
-        logits = llama_forward_materialized(params, tokens, cfg)
-    else:
-        logits, _ = llama_forward(params, tokens, cfg)
+    from ssp_x_vit_tpu.llm.generate import full_logits
+
+    logits = full_logits(params, tokens, cfg, jnp.bfloat16)
     shifted = logits[:, :-1].astype(jnp.float32)
     logp = jax.nn.log_softmax(shifted, axis=-1)
     token_lp = jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[..., 0]

@@ -1,0 +1,273 @@
+"""DeepSeek/MLA int4 weights, W8A8 activation quantization, and the
+model-family-agnostic qualitative/harness paths (generate.full_logits).
+
+Closes the round-3 asymmetry list: int4/w8a8/downstream/qualitative were
+"llama-family only" refusals; the MLA family now rides the same surfaces.
+The reference stack has no quantized inference at all (pruning is its only
+compression axis, /root/reference/src/evaluation.py:24) — these paths are
+rebuild-native serving capabilities extended to the MLA architecture class.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssp_x_vit_tpu.llm.deepseek import (
+    DeepseekConfig, deepseek_forward, deepseek_generate, init_deepseek_params,
+)
+from ssp_x_vit_tpu.llm.quant import (
+    dequantize_weight, quantize_deepseek_params_int4,
+    quantize_deepseek_params_int8,
+)
+
+
+def _moe_cfg():
+    return DeepseekConfig(
+        vocab_size=64, hidden_size=32, num_layers=3, num_heads=4,
+        q_lora_rank=16, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=4, v_head_dim=8, intermediate_size=48,
+        moe_intermediate_size=16, n_routed_experts=4, n_shared_experts=1,
+        num_experts_per_tok=2, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, first_k_dense_replace=1)
+
+
+def _dense_cfg():
+    return DeepseekConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        q_lora_rank=None, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=4, v_head_dim=8, intermediate_size=48,
+        n_routed_experts=0, n_shared_experts=0,
+        first_k_dense_replace=2)
+
+
+def _dequantize(qp):
+    """Host-dequantize every _q (int8) and _q4 (packed nibble) entry."""
+    from ssp_x_vit_tpu.ops.pallas.quant_matmul import unpack_int4
+
+    out = {k: v for k, v in qp.items()
+           if k not in ("dense_blocks", "moe_blocks", "lm_head_q",
+                        "lm_head_scale")}
+    if "lm_head_q" in qp:
+        out["lm_head"] = dequantize_weight(qp["lm_head_q"],
+                                           qp["lm_head_scale"], jnp.float32)
+    for grp in ("dense_blocks", "moe_blocks"):
+        if grp not in qp:
+            continue
+        out[grp] = {}
+        for k, v in qp[grp].items():
+            if k.endswith("_q4"):
+                w = jax.vmap(unpack_int4)(v).astype(jnp.float32)
+                out[grp][k[:-3]] = w * qp[grp][k[:-3] + "_scale"][:, None, :]
+            elif k.endswith("_q"):
+                out[grp][k[:-2]] = dequantize_weight(
+                    v, qp[grp][k[:-2] + "_scale"], jnp.float32)
+            elif not k.endswith("_scale"):
+                out[grp][k] = v
+    return out
+
+
+# --------------------------------------------------------------------------
+# int4 weights
+# --------------------------------------------------------------------------
+
+def test_int4_deepseek_layout():
+    cfg = _moe_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int4(params, cfg)
+    # 2-D projections pack to nibbles (half the K rows)…
+    mb = qp["moe_blocks"]
+    assert "o_kernel_q4" in mb and mb["o_kernel_q4"].dtype == jnp.int8
+    assert mb["o_kernel_q4"].shape[1] * 2 == params["moe_blocks"]["o_kernel"].shape[1]
+    assert "kv_b_kernel_q4" in mb and "shared_gate_q4" in mb
+    # …routed expert stacks stay int8 (no nibble layout for the einsum)
+    assert "gate_kernel_q" in mb and mb["gate_kernel_q"].ndim == 4
+    assert "gate_kernel_q4" not in mb
+    # router/norms/lm_head policy
+    assert mb["router"].dtype != jnp.int8
+    assert "lm_head_q" in qp
+
+
+def test_int4_deepseek_generation_matches_dequantized():
+    """int4-in-graph (pallas quant4 kernel, interpret mode on CPU; host-free
+    unpack in _kv_b_matrix for the absorbed decode) == generation on the
+    host-dequantized weights — greedy at f32."""
+    cfg = _moe_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int4(params, cfg)
+    deq = _dequantize(qp)
+    prompt = np.asarray([5, 9, 2, 7], np.int32)
+    out_q = deepseek_generate(qp, cfg, prompt, max_new_tokens=8,
+                              compute_dtype=jnp.float32)
+    out_d = deepseek_generate(deq, cfg, prompt, max_new_tokens=8,
+                              compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_d))
+
+
+def test_int4_deepseek_logits_close_to_dense():
+    cfg = _dense_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int4(params, cfg)
+    toks = jnp.asarray((np.arange(16, dtype=np.int32)[None] * 5) % 64)
+    dense = np.asarray(deepseek_forward(params, toks, cfg,
+                                        compute_dtype=jnp.float32))
+    quant = np.asarray(deepseek_forward(qp, toks, cfg,
+                                        compute_dtype=jnp.float32))
+    rel = np.linalg.norm(quant - dense) / np.linalg.norm(dense)
+    assert rel < 0.35, rel  # 15-level grid; int8 bound is 0.15
+
+
+def test_int4_deepseek_paged_server():
+    from ssp_x_vit_tpu.llm.paged_mla import MLAPagedServer
+
+    cfg = _moe_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(1), cfg)
+    qp = quantize_deepseek_params_int4(params, cfg)
+    prompt = np.asarray([3, 5, 8], np.int32)
+    ref = deepseek_generate(qp, cfg, prompt, max_new_tokens=6,
+                            compute_dtype=jnp.float32)
+    srv = MLAPagedServer(qp, cfg, max_batch=1, num_pages=16, page_size=4,
+                         max_context=32, cache_dtype=jnp.float32)
+    rid = srv.add_request(prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(srv.run()[rid], np.asarray(ref))
+
+
+def test_int4_deepseek_persistence_roundtrip(tmp_path):
+    from ssp_x_vit_tpu.llm.deepseek import load_deepseek_model, save_deepseek_model
+
+    cfg = _moe_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int4(params, cfg)
+    save_deepseek_model(str(tmp_path / "m"), qp, cfg)
+    p2, c2 = load_deepseek_model(str(tmp_path / "m"))
+    assert c2 == cfg
+    assert p2["moe_blocks"]["o_kernel_q4"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(p2["moe_blocks"]["o_kernel_q4"]),
+                                  np.asarray(qp["moe_blocks"]["o_kernel_q4"]))
+    prompt = np.asarray([4, 7, 1], np.int32)
+    a = deepseek_generate(qp, cfg, prompt, max_new_tokens=5,
+                          compute_dtype=jnp.float32)
+    b = deepseek_generate(p2, c2, prompt, max_new_tokens=5,
+                          compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# --------------------------------------------------------------------------
+# W8A8
+# --------------------------------------------------------------------------
+
+def test_w8a8_deepseek_logits_bounded():
+    """Dynamic per-token activation quantization rides mm_quant for every
+    MLA projection (the routed expert einsums stay weight-only int8, same
+    as the llama MoE path). Lossy by design — bound vs dense."""
+    from ssp_x_vit_tpu.ops import dispatch
+
+    cfg = _moe_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_deepseek_params_int8(params, cfg)
+    toks = jnp.asarray((np.arange(16, dtype=np.int32)[None] * 3) % 64)
+    dense = np.asarray(deepseek_forward(params, toks, cfg,
+                                        compute_dtype=jnp.float32))
+    dispatch.set_w8a8_enabled(True)
+    try:
+        jax.clear_caches()  # the flag is read at trace time
+        w8a8 = np.asarray(deepseek_forward(qp, toks, cfg,
+                                           compute_dtype=jnp.float32))
+    finally:
+        dispatch.set_w8a8_enabled(None)
+        jax.clear_caches()
+    weight_only = np.asarray(deepseek_forward(qp, toks, cfg,
+                                              compute_dtype=jnp.float32))
+    rel = np.linalg.norm(w8a8 - dense) / np.linalg.norm(dense)
+    assert rel < 0.25, rel
+    # and the path actually engaged (activation quant changes the numerics)
+    assert np.abs(w8a8 - weight_only).max() > 0
+
+
+def test_w8a8_deepseek_generates():
+    from ssp_x_vit_tpu.ops import dispatch
+
+    cfg = _dense_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(2), cfg)
+    qp = quantize_deepseek_params_int8(params, cfg)
+    prompt = np.asarray([5, 9, 2], np.int32)
+    dispatch.set_w8a8_enabled(True)
+    try:
+        jax.clear_caches()
+        out = deepseek_generate(qp, cfg, prompt, max_new_tokens=6,
+                                compute_dtype=jnp.float32)
+    finally:
+        dispatch.set_w8a8_enabled(None)
+        jax.clear_caches()
+    assert np.asarray(out).shape == (9,)
+
+
+# --------------------------------------------------------------------------
+# qualitative / harness surfaces (generate.full_logits dispatch)
+# --------------------------------------------------------------------------
+
+def test_greedy_generate_dispatches_deepseek():
+    """The qualitative-generation surface (llm/generate.py) accepts MLA
+    configs: full-recompute greedy == the absorbed-decode serving loop."""
+    from ssp_x_vit_tpu.llm.generate import greedy_generate
+
+    cfg = _dense_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    prompt = np.asarray([5, 9, 2, 7], np.int32)
+    ref = deepseek_generate(params, cfg, prompt, max_new_tokens=8,
+                            compute_dtype=jnp.float32)
+    out = greedy_generate(params, cfg, prompt, max_length=12,
+                          no_repeat_ngram_size=0,
+                          compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_beam_generate_runs_deepseek():
+    from ssp_x_vit_tpu.llm.generate import beam_generate
+
+    cfg = _dense_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    out = beam_generate(params, cfg, np.asarray([5, 9, 2], np.int32),
+                        max_length=8, num_beams=3,
+                        compute_dtype=jnp.float32)
+    assert len(np.asarray(out)) <= 8
+
+
+def test_sequence_loglikelihood_deepseek_matches_forward():
+    """zeroshot scoring (the lm-eval harness loglikelihood contract)
+    dispatches to deepseek_forward; cross-check against direct logprobs."""
+    from ssp_x_vit_tpu.llm.zeroshot import sequence_loglikelihood_greedy
+
+    cfg = _dense_cfg()
+    params = init_deepseek_params(jax.random.PRNGKey(0), cfg)
+    ctx, cont = [5, 9, 2], [7, 1]
+    ll, is_greedy = sequence_loglikelihood_greedy(params, cfg, ctx, cont,
+                                                  pad_to=8)
+    toks = np.zeros((1, 8), np.int32)
+    toks[0, :5] = ctx + cont
+    logits = np.asarray(deepseek_forward(params, jnp.asarray(toks), cfg,
+                                         compute_dtype=jnp.bfloat16))
+    lp = jax.nn.log_softmax(jnp.asarray(logits[:, :-1], jnp.float32), axis=-1)
+    want = float(np.take_along_axis(np.asarray(lp),
+                                    toks[:, 1:, None], axis=-1)[0, 2:4, 0].sum())
+    assert abs(ll - want) < 1e-4
+    greedy = np.argmax(logits[0, :-1], axis=-1)
+    assert is_greedy == bool((greedy[2:4] == np.asarray(cont)).all())
+
+
+def test_main_llm_deepseek_int4_w8a8_e2e(tmp_path, monkeypatch, capsys):
+    """CLI e2e: the former 'llama-family only' refusals are lifted —
+    tiny-random deepseek evaluates perplexity with --quantize int4 --w8a8."""
+    import main_llm
+
+    monkeypatch.setattr("sys.argv", [
+        "main_llm.py", "--model", "tiny-random-deepseek-dense",
+        "--quantize", "int4", "--w8a8", "--evaluate_perplexity",
+        "--synthetic-data", "--num-calibration", "1",
+        "--seq-len", "32"])
+    main_llm.main()
+    from ssp_x_vit_tpu.ops import dispatch
+
+    dispatch.set_w8a8_enabled(None)
+    jax.clear_caches()

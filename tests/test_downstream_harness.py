@@ -237,3 +237,32 @@ def test_loglikelihood_rolling_scores_all_tokens(llm, jax_lm):
     want = sequence_loglikelihood(params, cfg, [tok.bos_token_id], ids,
                                   pad_to=128)
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_jax_lm_accepts_deepseek():
+    """make_jax_lm is model-family agnostic (generate.full_logits): the MLA
+    family rides the same harness adapter — loglikelihood + generate_until
+    on a tiny DeepSeek config."""
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig, init_deepseek_params
+    from ssp_x_vit_tpu.llm.downstream import make_jax_lm
+
+    dcfg = DeepseekConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+        q_lora_rank=None, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=4, v_head_dim=8, intermediate_size=48,
+        n_routed_experts=0, n_shared_experts=0, first_k_dense_replace=2)
+    params = init_deepseek_params(jax.random.PRNGKey(0), dcfg)
+    lm = make_jax_lm(params, dcfg, CharTokenizer(), max_length=128)
+
+    from lm_eval.api.instance import Instance
+
+    reqs = [Instance(request_type="loglikelihood",
+                     doc={}, arguments=("hello ", "world"), idx=i)
+            for i in range(2)]
+    out = lm.loglikelihood(reqs)
+    assert len(out) == 2 and all(np.isfinite(ll) for ll, _ in out)
+
+    gen = lm.generate_until([Instance(
+        request_type="generate_until", doc={},
+        arguments=("ab", {"max_gen_toks": 4, "until": []}), idx=0)])
+    assert len(gen) == 1 and isinstance(gen[0], str)
