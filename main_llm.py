@@ -70,7 +70,11 @@ def parse_args():
                              'int8-MXU W8A8 matmuls (dynamic per-token '
                              'activation scales; measured 1.38x on the '
                              'b=4 s=2048 perplexity workload, '
-                             'docs/tpu_notes.md)')
+                             'docs/tpu_notes.md). With --quantize int4 the '
+                             'packed-int4 matmuls and routed-expert einsums '
+                             'stay weight-only; W8A8 engages only on int8-'
+                             'quantized layers (e.g. lm_head) — a warning '
+                             'states the reduced scope.')
     parser.add_argument('--save-model', type=str, default=None,
                         help='directory to persist the pruned model '
                              '(materialized weights, no gates); sparsity '
@@ -279,7 +283,18 @@ def main():
                 from ssp_x_vit_tpu.ops import dispatch
 
                 dispatch.set_w8a8_enabled(True)
-                logging.info("W8A8 mode: native int8-MXU matmuls")
+                if args.quantize == 'int4':
+                    # mm_quant's int4 branch (ops/common.py) and the routed-
+                    # expert einsums are weight-only; only int8-quantized
+                    # layers (lm_head) pick up activation quantization —
+                    # make the scope explicit so measurements aren't
+                    # misattributed to a full-W8A8 run.
+                    logging.warning(
+                        "W8A8 with --quantize int4: activation quantization "
+                        "applies only to int8-quantized layers (lm_head); "
+                        "int4 matmuls and expert einsums stay weight-only")
+                else:
+                    logging.info("W8A8 mode: native int8-MXU matmuls")
         if isinstance(c, SlicedLlamaConfig):
             if args.evaluate_perplexity or args.main_table_results:
                 ppl = evaluate_perplexity_sliced(p, c, wikitext_ids, seq_len=args.seq_len)
@@ -405,10 +420,16 @@ def main():
             attn_mask, mlp_mask = P.blockpruner(params, cfg, tsb, first_sample,
                                                 seq_len=args.seq_len)
         elif args.pruning_method == "evopress":
-            from ssp_x_vit_tpu.llm.evopress import evopress
+            from ssp_x_vit_tpu.llm.evopress import DEFAULT_ARGS, evopress
 
+            # reference protocol: the calibration pool holds
+            # calibration_tokens (131072) so the 2048/32768-token selection
+            # minibatches draw uncapped (src/evopress.py:152-160); fewer
+            # --num-calibration windows than that fires the cap warning in
+            # selection() (genuinely small user data).
+            n_cal = max(1, DEFAULT_ARGS["calibration_tokens"] // args.seq_len)
             attn_mask, mlp_mask = evopress(
-                params, cfg, tsb, calibration[:16],
+                params, cfg, tsb, calibration[:n_cal],
                 num_generations=args.evopress_generations, seed=args.seed)
         elif args.pruning_method == "2ssp":
             out = P.two_stage_2ssp(params, cfg, calibration_2ssp, target_sparsity,

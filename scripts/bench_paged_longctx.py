@@ -64,8 +64,10 @@ def main():
         res["scan_int8_tok_s"] / res["scan_bf16_tok_s"], 2)
 
     # churn: 12 requests through 4 slots, staggered lengths/budgets, so pages
-    # free and get reused mid-run (admission control + eviction on finish)
-    def churn(dtype):
+    # free and get reused mid-run (admission control + eviction on finish).
+    # block = decode steps per host dispatch (PagedServer.step_many); 1 is
+    # the historical step-per-dispatch protocol, 8 the engine default.
+    def churn(dtype, block=1):
         server = PagedServer(params, cfg, max_batch=4, num_pages=160,
                              page_size=64, max_context=P + N,
                              cache_dtype=dtype)
@@ -81,7 +83,7 @@ def main():
         queued = 4
         total = 0
         while True:
-            if not server.step():
+            if not server.step_many(block):
                 if queued >= len(pending):
                     break
             while queued < len(pending) and any(
@@ -99,6 +101,8 @@ def main():
     for tag, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
         churn(dtype)  # compile
         res[f"churn_{tag}_tok_s"] = round(churn(dtype), 1)
+        churn(dtype, block=8)  # compile
+        res[f"churn_{tag}_block8_tok_s"] = round(churn(dtype, block=8), 1)
     res["churn_int8_speedup"] = round(
         res["churn_int8_tok_s"] / res["churn_bf16_tok_s"], 2)
 

@@ -127,7 +127,7 @@ class ServingEngine:
                  max_batch: int = 4, num_pages: int = 128,
                  page_size: int = 64, max_context: int = 1024,
                  cache_dtype=None, chunked_prefill: Optional[int] = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, decode_block: int = 8):
         import jax.numpy as jnp
 
         from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
@@ -145,6 +145,11 @@ class ServingEngine:
             page_size=page_size, max_context=max_context,
             cache_dtype=cache_dtype or jnp.bfloat16, **kw)
         self.cfg = cfg
+        # decode_block: decode steps per host dispatch between admission
+        # points (PagedServer.step_many). Amortizes the tunnel's 2-3 ms
+        # per-dispatch floor; bounds a newly arrived request's join latency
+        # to one block. 1 = the old step-per-dispatch behavior.
+        self.decode_block = max(1, int(decode_block))
         self._pending: "collections.deque[_Pending]" = collections.deque()
         self._live: Dict[int, _Pending] = {}       # request_id -> pending rec
         self._emitted: Dict[int, int] = {}         # request_id -> tokens sent
@@ -238,7 +243,7 @@ class ServingEngine:
                     if self._server.cancel(rid):
                         self._finish_request(rid, reason)
                 self._admit()
-                if self._server.step():
+                if self._server.step_many(self.decode_block):
                     self._flush_active()
                     self._flush_finished()
                 else:

@@ -35,6 +35,38 @@ DEFAULT_ARGS = dict(
 )
 
 
+def collect_samples_with_join(documents, num_samples: int,
+                              sequence_length: int,
+                              separator_ids=()) -> List[np.ndarray]:
+    """Faithful port of the reference's sample-joining calibration builder
+    (src/evopress.py:13-49): documents (already-tokenized id arrays)
+    concatenate into a running window; when the window reaches
+    ``sequence_length`` it is TRIMMED to exactly that length and emitted
+    (the reference notes this trim introduces bias — kept for parity);
+    otherwise ``separator_ids`` (the reference's tokenized "\\n\\n") append
+    before the next document. Stops after ``num_samples`` windows or when
+    documents run out. Returns [1, sequence_length] int32 arrays.
+
+    This is what lets the multi-step selection budgets (2048/32768 tokens,
+    src/evopress.py:152-160) run UNCAPPED: build
+    ``calibration_tokens // sequence_length`` windows here and
+    :func:`selection` never has to shrink its minibatch draw."""
+    sep = np.asarray(separator_ids, np.int32).reshape(-1)
+    out: List[np.ndarray] = []
+    current = np.zeros((0,), np.int32)
+    for doc in documents:
+        toks = np.asarray(doc, np.int32).reshape(-1)
+        current = np.concatenate([current, toks])
+        if current.size >= sequence_length:
+            out.append(current[:sequence_length].reshape(1, -1).copy())
+            current = np.zeros((0,), np.int32)
+        else:
+            current = np.concatenate([current, sep])
+        if len(out) >= num_samples:
+            break
+    return out
+
+
 def _gated_logits(params, tokens, attn_gate, mlp_gate, cfg):
     """Gated forward, llama or MLA (the search mechanics are identical —
     both families expose zero-retrace attn/mlp gates)."""

@@ -21,25 +21,32 @@ import numpy as np
 from ssp_x_vit_tpu.llm.model import LlamaConfig, llama_forward, llama_forward_materialized
 
 
-def full_logits(params, tokens, cfg, compute_dtype):
+def full_logits(params, tokens, cfg, compute_dtype, *, remat: bool = False):
     """[b, s] -> [b, s, V] logits for ANY served config — llama family or
     DeepSeek/MLA — picking the gated or materialized forward from the
-    config. The one dispatch the qualitative-generation and lm-eval
-    harness paths share, so those surfaces are model-family agnostic
-    (reference src/evaluation.py:69-160 runs them through HF generate/
-    forward, which is likewise arch-generic)."""
+    config. The one dispatch the qualitative-generation, lm-eval harness,
+    and distillation-training paths share, so those surfaces are
+    model-family agnostic (reference src/evaluation.py:69-160 runs them
+    through HF generate/forward, which is likewise arch-generic).
+
+    ``remat=True`` threads layer rematerialization into the scanned
+    forwards (training under grad); the materialized (unrolled, pruned)
+    forwards have no scanned layer to checkpoint, so it is a no-op there.
+    """
     from ssp_x_vit_tpu.llm.deepseek import (DeepseekConfig, deepseek_forward,
                                             deepseek_forward_materialized)
 
     if isinstance(cfg, DeepseekConfig):
-        fwd = (deepseek_forward_materialized if cfg.pruned_attention_blocks
-               else deepseek_forward)
-        return fwd(params, tokens, cfg, compute_dtype=compute_dtype)
+        if cfg.pruned_attention_blocks:
+            return deepseek_forward_materialized(
+                params, tokens, cfg, compute_dtype=compute_dtype)
+        return deepseek_forward(params, tokens, cfg,
+                                compute_dtype=compute_dtype, remat=remat)
     if cfg.pruned_attention_blocks:
         return llama_forward_materialized(params, tokens, cfg,
                                           compute_dtype=compute_dtype)
     logits, _ = llama_forward(params, tokens, cfg,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, remat=remat)
     return logits
 
 

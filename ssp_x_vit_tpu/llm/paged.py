@@ -111,16 +111,23 @@ def _o_proj(attn, bp, compute_dtype):
 
 
 def _paged_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_tables, seq_lens,
-                 compute_dtype, has_attn=True, window_bound=None):
+                 compute_dtype, has_attn=True, window_bound=None,
+                 layer_idx=None):
     """One decode-step layer over the paged cache (mirrors serve._layer_step:
     llama sequential / phi parallel / gemma-2 post-norms / attention
-    physically absent). ``window_bound``: traced per-layer band bound."""
+    physically absent). ``window_bound``: traced per-layer band bound.
+
+    ``layer_idx`` (traced) addresses this layer's row of FULL 5D pools —
+    the decode hot loop carries the whole multi-layer pool and writes it in
+    place (pallas aliased kernel); kp_l/vp_l are then the full pools, never
+    sliced. With layer_idx=None they are single-layer 4D pools (legacy
+    contract, kept for the MLA absorbed path and tests)."""
     b = x.shape[0]
 
     def attend(h):
         q, k, v = _block_qkv(h, bp, cfg, seq_lens[:, None], compute_dtype)
         kp, vp = paged_cache_write(kp_l, vp_l, k[:, 0], v[:, 0],
-                                   page_tables, seq_lens)
+                                   page_tables, seq_lens, layer_idx=layer_idx)
         band = window_bound if window_bound is not None else cfg.sliding_window
         starts = None
         if band is not None:
@@ -128,7 +135,8 @@ def _paged_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_tables, seq_lens,
             # q - k < window  ->  k >= seq_lens + 1 - window.
             starts = jnp.maximum(seq_lens + 1 - band, 0)
         attn = paged_attention(q[:, 0], kp, vp, page_tables, seq_lens + 1,
-                               start_lens=starts, softcap=cfg.attn_softcap)
+                               start_lens=starts, softcap=cfg.attn_softcap,
+                               layer_idx=layer_idx)
         return _o_proj(attn.reshape(b, 1, -1), bp, compute_dtype), kp, vp
 
     if cfg.is_phi:
@@ -197,23 +205,56 @@ def _prefill_layer(x, bp, kp_l, vp_l, cfg: LlamaConfig, page_table, seq_len,
     return x + mlp, kp_l, vp_l
 
 
+def _splice_layer(full, one, layer_idx):
+    """Write a single-layer pool back into row ``layer_idx`` of the 5D
+    pool (prefill slice/splice path only — the decode hot loop never
+    materializes layer copies)."""
+    return jax.tree.map(
+        lambda f, o: jax.lax.dynamic_update_index_in_dim(
+            f, o.astype(f.dtype), layer_idx, 0), full, one)
+
+
 def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
                       table, lens):
-    """Dense models scan the stacked pytree; depth-materialized models unroll
-    with attn_store_index (cf. serve._run_layers)."""
+    """Dense models scan the stacked pytree with the pools as CARRY —
+    NOT as scanned xs/ys: stacked scan outputs re-materialize every
+    layer's full pool slice per step, measured 12 ms/step of pure HBM
+    shuffling at b=8/16 layers/2048 ctx (scripts/bench_paged_gap.py). The
+    decode layer (_paged_layer) addresses its pool row in place through the
+    layer-indexed pallas kernels; prefill layers (which re-read the whole
+    gathered cache anyway, a once-per-request cost) slice their layer and
+    splice it back. Depth-materialized models unroll with attn_store_index
+    (cf. serve._run_layers)."""
+    from ssp_x_vit_tpu.ops.pallas.paged_attention import _layer_of
+
     compute_dtype = cache_compute_dtype(k_pools)
     blocks = params["blocks"]
     wbounds = jnp.asarray(cfg.layer_window_bounds, jnp.int32)
-    if not cfg.pruned_attention_blocks:
-        def body(x, scanned):
-            bp, kp, vp, wb = scanned
-            x, kp, vp = layer_fn(
-                x, bp, kp, vp, cfg, table, lens, compute_dtype,
-                window_bound=None if cfg.uniform_window else wb)
-            return x, (kp, vp)
+    hot = layer_fn is _paged_layer    # decode: full-pool in-place writes
 
-        x, (k_pools, v_pools) = jax.lax.scan(
-            body, x, (blocks, k_pools, v_pools, wbounds))
+    def call(x, bp, kp, vp, li, wb, has_attn=True):
+        if hot:
+            return layer_fn(x, bp, kp, vp, cfg, table, lens, compute_dtype,
+                            has_attn=has_attn, window_bound=wb, layer_idx=li)
+        if not has_attn:
+            return layer_fn(x, bp, None, None, cfg, table, lens,
+                            compute_dtype, has_attn=False, window_bound=wb)
+        x, kl, vl = layer_fn(x, bp, _layer_of(kp, li), _layer_of(vp, li),
+                             cfg, table, lens, compute_dtype, window_bound=wb)
+        return x, _splice_layer(kp, kl, li), _splice_layer(vp, vl, li)
+
+    if not cfg.pruned_attention_blocks:
+        def body(carry, scanned):
+            x, kp, vp = carry
+            bp, wb, li = scanned
+            x, kp, vp = call(x, bp, kp, vp, li,
+                             None if cfg.uniform_window else wb)
+            return (x, kp, vp), None
+
+        A = jax.tree.leaves(k_pools)[0].shape[0]
+        (x, k_pools, v_pools), _ = jax.lax.scan(
+            body, (x, k_pools, v_pools),
+            (blocks, wbounds, jnp.arange(A, dtype=jnp.int32)))
         return x, k_pools, v_pools
 
     store = cfg.attn_store_index
@@ -230,16 +271,9 @@ def _run_paged_layers(layer_fn, params, x, k_pools, v_pools, cfg: LlamaConfig,
                 bp[kname] = val[i]
         wb = None if cfg.uniform_window else wbounds[i]
         if j is None:
-            x, _, _ = layer_fn(x, bp, None, None, cfg, table, lens,
-                               compute_dtype, has_attn=False, window_bound=wb)
+            x, _, _ = call(x, bp, None, None, None, wb, has_attn=False)
         else:
-            x, kl, vl = layer_fn(x, bp,
-                                 jax.tree.map(lambda a: a[j], k_pools),
-                                 jax.tree.map(lambda a: a[j], v_pools),
-                                 cfg, table,
-                                 lens, compute_dtype, window_bound=wb)
-            k_pools = jax.tree.map(lambda a, al: a.at[j].set(al), k_pools, kl)
-            v_pools = jax.tree.map(lambda a, al: a.at[j].set(al), v_pools, vl)
+            x, k_pools, v_pools = call(x, bp, k_pools, v_pools, j, wb)
     return x, k_pools, v_pools
 
 
@@ -414,6 +448,71 @@ def paged_decode_scan(params: Params, first_tokens: jax.Array, k_pools, v_pools,
     return toks, k_pools, v_pools
 
 
+def masked_decode_scan(body_fn, tokens, pools, page_tables, seq_lens, alive,
+                       rem, eos_ids, num_steps: int, sampler_state=None):
+    """``num_steps`` decode steps with PER-SLOT liveness in-graph — the
+    continuous-batching counterpart of the fixed-horizon scans: a slot whose
+    output token hits its eos or exhausts its remaining budget goes dead
+    mid-scan (its page-table row is zeroed so further writes land on trash
+    page 0, its length freezes, its emitted tokens read -1). ONE host
+    dispatch therefore covers up to ``num_steps`` tokens per slot between
+    admission points, amortizing the tunnel's 2-3 ms dispatch floor that
+    bound the per-step server loop (docs/tpu_notes.md).
+
+    ``body_fn(tok [b], pools, page_tables, seq_lens) -> (logits [b, V],
+    pools)`` is the model family's decode body (llama pools pair here, the
+    MLA latent pool in llm/paged_mla.py). Dead slots still run the body
+    (their cost is masked work, not a branch) — a lax.cond skip would risk
+    an identity-branch copy of the multi-GB pools every step.
+
+    Returns (emits [num_steps, b] int32 with -1 for dead steps, pools,
+    sampler_state)."""
+    alive = alive.astype(jnp.bool_)
+
+    def step(carry, _):
+        tok, pools, lens, alive, rem, sstate = carry
+        pt_step = jnp.where(alive[:, None], page_tables, 0)
+        logits, pools = body_fn(tok, pools, pt_step, lens)
+        if sstate is not None:
+            from ssp_x_vit_tpu.llm.sampling import vectorized_sample
+
+            nxt, sstate = vectorized_sample(logits, sstate)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        emit = jnp.where(alive, nxt, -1)
+        live_i = alive.astype(jnp.int32)
+        lens = lens + live_i          # the K/V row this step just wrote
+        rem = rem - live_i
+        alive = alive & (nxt != eos_ids) & (rem > 0)
+        return (nxt, pools, lens, alive, rem, sstate), emit
+
+    (_, pools, _, _, _, sampler_state), emits = jax.lax.scan(
+        step, (tokens, pools, seq_lens, alive, rem, sampler_state),
+        None, length=num_steps)
+    return emits, pools, sampler_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"),
+                   donate_argnums=(2, 3))
+def paged_decode_steps_masked(params: Params, tokens: jax.Array, k_pools,
+                              v_pools, cfg: LlamaConfig,
+                              page_tables: jax.Array, seq_lens: jax.Array,
+                              alive: jax.Array, rem: jax.Array,
+                              eos_ids: jax.Array, num_steps: int,
+                              sampler_state=None):
+    """Llama-family masked multi-step decode (see masked_decode_scan)."""
+    def body(tok, pools, pts, lens):
+        kp, vp = pools
+        logits, kp, vp = _paged_decode_body(params, tok, kp, vp, cfg, pts,
+                                            lens)
+        return logits, (kp, vp)
+
+    emits, (k_pools, v_pools), sampler_state = masked_decode_scan(
+        body, tokens, (k_pools, v_pools), page_tables, seq_lens, alive, rem,
+        eos_ids, num_steps, sampler_state)
+    return emits, k_pools, v_pools, sampler_state
+
+
 def paged_generate(params: Params, cfg: LlamaConfig, prompts, *,
                    max_new_tokens: int = 32, eos_token_id: Optional[int] = None,
                    page_size: int = 64, cache_dtype=jnp.bfloat16):
@@ -586,6 +685,18 @@ class PagedServer:
             self.params, jnp.asarray(tokens), self.k_pools, self.v_pools,
             self.cfg, jnp.asarray(pts), jnp.asarray(lens))
         return logits
+
+    def _decode_multi(self, tokens, pts, lens, alive, rem, eos,
+                      num_steps: int):
+        """``num_steps`` masked decode steps in ONE dispatch (np inputs);
+        returns the emitted-token matrix [num_steps, b] (-1 = dead step)."""
+        emits, self.k_pools, self.v_pools, self.sampler_state = \
+            paged_decode_steps_masked(
+                self.params, jnp.asarray(tokens), self.k_pools, self.v_pools,
+                self.cfg, jnp.asarray(pts), jnp.asarray(lens),
+                jnp.asarray(alive), jnp.asarray(rem), jnp.asarray(eos),
+                num_steps, self.sampler_state)
+        return emits
 
     # ---------------- page accounting ----------------
 
@@ -790,7 +901,59 @@ class PagedServer:
                 self._finish(s)
         return True
 
-    def run(self) -> Dict[int, np.ndarray]:
-        while self.step():
+    def step_many(self, num_steps: int = 8) -> bool:
+        """Up to ``num_steps`` decode steps for every active slot in ONE
+        host dispatch (masked_decode_scan); returns False when no slot is
+        active. Slots that finish mid-block (eos/budget) stop advancing
+        in-graph; their pages are freed at reconcile. Admission happens
+        between blocks, so ``num_steps`` bounds the join latency of a new
+        request — the dispatch-floor amortization knob."""
+        if not any(s.active for s in self.slots):
+            return False
+        if num_steps <= 1:
+            return self.step()
+        b = len(self.slots)
+        tokens = np.zeros((b,), np.int32)
+        pts = np.zeros((b, self.max_pages_per_seq), np.int32)
+        lens = np.zeros((b,), np.int32)
+        alive = np.zeros((b,), bool)
+        rem = np.zeros((b,), np.int32)
+        eos = np.full((b,), -1, np.int32)
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            steps_i = min(num_steps, s.budget - len(s.generated))
+            # pre-own every page the next steps_i writes can touch — always
+            # within the admit-time worst-case reservation, since
+            # length + remaining budget <= len(prompt) + max_new_tokens
+            while (s.length + steps_i - 1) // self.page_size >= len(s.pages):
+                s.pages.append(self._alloc_page())
+            tokens[i] = s.last_token
+            pts[i, : len(s.pages)] = s.pages
+            lens[i] = s.length
+            alive[i] = True
+            rem[i] = s.budget - len(s.generated)
+            if s.eos is not None:
+                eos[i] = s.eos
+        emits = np.asarray(self._decode_multi(tokens, pts, lens, alive, rem,
+                                              eos, num_steps))
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            for t in range(emits.shape[0]):
+                tok = int(emits[t, i])
+                if tok < 0:
+                    break
+                s.length += 1
+                s.generated.append(tok)
+                s.last_token = tok
+                if (s.eos is not None and tok == s.eos) or \
+                        len(s.generated) >= s.budget:
+                    self._finish(s)
+                    break
+        return True
+
+    def run(self, decode_block: int = 8) -> Dict[int, np.ndarray]:
+        while self.step_many(decode_block):
             pass
         return self.finished

@@ -130,7 +130,7 @@ def _gather_latents(pool_l, page_table, dt):
 
 
 def _mla_chunk_attention(h, bp, cfg: DeepseekConfig, dt, pool_l, page_table,
-                         seq_len, chunk_start, cos, sin):
+                         seq_len, chunk_start, cos, sin, layer_idx=None):
     """One layer of CHUNKED MLA prefill: C tokens at global positions
     [chunk_start, chunk_start + C) attend over the whole latent page pool
     (earlier chunks' latents ride the pages; this chunk's are written
@@ -152,14 +152,17 @@ def _mla_chunk_attention(h, bp, cfg: DeepseekConfig, dt, pool_l, page_table,
     vec = jnp.concatenate([c_new, kr_new], axis=-1)[0][:, None]  # [C, 1, D]
     pool_l = paged_pool_write_many(
         pool_l, vec, page_table, chunk_start,
-        valid_len=jnp.maximum(seq_len - chunk_start, 0))
+        valid_len=jnp.maximum(seq_len - chunk_start, 0),
+        layer_idx=layer_idx)
 
     wkv = _kv_b_matrix(bp, dt).reshape(kvr, nq, nope + vd)
     q_c = jnp.einsum("bhcn,rhn->bhcr", q_nope, wkv[:, :, :nope],
                      preferred_element_type=jnp.float32).astype(dt)
     q_cat = jnp.concatenate([q_c, q_rot], axis=-1)            # [1, nq, C, D]
 
-    lat = _gather_latents(pool_l, page_table, dt)             # [K, D]
+    from ssp_x_vit_tpu.ops.pallas.paged_attention import _layer_of
+
+    lat = _gather_latents(_layer_of(pool_l, layer_idx), page_table, dt)
     scores = jnp.einsum("hcD,kD->hck", q_cat[0], lat,
                         preferred_element_type=jnp.float32)
     scores = scores * mla_softmax_scale(cfg)
@@ -192,34 +195,33 @@ def mla_prefill_chunk(params: Params, tokens: jax.Array, pool,
     cos, sin = _rope_tables(cfg, positions)                   # [C, rd]
     nk = cfg.n_dense_layers
 
-    def run_group(x, blocks, pool_grp, moe):
-        def body(x, scanned):
-            bp, pool_l = scanned
+    # full pool as carry, layer rows addressed by index (cf. _mla_decode_body)
+    def run_group(x, pool, blocks, moe, offset, n):
+        def body(carry, scanned):
+            x, pool = carry
+            bp, li = scanned
             h = _rms(x, bp["ln1"], cfg.rms_eps)
-            attn, pool_l = _mla_chunk_attention(
-                h, bp, cfg, dt, pool_l, page_table, seq_len, chunk_start,
-                cos, sin)
+            attn, pool = _mla_chunk_attention(
+                h, bp, cfg, dt, pool, page_table, seq_len, chunk_start,
+                cos, sin, layer_idx=li)
             x = x + attn
             h2 = _rms(x, bp["ln2"], cfg.rms_eps)
             if moe:
                 mlp = _deepseek_moe(h2, bp, cfg, dt)
             else:
                 mlp = _glu(h2, bp, dt)
-            return x + mlp, pool_l
+            return (x + mlp, pool), None
 
-        return jax.lax.scan(body, x, (blocks, pool_grp))
+        (x, pool), _ = jax.lax.scan(
+            body, (x, pool),
+            (blocks, offset + jnp.arange(n, dtype=jnp.int32)))
+        return x, pool
 
-    groups = []
     if nk:
-        x, p = run_group(x, params["dense_blocks"],
-                         jax.tree.map(lambda a: a[:nk], pool), moe=False)
-        groups.append(p)
+        x, pool = run_group(x, pool, params["dense_blocks"], False, 0, nk)
     if cfg.n_moe_layers:
-        x, p = run_group(x, params["moe_blocks"],
-                         jax.tree.map(lambda a: a[nk:], pool), moe=True)
-        groups.append(p)
-    pool = groups[0] if len(groups) == 1 else jax.tree.map(
-        lambda *a: jnp.concatenate(a, axis=0), *groups)
+        x, pool = run_group(x, pool, params["moe_blocks"], True, nk,
+                            cfg.n_moe_layers)
 
     x = _rms(x, params["ln_final"], cfg.rms_eps)
     last = jnp.clip(jnp.minimum(seq_len, chunk_start + C) - 1 - chunk_start,
@@ -254,11 +256,14 @@ def mla_paged_prefill_chunked(params: Params, prompt, pool,
 
 
 def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
-                              page_tables, seq_lens, cos, sin):
+                              page_tables, seq_lens, cos, sin,
+                              layer_idx=None):
     """One decode position per slot against the latent pool (see module
     docstring for the kernel-reuse argument). h [b, d] post-ln1; cos/sin
     [b, rd] at each slot's own position. Returns (attn_out [b, d],
-    updated pool_l)."""
+    updated pool_l). ``layer_idx`` (traced) addresses this layer's row of
+    the FULL latent pool — the decode scan carries the whole pool and the
+    pallas kernels write/read it in place (cf. paged._run_paged_layers)."""
     b = h.shape[0]
     nq, kvr = cfg.num_heads, cfg.kv_lora_rank
     nope, vd = cfg.qk_nope_head_dim, cfg.v_head_dim
@@ -272,7 +277,8 @@ def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
     kr_new = _apply_rope(kr_raw, cos[:, None], sin[:, None],
                          cfg.rope_interleave)
     vec = jnp.concatenate([c_new, kr_new], axis=-1)           # [b, 1, D]
-    pool_l = paged_pool_write(pool_l, vec, page_tables, seq_lens)
+    pool_l = paged_pool_write(pool_l, vec, page_tables, seq_lens,
+                              layer_idx=layer_idx)
 
     wkv = _kv_b_matrix(bp, dt).reshape(kvr, nq, nope + vd)
     q_c = jnp.einsum("bhn,rhn->bhr", q_nope, wkv[:, :, :nope],
@@ -281,17 +287,17 @@ def _absorbed_paged_attention(h, bp, cfg: DeepseekConfig, dt, pool_l,
     # kernel divides by sqrt(D); MLA wants mla_softmax_scale (1/sqrt(
     # qk_head_dim), times the yarn mscale_all_dim temperature when scaled)
     q_cat = q_cat * (D ** 0.5 * mla_softmax_scale(cfg))
-    ctx = paged_attention(q_cat, pool_l, pool_l, page_tables, seq_lens + 1)
+    ctx = paged_attention(q_cat, pool_l, pool_l, page_tables, seq_lens + 1,
+                          layer_idx=layer_idx)
     ctx_c = ctx[..., :kvr]                                    # [b, nq, kvr]
     out = jnp.einsum("bhr,rhv->bhv", ctx_c.astype(dt), wkv[:, :, nope:],
                      preferred_element_type=jnp.float32).astype(dt)
     return _mm(out.reshape(b, nq * vd), bp, "o_kernel", dt), pool_l
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
-def mla_paged_decode_step(params: Params, tokens: jax.Array, pool,
-                          cfg: DeepseekConfig, page_tables: jax.Array,
-                          seq_lens: jax.Array):
+def _mla_decode_body(params: Params, tokens: jax.Array, pool,
+                     cfg: DeepseekConfig, page_tables: jax.Array,
+                     seq_lens: jax.Array):
     """One decode step for ALL slots: tokens [b] at per-sequence positions
     ``seq_lens``. Returns (logits [b, V], pool). Layers scan in the same
     two homogeneous groups as deepseek_forward."""
@@ -300,38 +306,67 @@ def mla_paged_decode_step(params: Params, tokens: jax.Array, pool,
     cos, sin = _rope_tables(cfg, seq_lens)                    # [b, rd]
     nk = cfg.n_dense_layers
 
-    def run_group(x, blocks, pool_grp, moe):
-        def body(x, scanned):
-            bp, pool_l = scanned
+    # the FULL pool rides the scans as CARRY (layer rows addressed in place
+    # by the layer-indexed pallas kernels) — NOT as scanned xs/ys, which
+    # would re-materialize a full layer-pool copy per step, and NOT
+    # group-sliced/concatenated, which copied the whole pool twice more
+    # (cf. paged._run_paged_layers; measured in scripts/bench_paged_gap.py)
+    def run_group(x, pool, blocks, moe, offset, n):
+        def body(carry, scanned):
+            x, pool = carry
+            bp, li = scanned
             h = _rms(x, bp["ln1"], cfg.rms_eps)
-            attn, pool_l = _absorbed_paged_attention(
-                h, bp, cfg, dt, pool_l, page_tables, seq_lens, cos, sin)
+            attn, pool = _absorbed_paged_attention(
+                h, bp, cfg, dt, pool, page_tables, seq_lens, cos, sin,
+                layer_idx=li)
             x = x + attn
             h2 = _rms(x, bp["ln2"], cfg.rms_eps)
             if moe:
                 mlp = _deepseek_moe(h2[:, None], bp, cfg, dt)[:, 0]
             else:
                 mlp = _glu(h2, bp, dt)
-            return x + mlp, pool_l
+            return (x + mlp, pool), None
 
-        return jax.lax.scan(body, x, (blocks, pool_grp))
+        (x, pool), _ = jax.lax.scan(
+            body, (x, pool),
+            (blocks, offset + jnp.arange(n, dtype=jnp.int32)))
+        return x, pool
 
-    # int8 pools are {"q","s"} pytrees: slice/concat the layer axis leafwise
-    groups = []
     if nk:
-        x, p = run_group(x, params["dense_blocks"],
-                         jax.tree.map(lambda a: a[:nk], pool), moe=False)
-        groups.append(p)
+        x, pool = run_group(x, pool, params["dense_blocks"], False, 0, nk)
     if cfg.n_moe_layers:
-        x, p = run_group(x, params["moe_blocks"],
-                         jax.tree.map(lambda a: a[nk:], pool), moe=True)
-        groups.append(p)
-    pool = groups[0] if len(groups) == 1 else jax.tree.map(
-        lambda *a: jnp.concatenate(a, axis=0), *groups)
+        x, pool = run_group(x, pool, params["moe_blocks"], True, nk,
+                            cfg.n_moe_layers)
 
     x = _rms(x, params["ln_final"], cfg.rms_eps)
     logits = _head_logits(x, params, dt)
     return logits, pool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def mla_paged_decode_step(params: Params, tokens: jax.Array, pool,
+                          cfg: DeepseekConfig, page_tables: jax.Array,
+                          seq_lens: jax.Array):
+    """Jitted single-step entry over :func:`_mla_decode_body`."""
+    return _mla_decode_body(params, tokens, pool, cfg, page_tables, seq_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"),
+                   donate_argnums=(2,))
+def mla_paged_decode_steps_masked(params: Params, tokens: jax.Array, pool,
+                                  cfg: DeepseekConfig,
+                                  page_tables: jax.Array, seq_lens: jax.Array,
+                                  alive: jax.Array, rem: jax.Array,
+                                  eos_ids: jax.Array, num_steps: int,
+                                  sampler_state=None):
+    """MLA masked multi-step decode (see paged.masked_decode_scan)."""
+    from ssp_x_vit_tpu.llm.paged import masked_decode_scan
+
+    def body(tok, pool, pts, lens):
+        return _mla_decode_body(params, tok, pool, cfg, pts, lens)
+
+    return masked_decode_scan(body, tokens, pool, page_tables, seq_lens,
+                              alive, rem, eos_ids, num_steps, sampler_state)
 
 
 class MLAPagedServer(PagedServer):
@@ -399,6 +434,15 @@ class MLAPagedServer(PagedServer):
             self.params, jnp.asarray(tokens), self.pool, self.cfg,
             jnp.asarray(pts), jnp.asarray(lens))
         return logits
+
+    def _decode_multi(self, tokens, pts, lens, alive, rem, eos,
+                      num_steps: int):
+        emits, self.pool, self.sampler_state = mla_paged_decode_steps_masked(
+            self.params, jnp.asarray(tokens), self.pool, self.cfg,
+            jnp.asarray(pts), jnp.asarray(lens), jnp.asarray(alive),
+            jnp.asarray(rem), jnp.asarray(eos), num_steps,
+            self.sampler_state)
+        return emits
 
 
 def mla_paged_generate(params: Params, cfg: DeepseekConfig, prompts, *,

@@ -314,7 +314,16 @@ def create_server(engine: ServingEngine, *, tokenizer=None,
                 stream_state.sent = min(stream_state.sent, len(
                     tokenizer.decode(kept)))
                 text_parts.append(stream_state.finalize())
-            finish = handle.finish_reason or "stop"
+            # A completed stop string wins over the engine's reason: with
+            # multi-step decode blocks the slot may exhaust its budget
+            # in-graph ("length") in the same block the stop string lands
+            # (the cancel then races a finished request) — the client-visible
+            # contract is the vLLM one: text truncated at the stop string,
+            # finish_reason "stop".
+            if stream_state is not None and stream_state.stopped:
+                finish = "stop"
+            else:
+                finish = handle.finish_reason or "stop"
             visible = self._strip_terminal(handle.tokens, eos, stop_ids)
             out = {
                 "id": rid,
@@ -402,7 +411,10 @@ def create_server(engine: ServingEngine, *, tokenizer=None,
                             tail = stream_state.finalize()
                             if tail:
                                 emit(chunk(tail, None, None))
-                        emit(chunk("", None, ev.finish_reason or "stop"))
+                        if stream_state is not None and stream_state.stopped:
+                            emit(chunk("", None, "stop"))  # see _respond_once
+                        else:
+                            emit(chunk("", None, ev.finish_reason or "stop"))
                 self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
             except BrokenPipeError:

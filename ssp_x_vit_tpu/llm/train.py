@@ -38,7 +38,9 @@ def next_token_loss(params: Params, tokens: jax.Array, cfg: LlamaConfig, *,
     is added for them: DeepSeek-V3 balances experts via the
     e_score_correction_bias (auxiliary-loss-free strategy), not a
     load-balance loss — the bias is a buffer the V3 recipe nudges outside
-    the gradient; recovery finetuning keeps it frozen.
+    the gradient; the train steps below zero its UPDATE (not just its
+    gradient: adamw's weight decay would otherwise slowly decay the
+    zero-grad leaf) so it stays genuinely frozen.
     """
     from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
 
@@ -72,6 +74,22 @@ def next_token_loss(params: Params, tokens: jax.Array, cfg: LlamaConfig, *,
     return loss
 
 
+def _freeze_buffers(updates, cfg):
+    """Zero the update of non-trained buffer leaves. Currently only
+    DeepSeek's ``e_bias`` (e_score_correction_bias): its gradient is already
+    zero (used only through top_k selection), but weight-decay optimizers
+    emit a nonzero decay update for zero-grad leaves — masking the UPDATE is
+    what actually freezes the buffer."""
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
+
+    if not isinstance(cfg, DeepseekConfig):
+        return updates
+    return jax.tree_util.tree_map_with_path(
+        lambda path, u: jnp.zeros_like(u) if any(
+            getattr(k, "key", None) == "e_bias" for k in path) else u,
+        updates)
+
+
 def make_llama_train_step(cfg: LlamaConfig,
                           optimizer: Optional[optax.GradientTransformation] = None,
                           *, compute_dtype=jnp.bfloat16, remat: bool = True):
@@ -86,7 +104,7 @@ def make_llama_train_step(cfg: LlamaConfig,
         loss, grads = jax.value_and_grad(next_token_loss)(
             params, tokens, cfg, compute_dtype=compute_dtype, remat=remat)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = optax.apply_updates(params, _freeze_buffers(updates, cfg))
         return params, opt_state, loss
 
     return step
@@ -110,18 +128,11 @@ def make_distill_train_step(teacher_params: Params, teacher_cfg: LlamaConfig,
         optimizer = optax.adamw(1e-4)
 
     def fwd(params, cfg, tokens):
-        from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig, deepseek_forward
+        # one dispatch point for every model family; remat is a no-op for
+        # the materialized (pruned) forwards, which have no scanned layer
+        from ssp_x_vit_tpu.llm.generate import full_logits
 
-        if isinstance(cfg, DeepseekConfig) and not cfg.pruned_attention_blocks:
-            return deepseek_forward(params, tokens, cfg,
-                                    compute_dtype=compute_dtype, remat=remat)
-        if isinstance(cfg, DeepseekConfig) or cfg.pruned_attention_blocks:
-            from ssp_x_vit_tpu.llm.generate import full_logits
-
-            return full_logits(params, tokens, cfg, compute_dtype)
-        logits, _ = llama_forward(params, tokens, cfg,
-                                  compute_dtype=compute_dtype, remat=remat)
-        return logits
+        return full_logits(params, tokens, cfg, compute_dtype, remat=remat)
 
     def loss_fn(student, tokens):
         s_logits = fwd(student, student_cfg, tokens[:, :-1]).astype(jnp.float32)
@@ -139,7 +150,8 @@ def make_distill_train_step(teacher_params: Params, teacher_cfg: LlamaConfig,
     def step(student, opt_state, tokens):
         loss, grads = jax.value_and_grad(loss_fn)(student, tokens)
         updates, opt_state = optimizer.update(grads, opt_state, student)
-        student = optax.apply_updates(student, updates)
+        student = optax.apply_updates(
+            student, _freeze_buffers(updates, student_cfg))
         return student, opt_state, loss
 
     return step

@@ -41,6 +41,32 @@ def _dequant_pages(pages):
     return pages["q"].astype(jnp.float32) * pages["s"][..., None]
 
 
+def _as_5d(k_pages, v_pages, layer_idx):
+    """Normalize pools to [A, nkv, P, ps, hd] + a (1,)-shaped layer index
+    for the scalar-prefetch index maps. 4D pools (single-layer callers,
+    e.g. tests and the MLA absorbed path pre-refactor) become A=1 views —
+    a bitcast, not a copy."""
+    if layer_idx is None:
+        exp = lambda a: a[None]
+        k_pages = jax.tree.map(exp, k_pages)
+        v_pages = jax.tree.map(exp, v_pages) if v_pages is not None else None
+        li = jnp.zeros((1,), jnp.int32)
+    else:
+        li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    return k_pages, v_pages, li
+
+
+def _layer_of(pages, layer_idx):
+    """Dynamic layer slice of a 5D pool (jnp reference paths only — the
+    pallas kernels index the full pool through their BlockSpecs and never
+    materialize this copy)."""
+    if layer_idx is None:
+        return pages
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
+                                               keepdims=False), pages)
+
+
 def paged_attention_reference(q, k_pages, v_pages, page_table, seq_lens,
                               start_lens=None, softcap=None):
     """Exact softmax over the paged cache (jnp; CPU/test path).
@@ -119,9 +145,9 @@ def _paged_kernel(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
-def _paged_kernel_grouped(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
-                          m_s, l_s, acc_s, *, ps: int, mp: int, nkv: int,
-                          rep: int, scale: float, softcap=None):
+def _paged_kernel_grouped(pt_ref, len_ref, st_ref, li_ref, q_ref, k_ref,
+                          v_ref, o_ref, m_s, l_s, acc_s, *, ps: int, mp: int,
+                          nkv: int, rep: int, scale: float, softcap=None):
     """All kv heads of one (sequence, page) step in ONE program — 16x fewer
     program launches than the per-head grid; decode pages are tiny, so
     program/DMA overhead dominates (same reasoning as the multihead flash
@@ -172,9 +198,18 @@ def _paged_kernel_grouped(pt_ref, len_ref, st_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens,
-                          softcap=None):
+                          softcap=None, layer_idx=None):
+    """Pools are [A, nkv, P, ps, hd] with the layer picked by the
+    scalar-prefetched ``layer_idx`` INSIDE the BlockSpec index maps (the
+    leading dim is None-squeezed, so the kernel body is layout-agnostic).
+    This is what lets the serving scans carry the whole multi-layer pool in
+    place instead of slicing/stacking a 67 MB layer copy per step —
+    measured 12 ms/step of pure pool shuffling at b=8/16 layers/2048 ctx
+    (scripts/bench_paged_gap.py) before the carry refactor. 4D callers are
+    normalized to A=1, layer_idx=0 (a bitcast view)."""
+    k_pages, v_pages, li = _as_5d(k_pages, v_pages, layer_idx)
     b, nq, hd = q.shape
-    nkv, num_pages, ps, _ = k_pages.shape
+    _, nkv, num_pages, ps, _ = k_pages.shape
     mp = page_table.shape[1]
     rep = nq // nkv
     scale = 1.0 / hd**0.5
@@ -182,18 +217,22 @@ def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens,
 
     kernel = functools.partial(_paged_kernel_grouped, ps=ps, mp=mp, nkv=nkv,
                                rep=rep, scale=scale, softcap=softcap)
+    kv_spec = pl.BlockSpec(
+        (None, nkv, 1, ps, hd),
+        lambda i, j, pt, ln, st, li: (li[0], 0, pt[i, j], 0, 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, mp),
         in_specs=[
-            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln, st: (i, 0, 0, 0),
+            pl.BlockSpec((1, nkv, rep, hd),
+                         lambda i, j, pt, ln, st, li: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
         ],
-        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln, st: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nq, hd),
+                               lambda i, j, pt, ln, st, li: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nq, 1), jnp.float32),
@@ -211,14 +250,14 @@ def _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens, start_lens,
             transcendentals=b * nq * mp * ps,
         ),
     )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      start_lens.astype(jnp.int32), qh, k_pages, v_pages)
+      start_lens.astype(jnp.int32), li, qh, k_pages, v_pages)
     return out
 
 
-def _paged_kernel_grouped_q8(pt_ref, len_ref, st_ref, q_ref, k_ref, ks_ref,
-                             v_ref, vs_ref, o_ref, m_s, l_s, acc_s, *, ps: int,
-                             mp: int, nkv: int, rep: int, scale: float,
-                             softcap=None):
+def _paged_kernel_grouped_q8(pt_ref, len_ref, st_ref, li_ref, q_ref, k_ref,
+                             ks_ref, v_ref, vs_ref, o_ref, m_s, l_s, acc_s,
+                             *, ps: int, mp: int, nkv: int, rep: int,
+                             scale: float, softcap=None):
     """int8-pool variant of the grouped kernel: per-token-per-head scales
     fold into the score (key side) and into the softmax weights (value
     side) — the K/V tiles stream as int8, HALF the page bytes."""
@@ -270,9 +309,10 @@ def _paged_kernel_grouped_q8(pt_ref, len_ref, st_ref, q_ref, k_ref, ks_ref,
 
 
 def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens,
-                             start_lens, softcap=None):
+                             start_lens, softcap=None, layer_idx=None):
+    k_pages, v_pages, li = _as_5d(k_pages, v_pages, layer_idx)
     b, nq, hd = q.shape
-    nkv, num_pages, ps, _ = k_pages["q"].shape
+    _, nkv, num_pages, ps, _ = k_pages["q"].shape
     mp = page_table.shape[1]
     rep = nq // nkv
     scale = 1.0 / hd**0.5
@@ -280,22 +320,25 @@ def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens,
 
     kernel = functools.partial(_paged_kernel_grouped_q8, ps=ps, mp=mp,
                                nkv=nkv, rep=rep, scale=scale, softcap=softcap)
+    kv_spec = pl.BlockSpec(
+        (None, nkv, 1, ps, hd),
+        lambda i, j, pt, ln, st, li: (li[0], 0, pt[i, j], 0, 0),
+        memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec(
+        (None, nkv, 1, 1, ps),
+        lambda i, j, pt, ln, st, li: (li[0], 0, pt[i, j], 0, 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, mp),
         in_specs=[
-            pl.BlockSpec((1, nkv, rep, hd), lambda i, j, pt, ln, st: (i, 0, 0, 0),
+            pl.BlockSpec((1, nkv, rep, hd),
+                         lambda i, j, pt, ln, st, li: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, ps, hd), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkv, 1, 1, ps), lambda i, j, pt, ln, st: (0, pt[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
+            kv_spec, sc_spec, kv_spec, sc_spec,
         ],
-        out_specs=pl.BlockSpec((1, nq, hd), lambda i, j, pt, ln, st: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nq, hd),
+                               lambda i, j, pt, ln, st, li: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nq, 1), jnp.float32),
@@ -313,9 +356,9 @@ def _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table, seq_lens,
             transcendentals=b * nq * mp * ps,
         ),
     )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      start_lens.astype(jnp.int32), qh,
-      k_pages["q"], k_pages["s"].astype(jnp.float32)[:, :, None, :],
-      v_pages["q"], v_pages["s"].astype(jnp.float32)[:, :, None, :])
+      start_lens.astype(jnp.int32), li, qh,
+      k_pages["q"], k_pages["s"].astype(jnp.float32)[:, :, :, None, :],
+      v_pages["q"], v_pages["s"].astype(jnp.float32)[:, :, :, None, :])
 
 
 # Grouped-program VMEM budget: k+v blocks double-buffered + q/out.
@@ -323,26 +366,39 @@ _GROUPED_VMEM_LIMIT = 12 * 1024 * 1024
 
 
 def paged_attention_pallas(q, k_pages, v_pages, page_table, seq_lens,
-                           start_lens=None, softcap=None):
-    """Pallas TPU paged decode attention; contract == the jnp reference."""
+                           start_lens=None, softcap=None, layer_idx=None):
+    """Pallas TPU paged decode attention; contract == the jnp reference.
+
+    ``layer_idx`` selects the layer of 5D pools [A, nkv, P, ps, hd] inside
+    the kernels' BlockSpec index maps (serving scans carry the whole pool
+    in place); 4D pools keep the single-layer contract."""
     b, nq, hd = q.shape
     if start_lens is None:
         start_lens = jnp.zeros_like(seq_lens)  # 0 = full causal
     if isinstance(k_pages, dict):
-        nkv, _, ps, _ = k_pages["q"].shape
+        ps = (k_pages["q"].shape[3] if layer_idx is not None
+              else k_pages["q"].shape[2])
+        nkv = k_pages["q"].shape[1 if layer_idx is not None else 0]
         grouped_vmem = 2 * 2 * nkv * ps * (hd + 4)
         if grouped_vmem <= _GROUPED_VMEM_LIMIT:
             return _paged_pallas_grouped_q8(q, k_pages, v_pages, page_table,
-                                            seq_lens, start_lens, softcap)
-        return paged_attention_reference(q, k_pages, v_pages, page_table,
-                                         seq_lens, start_lens, softcap)
-    nkv, _, ps, _ = k_pages.shape
+                                            seq_lens, start_lens, softcap,
+                                            layer_idx)
+        return paged_attention_reference(q, _layer_of(k_pages, layer_idx),
+                                         _layer_of(v_pages, layer_idx),
+                                         page_table, seq_lens, start_lens,
+                                         softcap)
+    if layer_idx is not None:
+        _, nkv, _, ps, _ = k_pages.shape
+    else:
+        nkv, _, ps, _ = k_pages.shape
     grouped_vmem = 2 * 2 * nkv * ps * hd * k_pages.dtype.itemsize
     if grouped_vmem <= _GROUPED_VMEM_LIMIT:
         return _paged_pallas_grouped(q, k_pages, v_pages, page_table, seq_lens,
-                                     start_lens, softcap)
-    return _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens,
-                                 start_lens, softcap)
+                                     start_lens, softcap, layer_idx)
+    return _paged_pallas_perhead(q, _layer_of(k_pages, layer_idx),
+                                 _layer_of(v_pages, layer_idx), page_table,
+                                 seq_lens, start_lens, softcap)
 
 
 def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens, start_lens,
@@ -392,17 +448,22 @@ def _paged_pallas_perhead(q, k_pages, v_pages, page_table, seq_lens, start_lens,
 
 
 def paged_attention(q, k_pages, v_pages, page_table, seq_lens,
-                    start_lens=None, softcap=None):
+                    start_lens=None, softcap=None, layer_idx=None):
     """Dispatch: pallas on TPU, jnp reference elsewhere. ``start_lens`` [b]
     masks keys below it (sliding-window decode; None = full causal);
-    ``softcap`` = gemma-2 attention logit soft-capping (static)."""
+    ``softcap`` = gemma-2 attention logit soft-capping (static);
+    ``layer_idx`` selects the layer of 5D multi-layer pools (see
+    paged_attention_pallas)."""
     from ssp_x_vit_tpu.ops.dispatch import use_pallas
 
     if use_pallas():
         return paged_attention_pallas(q, k_pages, v_pages, page_table,
-                                      seq_lens, start_lens, softcap)
-    return paged_attention_reference(q, k_pages, v_pages, page_table,
-                                     seq_lens, start_lens, softcap)
+                                      seq_lens, start_lens, softcap,
+                                      layer_idx)
+    return paged_attention_reference(q, _layer_of(k_pages, layer_idx),
+                                     _layer_of(v_pages, layer_idx),
+                                     page_table, seq_lens, start_lens,
+                                     softcap)
 
 
 def _quantize_token_kv(t):
@@ -430,25 +491,174 @@ def _page_size_of(pages):
     return (pages["q"] if isinstance(pages, dict) else pages).shape[2]
 
 
-def paged_pool_write(pages, new, page_table, positions):
+def _page_size_of_any(pages, layer_idx):
+    """Page size of a 4D pool, or of a 5D multi-layer pool when
+    ``layer_idx`` is given."""
+    a = pages["q"] if isinstance(pages, dict) else pages
+    return a.shape[3 if layer_idx is not None else 2]
+
+
+def _write_kernel(phys_ref, off_ref, li_ref, new_ref, pin_ref, out_ref, *,
+                  ps: int):
+    """Read-modify-write ONE page block: copy it through and overwrite the
+    sublane row ``off`` (Mosaic requires the last two block dims equal the
+    array dims or be (8,128)-aligned, so a 1-row block is not lowerable —
+    the whole [nkv, 1, ps, hd] page streams through VMEM instead)."""
+    i = pl.program_id(0)
+    off = off_ref[i]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, ps, 1), 1) == off
+    out_ref[:, 0] = jnp.where(sel, new_ref[0][:, None, :], pin_ref[:, 0])
+
+
+def _pool_write_pallas_array(pages, new, phys, off, layer_idx=None):
+    """IN-PLACE single-token write into a pool [A, nkv, P, ps, hd] (4D
+    single-layer pools ride an A=1 view): grid over sequences, each program
+    rewrites ONE (nkv, 1, ps, hd) page block at ``(layer_idx, phys[i])``
+    with row ``off[i]`` replaced, the pool aliased input->output — pages
+    not visited keep their bytes, nothing else is copied. This is what
+    makes the paged decode write O(b * page) bytes instead of O(pool): an
+    XLA scatter cost 15.1 ms/step and even a chained dynamic_update_slice
+    11.9 ms/step at b=8/16 layers/2048 ctx (scripts/bench_paged_gap.py)
+    because both materialize fresh pool values per layer; the aliased
+    kernel moves ~256 KB/sequence/pool."""
+    squeeze = layer_idx is None
+    pages, _, li = _as_5d(pages, None, layer_idx)
+    b = phys.shape[0]
+    _, nkv, _, ps, hd = pages.shape
+    blk = pl.BlockSpec((None, nkv, 1, ps, hd),
+                       lambda i, phys, off, li: (li[0], 0, phys[i], 0, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, nkv, hd), lambda i, phys, off, li: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            blk,                    # aliased pool, read for the RMW copy
+        ],
+        out_specs=blk,
+    )
+    out = pl.pallas_call(
+        functools.partial(_write_kernel, ps=ps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        input_output_aliases={4: 0},   # flat arg 4 == pages (after scalars)
+    )(phys, off, li, new.astype(pages.dtype), pages)
+    return out[0] if squeeze else out
+
+
+def _pool_write_pallas_q8(pages, new, phys, off, layer_idx=None):
+    """int8 pool variant: codes write as the array kernel; the f32 scale
+    row [A, nkv, P, ps] rides a [A, nkv, P, 1, ps] view (lane-aligned, same
+    trick as the q8 attention kernel's scale blocks) through an RMW kernel
+    with the roles of sublane/lane swapped. Both pools aliased in place."""
+    codes, sc = _quantize_token_kv(new)          # [b, nkv, hd], [b, nkv]
+    squeeze = layer_idx is None
+    pages, _, li = _as_5d(pages, None, layer_idx)
+    b = phys.shape[0]
+    q, s = pages["q"], pages["s"]
+    A, nkv, P, ps, _ = q.shape
+    # q is already the 5D view here; li selects its (only or real) layer
+    q_new = _pool_write_pallas_array(q, codes, phys, off, li)
+
+    def s_kernel(phys_ref, off_ref, li_ref, sc_ref, sin_ref, out_ref):
+        i = pl.program_id(0)
+        offv = off_ref[i]
+        sel = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) == offv
+        out_ref[:, 0, 0] = jnp.where(sel, sc_ref[0][:, None], sin_ref[:, 0, 0])
+
+    s_blk = pl.BlockSpec((None, nkv, 1, 1, ps),
+                         lambda i, phys, off, li: (li[0], 0, phys[i], 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, nkv), lambda i, phys, off, li: (i, 0),
+                         memory_space=pltpu.VMEM),
+            s_blk,
+        ],
+        out_specs=s_blk,
+    )
+    s_new = pl.pallas_call(
+        s_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, nkv, P, 1, ps), s.dtype),
+        input_output_aliases={4: 0},
+    )(phys, off, li, sc.astype(s.dtype), s[:, :, :, None, :])
+    out = {"q": q_new, "s": s_new[:, :, :, 0, :]}
+    return jax.tree.map(lambda a: a[0], out) if squeeze else out
+
+
+def paged_pool_write(pages, new, page_table, positions, layer_idx=None):
     """Write one token's vector per sequence into a SINGLE pool
     [nkv, P, ps, hd] — the MLA compressed-latent pool stores ONE pool
     (cat(c, k_rot), nkv=1) instead of a K/V pair (llm/paged_mla.py).
 
     new: [b, nkv, hd]; positions [b] = logical slot being written
     (== current seq_len). Returns the updated pool (array or int8
-    pool pytree). Functional (donation-safe under jit)."""
+    pool pytree). Functional (donation-safe under jit).
+
+    On TPU this is an IN-PLACE pallas kernel with the pool aliased
+    input->output (see _pool_write_pallas_array) — O(b) bytes written. Off
+    TPU it falls back to an unrolled chain of per-sequence
+    dynamic_update_slice ops (not a vector-index scatter: TPU scatter with
+    dynamic indices measured 15.1 ms/step and the DUS chain 11.9 ms/step of
+    the ~44 ms paged decode step at b=8/16 layers — both materialize fresh
+    pool values; scripts/bench_paged_gap.py). Sequences own disjoint pages
+    (inactive slots all hit trash page 0, where last-write-wins is fine),
+    so write order between sequences is irrelevant."""
+    from ssp_x_vit_tpu.ops.dispatch import use_pallas
+
     b = positions.shape[0]
-    ps = _page_size_of(pages)
-    phys = page_table[jnp.arange(b), positions // ps]          # [b]
-    return _pool_write(pages, new, phys, positions % ps)
+    ps = _page_size_of_any(pages, layer_idx)
+    phys = (page_table[jnp.arange(b), positions // ps]         # [b]
+            ).astype(jnp.int32)
+    off = (positions % ps).astype(jnp.int32)
+    if use_pallas():
+        if isinstance(pages, dict):
+            return _pool_write_pallas_q8(pages, new, phys, off, layer_idx)
+        return _pool_write_pallas_array(pages, new, phys, off, layer_idx)
+    if layer_idx is not None:
+        # reference path for 5D pools: slice the layer, write, splice back
+        lay = paged_pool_write(_layer_of(pages, layer_idx), new, page_table,
+                               positions)
+        return jax.tree.map(
+            lambda full, one: jax.lax.dynamic_update_index_in_dim(
+                full, one.astype(full.dtype), layer_idx, 0),
+            pages, lay)
+    if isinstance(pages, dict):
+        codes, sc = _quantize_token_kv(new)                    # [b,nkv,hd],[b,nkv]
+        q, s = pages["q"], pages["s"]
+        for i in range(b):
+            at = (jnp.zeros((), jnp.int32), phys[i], off[i])
+            q = jax.lax.dynamic_update_slice(
+                q, codes[i][:, None, None, :], at + (jnp.zeros((), jnp.int32),))
+            s = jax.lax.dynamic_update_slice(s, sc[i][:, None, None], at)
+        return {"q": q, "s": s}
+    for i in range(b):
+        pages = jax.lax.dynamic_update_slice(
+            pages, new[i][:, None, None, :].astype(pages.dtype),
+            (jnp.zeros((), jnp.int32), phys[i], off[i],
+             jnp.zeros((), jnp.int32)))
+    return pages
 
 
-def paged_pool_write_many(pages, new, page_table, start, valid_len=None):
+def paged_pool_write_many(pages, new, page_table, start, valid_len=None,
+                          layer_idx=None):
     """Prefill-write s consecutive tokens for ONE sequence into a single
     pool. new: [s, nkv, hd]; page_table: [mp] this sequence's pages;
     start: first logical slot. ``valid_len`` (traced ok) redirects positions
-    >= start + valid_len to trash page 0 (static-shape padded prefill)."""
+    >= start + valid_len to trash page 0 (static-shape padded prefill).
+    ``layer_idx`` selects the layer of a 5D pool (slice + splice-back: the
+    prefill write is a once-per-request cost, unlike the decode hot loop)."""
+    if layer_idx is not None:
+        lay = paged_pool_write_many(_layer_of(pages, layer_idx), new,
+                                    page_table, start, valid_len)
+        return jax.tree.map(
+            lambda full, one: jax.lax.dynamic_update_index_in_dim(
+                full, one.astype(full.dtype), layer_idx, 0),
+            pages, lay)
     s = new.shape[0]
     ps = _page_size_of(pages)
     pos = start + jnp.arange(s)
@@ -458,19 +668,21 @@ def paged_pool_write_many(pages, new, page_table, start, valid_len=None):
     return _pool_write(pages, new, phys, pos % ps)
 
 
-def paged_cache_write(k_pages, v_pages, k_new, v_new, page_table, positions):
+def paged_cache_write(k_pages, v_pages, k_new, v_new, page_table, positions,
+                      layer_idx=None):
     """Write one token's K/V per sequence into its page.
 
     k_new/v_new: [b, nkv, hd]; positions [b] = logical slot being written
     (== current seq_len). Returns updated pools (arrays or int8 pool
-    pytrees). Functional (donation-safe under jit).
+    pytrees). Functional (donation-safe under jit). ``layer_idx`` selects
+    the layer of 5D multi-layer pools (in-place pallas write on TPU).
     """
-    return (paged_pool_write(k_pages, k_new, page_table, positions),
-            paged_pool_write(v_pages, v_new, page_table, positions))
+    return (paged_pool_write(k_pages, k_new, page_table, positions, layer_idx),
+            paged_pool_write(v_pages, v_new, page_table, positions, layer_idx))
 
 
 def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start,
-                           valid_len=None):
+                           valid_len=None, layer_idx=None):
     """Write s consecutive tokens (prefill) for ONE sequence.
 
     k_new/v_new: [s, nkv, hd]; page_table: [mp] this sequence's pages;
@@ -478,5 +690,7 @@ def paged_cache_write_many(k_pages, v_pages, k_new, v_new, page_table, start,
     >= start + valid_len to trash page 0 (static-shape padded prefill).
     Returns updated pools (arrays or int8 pool pytrees).
     """
-    return (paged_pool_write_many(k_pages, k_new, page_table, start, valid_len),
-            paged_pool_write_many(v_pages, v_new, page_table, start, valid_len))
+    return (paged_pool_write_many(k_pages, k_new, page_table, start,
+                                  valid_len, layer_idx),
+            paged_pool_write_many(v_pages, v_new, page_table, start,
+                                  valid_len, layer_idx))

@@ -266,8 +266,12 @@ def test_main_llm_deepseek_int4_w8a8_e2e(tmp_path, monkeypatch, capsys):
         "--quantize", "int4", "--w8a8", "--evaluate_perplexity",
         "--synthetic-data", "--num-calibration", "1",
         "--seq-len", "32"])
-    main_llm.main()
     from ssp_x_vit_tpu.ops import dispatch
 
-    dispatch.set_w8a8_enabled(None)
-    jax.clear_caches()
+    try:
+        main_llm.main()
+    finally:
+        # main() sets the process-global W8A8 flag; reset even on failure so
+        # it can't leak into unrelated tests in the same pytest process
+        dispatch.set_w8a8_enabled(None)
+        jax.clear_caches()

@@ -474,3 +474,77 @@ def test_paged_per_request_seeds_reproducible(model):
     srv.run()
     np.testing.assert_array_equal(srv.finished[r1], srv.finished[r2])
     assert not np.array_equal(np.asarray(one), np.asarray(run_once(7)))
+
+
+def _drain(srv, block):
+    """Run the server to completion via step_many(block) (block=1 -> step)."""
+    while srv.step_many(block) if block > 1 else srv.step():
+        pass
+    return dict(srv.finished)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+def test_step_many_matches_step(model, dtype):
+    """step_many (N decode steps per host dispatch, in-graph alive masking)
+    emits EXACTLY the tokens of the step-per-dispatch loop: mixed budgets,
+    an eos that fires mid-block, and a slot finishing while others run."""
+    params, cfg = model
+    prompts = [np.arange(5) % 64 + 1, np.asarray([7, 9]),
+               np.arange(9) % 64 + 1]
+    budgets = [13, 3, 7]        # 13 crosses a block boundary; 3 dies mid-block
+
+    def run(block):
+        srv = PagedServer(params, cfg, max_batch=4, num_pages=48,
+                          page_size=4, max_context=64, cache_dtype=dtype)
+        ids = [srv.add_request(p, max_new_tokens=nb, eos_token_id=0)
+               for p, nb in zip(prompts, budgets)]
+        outs = _drain(srv, block)
+        assert len(srv.free_pages) == 47  # all pages back (page 0 = trash)
+        return [outs[r] for r in ids]
+
+    ref, blk = run(1), run(6)
+    for a, b in zip(ref, blk):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_step_many_staggered_admission(model):
+    """Requests admitted BETWEEN blocks join correctly: the block path's
+    page pre-own + masked scan must not disturb live slots' state."""
+    params, cfg = model
+    srv = PagedServer(params, cfg, max_batch=3, num_pages=48, page_size=4,
+                      max_context=64, cache_dtype=jnp.float32)
+    a = srv.add_request(np.asarray([3, 5, 8]), max_new_tokens=14)
+    srv.step_many(4)
+    b = srv.add_request(np.asarray([2, 4, 6, 8, 10]), max_new_tokens=6)
+    srv.step_many(4)
+    c = srv.add_request(np.asarray([11, 13]), max_new_tokens=9)
+    while srv.step_many(4):
+        pass
+    for rid, prompt, nb in ((a, [3, 5, 8], 14), (b, [2, 4, 6, 8, 10], 6),
+                            (c, [11, 13], 9)):
+        ref = generate_kv_scan(params, cfg, np.asarray(prompt, np.int32),
+                               max_length=len(prompt) + nb,
+                               cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(srv.finished[rid], np.asarray(ref))
+
+
+def test_step_many_sampling_seed_reproducible(model):
+    """Per-request stochastic sampling through the masked multi-step scan:
+    same seed -> same tokens across block sizes is NOT required (RNG cadence
+    differs), but the block path itself must be self-reproducible."""
+    from ssp_x_vit_tpu.llm.sampling import SamplingParams
+
+    params, cfg = model
+    sp = SamplingParams(temperature=0.9, top_k=20)
+
+    def run_once():
+        srv = PagedServer(params, cfg, max_batch=2, num_pages=32,
+                          page_size=4, max_context=64,
+                          cache_dtype=jnp.float32)
+        rid = srv.add_request(np.asarray([7, 11, 13]), max_new_tokens=12,
+                              sampling=sp, seed=42)
+        while srv.step_many(5):
+            pass
+        return srv.finished[rid]
+
+    np.testing.assert_array_equal(run_once(), run_once())

@@ -248,3 +248,25 @@ def test_engine_serves_mla(model):
         h = eng.submit([4, 9, 2], max_new_tokens=6)
         toks = h.result(timeout=300)
     assert toks == ref[3:].tolist()
+
+
+def test_mla_step_many_matches_step(model):
+    """MLA masked multi-step decode (one latent pool) == step-per-dispatch,
+    with eos + mixed budgets and full page return."""
+    params, cfg = model
+    prompts = [np.arange(5) % 60 + 1, np.asarray([7, 9]),
+               np.arange(9) % 60 + 1]
+    budgets = [11, 3, 7]
+
+    def run(block):
+        srv = MLAPagedServer(params, cfg, max_batch=3, num_pages=48,
+                             page_size=4, max_context=64)
+        ids = [srv.add_request(p, max_new_tokens=nb, eos_token_id=0)
+               for p, nb in zip(prompts, budgets)]
+        while srv.step_many(block) if block > 1 else srv.step():
+            pass
+        assert len(srv.free_pages) == 47
+        return [srv.finished[r] for r in ids]
+
+    for a, b in zip(run(1), run(5)):
+        np.testing.assert_array_equal(a, b)

@@ -575,3 +575,41 @@ def test_flash_backward_streaming_softcap(window):
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_paged_pool_write_pallas_matches_dus():
+    """The in-place aliased write kernel == the DUS-chain fallback, bf16
+    array pool and int8 {codes, scales} pool, including trash-page-0
+    collisions (two inactive slots writing the same page)."""
+    import numpy as np
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ssp_x_vit_tpu.ops.pallas.paged_attention import (
+        _pool_write_pallas_array, _pool_write_pallas_q8, paged_pool_write,
+    )
+
+    rng = np.random.default_rng(0)
+    b, nkv, hd, ps, P, mp = 4, 2, 128, 8, 6, 3
+    pt = jnp.asarray(rng.integers(1, P, (b, mp)), jnp.int32)
+    # two sequences share an offset landing on different pages; positions
+    # also exercise page boundaries
+    pos = jnp.asarray([0, 7, 8, 15], jnp.int32)
+    new = jnp.asarray(rng.normal(size=(b, nkv, hd)), jnp.float32)
+
+    pool0 = jnp.asarray(rng.normal(size=(nkv, P, ps, hd)), jnp.float32)
+    ref = paged_pool_write(pool0, new, pt, pos)  # CPU -> DUS chain
+    phys = pt[jnp.arange(b), pos // ps].astype(jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pool_write_pallas_array(pool0, new, phys,
+                                       (pos % ps).astype(jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+    q8 = {"q": jnp.asarray(rng.integers(-5, 5, (nkv, P, ps, hd)), jnp.int8),
+          "s": jnp.ones((nkv, P, ps), jnp.float32)}
+    ref8 = paged_pool_write(q8, new, pt, pos)
+    with pltpu.force_tpu_interpret_mode():
+        got8 = _pool_write_pallas_q8(q8, new, phys,
+                                     (pos % ps).astype(jnp.int32))
+    np.testing.assert_array_equal(np.asarray(got8["q"]), np.asarray(ref8["q"]))
+    np.testing.assert_allclose(np.asarray(got8["s"]), np.asarray(ref8["s"]))

@@ -648,3 +648,147 @@ def test_slicegpt_e2e_perplexity_matches_reference(tmp_path):
     o = evaluate_perplexity_sliced(sliced_params, scfg,
                                    eval_ids.astype(np.int32), seq_len=32)
     assert abs(np.log(o) - np.log(r)) < 2e-2, (o, r)
+
+
+# ---------------------------------------------------------------------------
+# EvoPress head-to-heads (VERDICT r3 #3)
+# ---------------------------------------------------------------------------
+
+def test_evopress_collect_samples_matches_reference():
+    """Sample-joining calibration builder head-to-head: identical windows
+    (join, trim-to-length, separator-append, reset) for the same document
+    stream (reference src/evopress.py:13-49)."""
+    torch = pytest.importorskip("torch")
+
+    _ref_src()
+    from src.evopress import collect_samples_with_join as ref_collect
+
+    from ssp_x_vit_tpu.llm.evopress import collect_samples_with_join
+
+    rng = np.random.default_rng(0)
+    # ragged documents: some shorter than the window (separator join), some
+    # overflowing it (trim + remainder discard)
+    docs = [rng.integers(5, 90, rng.integers(3, 40)).astype(np.int64)
+            for _ in range(40)]
+    SEP = [91, 92]  # plays the role of tokenizer("\n\n").input_ids
+
+    class _StubTok:
+        """Maps 'doc<i>' -> pre-tokenized ids (the reference tokenizes text;
+        the joining logic under test is token-level)."""
+
+        def __call__(self, text, return_tensors="pt", add_special_tokens=False):
+            class R:
+                pass
+
+            r = R()
+            ids = SEP if text == "\n\n" else docs[int(text[3:])]
+            r.input_ids = torch.as_tensor(np.asarray(ids, np.int64)[None])
+            return r
+
+    dataset = [{"text": f"doc{i}"} for i in range(len(docs))]
+    ref = ref_collect(dataset, _StubTok(), num_samples=5, sequence_length=24)
+    ours = collect_samples_with_join(docs, 5, 24, separator_ids=SEP)
+
+    assert len(ours) == len(ref)
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b.numpy())
+
+
+def test_evopress_selection_matches_reference(tmp_path):
+    """Selection head-to-head on an identical tiny HF llama: same seeded
+    minibatch draw (budget join + trim), same KL fitness ordering, same
+    survivors (reference src/evopress.py:103-145).
+
+    The reference's maskModel tuple-returns crash under the installed
+    transformers 4.57 (decoder layers now return raw tensors and
+    ``hidden_states, _ = self_attn(...)`` unpacks a 2-tuple — same class of
+    break as HFAttentionBypass, COVERAGE.md); the reference side runs its
+    own selection()/compute_kl_div untouched with a version-compatible
+    mask/unmask shim patched in."""
+    import random as pyrandom
+
+    torch = pytest.importorskip("torch")
+
+    _ref_src()
+    import src.evopress as ref_ev
+
+    import jax.numpy as jnp
+
+    from ssp_x_vit_tpu.llm import evopress as our_ev
+
+    model, params, cfg = _tiny_hf_llama(tmp_path, layers=5, seed=1)
+    L = 5
+
+    def compat_mask(model, attnMask, mlpMask):
+        from types import MethodType
+
+        for i, layer in enumerate(model.model.layers):
+            if attnMask[i] == 1 and mlpMask[i] == 1:
+                layer.forward_bak = layer.forward
+                layer.forward = MethodType(
+                    lambda self, hidden_states, *a, **k: hidden_states, layer)
+            elif attnMask[i] == 1:
+                sa = layer.self_attn
+                sa.forward_bak = sa.forward
+                sa.forward = MethodType(
+                    lambda self, hidden_states, *a, **k:
+                    (torch.zeros_like(hidden_states), None), sa)
+            elif mlpMask[i] == 1:
+                mlp = layer.mlp
+                mlp.forward_bak = mlp.forward
+                mlp.forward = MethodType(
+                    lambda self, hidden_states, *a, **k:
+                    torch.zeros_like(hidden_states), mlp)
+
+    def compat_unmask(model, attnMask, mlpMask):
+        for i, layer in enumerate(model.model.layers):
+            if attnMask[i] == 1 and mlpMask[i] == 1:
+                layer.forward = layer.forward_bak
+            elif attnMask[i] == 1:
+                layer.self_attn.forward = layer.self_attn.forward_bak
+            elif mlpMask[i] == 1:
+                layer.mlp.forward = layer.mlp.forward_bak
+
+    rng = np.random.default_rng(2)
+    S, NW = 64, 8
+    cal_np = [rng.integers(1, 90, (1, S)).astype(np.int64) for _ in range(NW)]
+    cal_torch = [torch.from_numpy(c) for c in cal_np]
+    with torch.no_grad():
+        tgt_torch = [model(c).logits.float() for c in cal_torch]
+
+    dense = jnp.ones((L,), jnp.float32)
+    tgt_ours = [np.asarray(our_ev._logits(
+        params, jnp.asarray(c, jnp.int32), dense, dense, cfg))
+        for c in cal_np]
+
+    # candidates ablating distinct structures -> well-separated fitnesses
+    cands = []
+    for i in range(L):
+        c = {"attn": [0] * L, "mlp": [0] * L}
+        c["attn"][i] = 1
+        if i % 2:
+            c["mlp"][(i + 2) % L] = 1
+        cands.append(c)
+    cands.append({"attn": [0] * L, "mlp": [1] + [0] * (L - 1)})
+
+    # budget 200 over 64-token windows: joins 3 full windows + one trimmed
+    orig_mask, orig_unmask = ref_ev.maskModel, ref_ev.unmaskModel
+    ref_ev.maskModel, ref_ev.unmaskModel = compat_mask, compat_unmask
+    try:
+        pyrandom.seed(7)
+        with torch.no_grad():
+            ref_surv, ref_fit = ref_ev.selection(
+                model, [dict(attn=list(c["attn"]), mlp=list(c["mlp"]))
+                        for c in cands],
+                num_survive=3, calibration_data=cal_torch, num_tokens=200,
+                target_logits=tgt_torch)
+    finally:
+        ref_ev.maskModel, ref_ev.unmaskModel = orig_mask, orig_unmask
+
+    our_surv, our_fit = our_ev.selection(
+        params, cfg, [dict(attn=list(c["attn"]), mlp=list(c["mlp"]))
+                      for c in cands],
+        3, cal_np, 200, tgt_ours, pyrandom.Random(7))
+
+    assert our_surv == ref_surv          # same masks, same order
+    np.testing.assert_allclose(our_fit, ref_fit, rtol=0.05)
