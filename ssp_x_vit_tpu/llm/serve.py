@@ -260,20 +260,56 @@ def _quantize_kv(t):
     return _quantize_token_kv(t)
 
 
-def _write_cache(ck_l, cv_l, k, v, write_pos):
+def _write_cache(ck_l, cv_l, k, v, write_pos, layer_idx=None):
+    """``layer_idx`` (traced) writes into row layer_idx of FULL 5D caches
+    [A, b, max_len, nkv, hd] — an in-place dynamic_update_slice on the scan
+    CARRY (cf. _run_layers: stacked xs/ys re-materialize every layer's
+    cache slice per decode step). None keeps the per-layer 4D contract."""
+    if layer_idx is None:
+        if isinstance(ck_l, dict):
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            ck_l = {"q": jax.lax.dynamic_update_slice(ck_l["q"], kq, (0, write_pos, 0, 0)),
+                    "s": jax.lax.dynamic_update_slice(ck_l["s"], ks, (0, write_pos, 0))}
+            cv_l = {"q": jax.lax.dynamic_update_slice(cv_l["q"], vq, (0, write_pos, 0, 0)),
+                    "s": jax.lax.dynamic_update_slice(cv_l["s"], vs, (0, write_pos, 0))}
+            return ck_l, cv_l
+        ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype),
+                                            (0, write_pos, 0, 0))
+        cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype),
+                                            (0, write_pos, 0, 0))
+        return ck_l, cv_l
+    li = layer_idx
+    z = jnp.zeros((), jnp.int32)
     if isinstance(ck_l, dict):
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
-        ck_l = {"q": jax.lax.dynamic_update_slice(ck_l["q"], kq, (0, write_pos, 0, 0)),
-                "s": jax.lax.dynamic_update_slice(ck_l["s"], ks, (0, write_pos, 0))}
-        cv_l = {"q": jax.lax.dynamic_update_slice(cv_l["q"], vq, (0, write_pos, 0, 0)),
-                "s": jax.lax.dynamic_update_slice(cv_l["s"], vs, (0, write_pos, 0))}
+        ck_l = {"q": jax.lax.dynamic_update_slice(
+                    ck_l["q"], kq[None].astype(ck_l["q"].dtype),
+                    (li, z, write_pos, z, z)),
+                "s": jax.lax.dynamic_update_slice(
+                    ck_l["s"], ks[None].astype(ck_l["s"].dtype),
+                    (li, z, write_pos, z))}
+        cv_l = {"q": jax.lax.dynamic_update_slice(
+                    cv_l["q"], vq[None].astype(cv_l["q"].dtype),
+                    (li, z, write_pos, z, z)),
+                "s": jax.lax.dynamic_update_slice(
+                    cv_l["s"], vs[None].astype(cv_l["s"].dtype),
+                    (li, z, write_pos, z))}
         return ck_l, cv_l
-    ck_l = jax.lax.dynamic_update_slice(ck_l, k.astype(ck_l.dtype),
-                                        (0, write_pos, 0, 0))
-    cv_l = jax.lax.dynamic_update_slice(cv_l, v.astype(cv_l.dtype),
-                                        (0, write_pos, 0, 0))
+    ck_l = jax.lax.dynamic_update_slice(ck_l, k[None].astype(ck_l.dtype),
+                                        (li, z, write_pos, z, z))
+    cv_l = jax.lax.dynamic_update_slice(cv_l, v[None].astype(cv_l.dtype),
+                                        (li, z, write_pos, z, z))
     return ck_l, cv_l
+
+
+def _take_layer(cache, layer_idx):
+    """Layer slice of a 5D cache (read side of the carry design; XLA fuses
+    the dynamic slice into the attention einsum's operand read)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
+                                               keepdims=False), cache)
 
 
 def _rolling_prefill_write(ck_l, cv_l, k, v, W: int):
@@ -319,19 +355,35 @@ def _attend_direct(q, k, v, positions, pad_lens, cfg: LlamaConfig):
 
 def _attn_branch(h, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
                  rope_positions, pad_lens, write_pos, compute_dtype, rolling,
-                 lora_ids=None, window_bound=None):
+                 lora_ids=None, window_bound=None, layer_idx=None):
     """qkv + cache write + cached attention, shared by the three block
     layouts. Rolling-cache PREFILL (s > 1) attends directly on the in-layer
     k/v — the W-slot buffer cannot hold the early prompt keys that early
     queries need — and then fills the buffer with the newest W keys.
-    ``window_bound``: traced per-layer band bound (mixed-window configs)."""
+    ``window_bound``: traced per-layer band bound (mixed-window configs).
+    ``layer_idx``: ck_l/cv_l are FULL 5D caches carried through the layer
+    scan; the write is an in-place row update and the attend reads a layer
+    slice (_attend_cached keeps its 4D contract for the A/B benches)."""
     q, k, v = _block_qkv(h, bp, cfg, rope_positions, compute_dtype, lora_ids)
     if rolling is not None and q.shape[1] > 1:
         attn = _attend_direct(q, k, v, global_positions, pad_lens, cfg)
-        ck_l, cv_l = _rolling_prefill_write(ck_l, cv_l, k, v, rolling)
+        if layer_idx is None:
+            ck_l, cv_l = _rolling_prefill_write(ck_l, cv_l, k, v, rolling)
+        else:
+            nk, nv = _rolling_prefill_write(_take_layer(ck_l, layer_idx),
+                                            _take_layer(cv_l, layer_idx),
+                                            k, v, rolling)
+            z = jnp.zeros((), jnp.int32)
+            upd = lambda full, one: jax.lax.dynamic_update_slice(
+                full, one[None].astype(full.dtype),
+                (layer_idx,) + (z,) * (full.ndim - 1))
+            ck_l = jax.tree.map(upd, ck_l, nk)
+            cv_l = jax.tree.map(upd, cv_l, nv)
         return attn, ck_l, cv_l
-    ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos)
-    attn = _attend_cached(q, ck_l, cv_l, global_positions, pad_lens, cfg,
+    ck_l, cv_l = _write_cache(ck_l, cv_l, k, v, write_pos, layer_idx)
+    k4 = _take_layer(ck_l, layer_idx) if layer_idx is not None else ck_l
+    v4 = _take_layer(cv_l, layer_idx) if layer_idx is not None else cv_l
+    attn = _attend_cached(q, k4, v4, global_positions, pad_lens, cfg,
                           rolling, window_bound)
     return attn, ck_l, cv_l
 
@@ -339,20 +391,22 @@ def _attn_branch(h, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
 def _layer_step(x, bp, ck_l, cv_l, cfg: LlamaConfig, *, global_positions,
                 rope_positions, pad_lens, write_pos, compute_dtype,
                 has_attn=True, rolling: Optional[int] = None, lora_ids=None,
-                window_bound=None):
+                window_bound=None, layer_idx=None):
     """One transformer layer over cached attention.
 
     global_positions [b, s]: indices into the cache for the mask;
     rope_positions [b, s]: pad-corrected rotary positions;
     write_pos: scalar cache write offset (shared — prompts are left-padded;
     rolling callers pass pos mod W);
-    rolling: W slot count of a rolling cache (None = contiguous).
+    rolling: W slot count of a rolling cache (None = contiguous);
+    layer_idx: ck_l/cv_l are FULL 5D caches, this layer's row addressed in
+    place (see _attn_branch).
     """
     attn_kw = dict(global_positions=global_positions,
                    rope_positions=rope_positions, pad_lens=pad_lens,
                    write_pos=write_pos, compute_dtype=compute_dtype,
                    rolling=rolling, lora_ids=lora_ids,
-                   window_bound=window_bound)
+                   window_bound=window_bound, layer_idx=layer_idx)
     if cfg.is_opt:
         # OPT sequential pre-LN block: LN1 -> attn -> residual, LN2 -> ReLU
         # fc MLP -> residual; no rope (learned absolute positions at the
@@ -478,15 +532,23 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
     wbounds = jnp.asarray(cfg.layer_window_bounds, jnp.int32)
 
     if not cfg.pruned_attention_blocks:
-        def body(x, scanned):
-            bp, ck_l, cv_l, wb = scanned
-            x, ck_l, cv_l = _layer_step(
-                x, bp, ck_l, cv_l, cfg,
-                window_bound=None if cfg.uniform_window else wb, **kw)
-            return x, (ck_l, cv_l)
+        # caches ride the scan as CARRY with in-place row writes, NOT as
+        # stacked xs/ys (which re-materialize every layer's cache slice per
+        # step — the paged path measured 12 ms/step of pure pool shuffling
+        # from exactly this pattern, scripts/bench_paged_gap.py)
+        def body(carry, scanned):
+            x, ck, cv = carry
+            bp, wb, li = scanned
+            x, ck, cv = _layer_step(
+                x, bp, ck, cv, cfg,
+                window_bound=None if cfg.uniform_window else wb,
+                layer_idx=li, **kw)
+            return (x, ck, cv), None
 
-        x, (cache_k, cache_v) = jax.lax.scan(
-            body, x, (blocks, cache_k, cache_v, wbounds))
+        A = jax.tree.leaves(cache_k)[0].shape[0]
+        (x, cache_k, cache_v), _ = jax.lax.scan(
+            body, (x, cache_k, cache_v),
+            (blocks, wbounds, jnp.arange(A, dtype=jnp.int32)))
         return x, cache_k, cache_v
 
     store = cfg.attn_store_index
@@ -510,12 +572,9 @@ def _run_layers(params, x, cache_k, cache_v, cfg: LlamaConfig, *,
             x, _, _ = _layer_step(x, bp, None, None, cfg, has_attn=False,
                                   window_bound=wb, **kw)
         else:
-            x, ck_l, cv_l = _layer_step(
-                x, bp, jax.tree.map(lambda a: a[j], cache_k),
-                jax.tree.map(lambda a: a[j], cache_v), cfg,
-                window_bound=wb, **kw)
-            cache_k = jax.tree.map(lambda a, al: a.at[j].set(al), cache_k, ck_l)
-            cache_v = jax.tree.map(lambda a, al: a.at[j].set(al), cache_v, cv_l)
+            x, cache_k, cache_v = _layer_step(
+                x, bp, cache_k, cache_v, cfg, window_bound=wb,
+                layer_idx=jnp.asarray(j, jnp.int32), **kw)
     return x, cache_k, cache_v
 
 
