@@ -33,9 +33,11 @@ from ssp_x_vit_tpu.llm import pruning as P
 # one_stage_2ssp (reference :88-126)
 # ---------------------------------------------------------------------------
 
-def one_stage_2ssp(params: Params, cfg: LlamaConfig, calibration, pruning_rate: float):
-    """Stage-1 only: prune FFN neurons to hit the GLOBAL rate via
-    mlp_pruning_rate = rate * main_params / (L * mlp_params)."""
+def one_stage_keep_indices(params: Params, cfg: LlamaConfig, calibration,
+                           pruning_rate: float):
+    """Stage-1-only selection: (keep_indices per layer, num_preserve) for
+    mlp_pruning_rate = rate * main_params / (L * mlp_params) — exposed so the
+    reference head-to-head can compare the keep SETS, not just perplexity."""
     L = cfg.num_layers
     main_total, attn_total, mlp_total = P.count_main_params(cfg)
     mlp_pruning_rate = pruning_rate * (main_total / (L * mlp_total))
@@ -44,6 +46,13 @@ def one_stage_2ssp(params: Params, cfg: LlamaConfig, calibration, pruning_rate: 
     importance = P.mlp_hidden_importance(params, cfg, calibration)
     keep = [np.sort(np.argsort(-importance[li], kind="stable")[:num_preserve])
             for li in range(L)]
+    return keep, num_preserve
+
+
+def one_stage_2ssp(params: Params, cfg: LlamaConfig, calibration, pruning_rate: float):
+    """Stage-1 only: prune FFN neurons to hit the GLOBAL rate via
+    mlp_pruning_rate = rate * main_params / (L * mlp_params)."""
+    keep, _ = one_stage_keep_indices(params, cfg, calibration, pruning_rate)
     return P.materialize_llm_width_pruning(params, cfg, keep)
 
 
@@ -135,7 +144,9 @@ def two_stage_2ssp_inverted(params, cfg, calibration, pruning_rate,
         params, cfg, num_attn_submodules_to_prune, calib_cat, seq_len=seq_len)
     pruned = [i for i, m in enumerate(attn_mask) if m == 1]
     params, cfg = P.materialize_llm_depth_pruning(params, cfg, pruned)
-    return params, cfg, pruned
+    info = {"pruned_attention_blocks": pruned, "keep_in": keep_in,
+            "keep_out": keep_out, "num_preserve_hidden": num_preserve_hidden}
+    return params, cfg, info
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +199,9 @@ def two_stage_2ssp_l1_norm(params, cfg, calibration, pruning_rate,
         params, cfg, num_attn_submodules_to_prune, calib_cat, seq_len=seq_len)
     pruned = [i for i, m in enumerate(attn_mask) if m == 1]
     params, cfg = P.materialize_llm_depth_pruning(params, cfg, pruned)
-    return params, cfg, pruned
+    info = {"pruned_attention_blocks": pruned, "keep": keep,
+            "num_preserve": num_preserve}
+    return params, cfg, info
 
 
 # ---------------------------------------------------------------------------

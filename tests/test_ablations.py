@@ -60,8 +60,8 @@ def test_two_stage_inverted_runs(setup):
     params, stream, calib = setup
     out = A.two_stage_2ssp_inverted(params, CFG, calib, 0.25, seq_len=128)
     assert out is not False
-    p2, c2, pruned = out
-    assert len(pruned) >= 1
+    p2, c2, info = out
+    assert len(info["pruned_attention_blocks"]) >= 1
     ppl = evaluate_perplexity(p2, c2, stream, seq_len=128, enable_tqdm=False)
     assert np.isfinite(ppl)
 
@@ -70,7 +70,7 @@ def test_two_stage_l1_runs(setup):
     params, stream, calib = setup
     out = A.two_stage_2ssp_l1_norm(params, CFG, calib, 0.25, seq_len=128)
     assert out is not False
-    p2, c2, pruned = out
+    p2, c2, info = out
     main_b, _, _ = P.count_main_params(CFG)
     main_a, _, _ = P.count_main_params(c2)
     assert abs((main_b - main_a) / main_b - 0.25) < 0.05
