@@ -44,6 +44,10 @@ def parse_args():
     parser.add_argument('--main_table_results', action='store_true')
     parser.add_argument('--evaluate_inference', action='store_true')
     parser.add_argument('--evaluate_downstream', action='store_true')
+    parser.add_argument('--task-pack', type=str, default=None,
+                        help='offline task-pack dir (llm/taskpack.py) used '
+                             'for downstream eval when no lm-eval harness '
+                             'is importable; $SSP_X_VIT_TASK_PACK also works')
     parser.add_argument('--evaluate_perplexity', action='store_true')
     parser.add_argument('--evaluate_qualitative', action='store_true')
     parser.add_argument('--ablation', action='store_true',
@@ -306,7 +310,7 @@ def main():
         if args.evaluate_downstream:
             from ssp_x_vit_tpu.llm.downstream import evaluation_downstream
 
-            evaluation_downstream(p, c, args.model)
+            evaluation_downstream(p, c, args.model, task_pack=args.task_pack)
         if args.main_table_results:
             evaluation_ppl(p, c, wikitext_ids, c4_val_ids, fineweb_ids, seq_len=args.seq_len,
                            attn_gate=attn_gate, mlp_gate=mlp_gate)

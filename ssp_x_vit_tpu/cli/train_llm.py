@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import logging
 import os
 import sys
@@ -30,9 +31,9 @@ import numpy as np
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--model", required=True,
+    p.add_argument("--model", default=None,
                    help="Local HF dir, native save_llm_model dir, or a "
-                        "tiny-random* alias")
+                        "tiny-random* alias (required unless --init-json)")
     p.add_argument("--teacher", default=None,
                    help="Dense teacher (dir or alias): enables KD recovery "
                         "(CE + T^2*KL)")
@@ -56,6 +57,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data", default=None,
                    help="Local dataset dir for load_wikitext2; default "
                         "synthetic token stream")
+    p.add_argument("--data-bin", default=None,
+                   help="Pre-tokenized uint16 token-id file (memmapped; "
+                        "scripts/prepare_code_corpus.py writes one)")
+    p.add_argument("--init-json", default=None,
+                   help="JSON dict of LlamaConfig fields: fresh-init a model "
+                        "of that shape (bf16) instead of loading --model")
     p.add_argument("--synthetic-data", action="store_true",
                    help="Force the deterministic synthetic stream")
     p.add_argument("--num-tokens", type=int, default=None,
@@ -91,6 +98,28 @@ def _token_batches(args, cfg):
     n_micro = args.steps * args.accum
     need = args.num_tokens or n_micro * args.batch_size * (args.seq_len + 1)
     ids = None
+    if args.data_bin:
+        ids = np.memmap(args.data_bin, dtype=np.uint16, mode="r")
+        per = args.batch_size * (args.seq_len + 1)
+        n = min(n_micro, ids.size // per)
+        if n == 0:
+            raise SystemExit(f"need >= {per} tokens/microbatch, got {ids.size}")
+
+        def gen():
+            # stream windows off the memmap; wrap around if the corpus is
+            # shorter than the requested schedule (multi-epoch)
+            for k in range(n_micro):
+                off = (k % n) * per
+                yield np.asarray(ids[off:off + per], np.int32).reshape(
+                    args.batch_size, args.seq_len + 1)
+
+        # held-out eval: sibling val.bin (distinct files) when present
+        val_bin = os.path.join(os.path.dirname(args.data_bin), "val.bin")
+        if os.path.exists(val_bin):
+            ev = np.memmap(val_bin, dtype=np.uint16, mode="r")
+        else:
+            ev = ids
+        return gen(), np.asarray(ev[-64 * (args.seq_len + 1):], np.int32)
     if not args.synthetic_data and args.data:
         try:
             texts = load_wikitext2(args.data)
@@ -120,7 +149,19 @@ def main(argv=None):
 
     from ssp_x_vit_tpu.llm.trainer import TrainConfig, Trainer
 
-    params, cfg = _load_any(args.model, args.seed)
+    if args.init_json:
+        import jax
+        import jax.numpy as jnp
+
+        from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig(**json.loads(args.init_json))
+        params = init_llama_params(jax.random.PRNGKey(args.seed), cfg,
+                                   dtype=jnp.bfloat16)
+    else:
+        if not args.model:
+            raise SystemExit("pass --model or --init-json")
+        params, cfg = _load_any(args.model, args.seed)
     tc = TrainConfig(
         learning_rate=args.lr, total_steps=args.steps,
         warmup_steps=args.warmup, schedule=args.schedule,
@@ -146,7 +187,8 @@ def main(argv=None):
 
     trainer = Trainer(cfg, tc, step_factory=step_factory)
     params, history = trainer.fit(
-        params, list(batches), eval_tokens=eval_tokens,
+        params, batches if args.data_bin else list(batches),
+        eval_tokens=eval_tokens,
         eval_every=args.eval_every, eval_seq_len=args.seq_len)
     if history:
         final = [h for h in history if "loss" in h]
