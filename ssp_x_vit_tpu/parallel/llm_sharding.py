@@ -263,7 +263,12 @@ def fsdp_llama_param_specs_like(params: Params, dp: int) -> Dict[str, Any]:
     memory for state is ~1/dp; XLA all-gathers each layer's weights at use
     and reduce-scatters its grads (the scaling-book fsdp recipe, derived
     entirely from the shardings). Leaves with no divisible axis (norm
-    scales, odd shapes) stay replicated — correct, just unsharded."""
+    scales, odd shapes) stay replicated — correct, just unsharded.
+
+    Shape-driven, so it covers every stacked-block pytree: llama-family
+    ("blocks") and DeepSeek/MLA ("dense_blocks"/"moe_blocks") — any
+    dict-valued top-level entry is treated as a stacked group whose layer
+    axis 0 is excluded from sharding."""
     def leaf_spec(v, start_axis):
         cands = [(s, i) for i, s in enumerate(v.shape)
                  if i >= start_axis and s % dp == 0]
@@ -276,8 +281,8 @@ def fsdp_llama_param_specs_like(params: Params, dp: int) -> Dict[str, Any]:
 
     specs: Dict[str, Any] = {}
     for k, v in params.items():
-        if k == "blocks":
-            specs["blocks"] = {bk: leaf_spec(bv, 1) for bk, bv in v.items()}
+        if isinstance(v, dict):
+            specs[k] = {bk: leaf_spec(bv, 1) for bk, bv in v.items()}
         else:
             specs[k] = leaf_spec(v, 0)
     return specs
@@ -304,13 +309,17 @@ def make_fsdp_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
     propagation accident. Requires a model=1 mesh: the fsdp constraints
     mention only 'data', so they would silently REPLICATE a megatron
     'model' placement (fsdp x tp composition is future work; dp x tp is
-    make_sharded_llama_train_step)."""
+    make_sharded_llama_train_step).
+
+    ``cfg`` may be a DeepseekConfig: next_token_loss dispatches to the MLA
+    engine and the e_score_correction_bias update is zeroed
+    (llm/train._freeze_buffers), same as the single-chip train steps."""
     import functools
 
     import jax.numpy as jnp
     import optax
 
-    from ssp_x_vit_tpu.llm.train import next_token_loss
+    from ssp_x_vit_tpu.llm.train import _freeze_buffers, next_token_loss
 
     if mesh.shape.get("model", 1) != 1:
         raise ValueError("FSDP step requires a model=1 mesh (see "
@@ -333,6 +342,7 @@ def make_fsdp_llama_train_step(mesh: Mesh, cfg: LlamaConfig, optimizer=None,
             params, tokens, cfg, compute_dtype=compute_dtype, remat=remat)
         grads = constrain(grads)  # reduce-scatter, not all-reduce
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = _freeze_buffers(updates, cfg)
         params = constrain(optax.apply_updates(params, updates))
         return params, opt_state, loss
 

@@ -31,35 +31,41 @@ _NEG = -1e30
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
                    *, n_chunks: int, causal: bool = True, window=None,
-                   softcap=None) -> jax.Array:
+                   softcap=None, scale=None) -> jax.Array:
     """Exact attention over a sequence-sharded ring.
 
-    q/k/v: LOCAL chunks [b, h, s_local, hd]; the global sequence is the
-    concatenation of chunks in mesh-axis order. Returns the local output
-    chunk [b, h, s_local, hd]. Causal masking uses GLOBAL positions: the K/V
-    block held after r rotations originated on device (p - r) mod N.
+    q/k: LOCAL chunks [b, h, s_local, hd]; v may carry a DIFFERENT head dim
+    [b, h, s_local, vd] (MLA: qk_head_dim != v_head_dim); the global
+    sequence is the concatenation of chunks in mesh-axis order. Returns the
+    local output chunk [b, h, s_local, vd]. Causal masking uses GLOBAL
+    positions: the K/V block held after r rotations originated on device
+    (p - r) mod N.
 
     ``window`` adds a sliding-window band over the SAME global positions
     (HF convention, qpos - kpos < window; requires causal). It may be a
     static int or a traced scalar — gemma-2 mixed configs scan per-layer
     bounds through the block loop. ``softcap`` applies gemma-2 logit
-    soft-capping cap*tanh(z/cap) before the mask.
+    soft-capping cap*tanh(z/cap) before the mask. ``scale`` overrides the
+    default 1/sqrt(hd) softmax scale (MLA's yarn-mscaled scale,
+    llm/deepseek.mla_softmax_scale).
     """
     p = lax.axis_index(axis_name)
     b, hq, sl, hd = q.shape
+    vd = v.shape[-1]
     hkv = k.shape[1]
     rep = hq // hkv
     # GQA: k/v travel the ring UN-repeated ([b, hkv, sl, hd]) — repeating
     # before the ring would multiply ICI transfer and residency by the group
     # factor; the query groups share each kv head via the grouped einsum.
-    q32 = (q.astype(jnp.float32) * (1.0 / math.sqrt(hd))
-           ).reshape(b, hkv, rep, sl, hd)
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    q32 = (q.astype(jnp.float32) * scale).reshape(b, hkv, rep, sl, hd)
     iq = jnp.arange(sl)
     perm = [(i, (i + 1) % n_chunks) for i in range(n_chunks)]
 
     m = jnp.full((b, hkv, rep, sl), _NEG, jnp.float32)
     l = jnp.zeros((b, hkv, rep, sl), jnp.float32)
-    acc = jnp.zeros((b, hkv, rep, sl, hd), jnp.float32)
+    acc = jnp.zeros((b, hkv, rep, sl, vd), jnp.float32)
 
     def step(carry, r):
         m, l, acc, k, v = carry
@@ -86,7 +92,7 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
 
     (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k, v), jnp.arange(n_chunks))
     out = acc / jnp.maximum(l, 1e-30)[..., None]
-    return out.reshape(b, hq, sl, hd).astype(q.dtype)
+    return out.reshape(b, hq, sl, vd).astype(q.dtype)
 
 
 def _rope_at(q, k, cfg, positions):
@@ -256,7 +262,9 @@ def make_seq_parallel_nll(mesh: Mesh, cfg: LlamaConfig, compute_dtype=jnp.float3
 def evaluate_perplexity_seq_parallel(params: Params, cfg: LlamaConfig, mesh: Mesh,
                                      input_ids, *, seq_len: int = 2048) -> float:
     """Sequence-parallel streaming perplexity (reference estimator,
-    src/evaluation.py:24-64) — windows over 'data', context over 'seq'."""
+    src/evaluation.py:24-64) — windows over 'data', context over 'seq'.
+    DeepseekConfig dispatches to the MLA latent ring
+    (parallel/deepseek_parallel.py)."""
     ids = np.asarray(input_ids).reshape(-1)
     dp = mesh.shape["data"]
     num_windows = ids.size // seq_len
@@ -268,7 +276,15 @@ def evaluate_perplexity_seq_parallel(params: Params, cfg: LlamaConfig, mesh: Mes
     pad = (-num_windows) % dp
     if pad:
         windows = np.concatenate([windows, np.tile(windows[-1:], (pad, 1))])
-    run = jax.jit(make_seq_parallel_nll(mesh, cfg))
+    from ssp_x_vit_tpu.llm.deepseek import DeepseekConfig
+
+    if isinstance(cfg, DeepseekConfig):
+        from ssp_x_vit_tpu.parallel.deepseek_parallel import \
+            make_deepseek_seq_parallel_nll
+
+        run = jax.jit(make_deepseek_seq_parallel_nll(mesh, cfg))
+    else:
+        run = jax.jit(make_seq_parallel_nll(mesh, cfg))
 
     total, count = 0.0, 0
     for i in range(0, len(windows), dp):
