@@ -433,11 +433,20 @@ def _deepseek_moe(x, bp, cfg: DeepseekConfig, dt):
     sel = _deepseek_route(xt, bp, cfg).astype(dt)              # [T, E]
 
     def expert_mm(spec, t, name):
-        """einsum against bf16/f32 OR int8 expert kernels — per-(expert,
-        out-channel) scales fold into the epilogue (cf. parallel/moe.py)."""
+        """einsum against bf16/f32, int8, OR packed-int4 expert kernels —
+        per-(expert, out-channel) scales fold into the epilogue (cf.
+        parallel/moe.py). int4 stacks unpack in-graph (split-half nibble
+        layout, ops/pallas/quant_matmul.unpack_int4 over axis -2) so only
+        half the bytes stream from HBM."""
         if name in bp:
             return jnp.einsum(spec, t, bp[name].astype(dt))
-        y = jnp.einsum(spec, t, bp[name + "_q"].astype(dt))
+        if name + "_q4" in bp:
+            from ssp_x_vit_tpu.ops.pallas.quant_matmul import unpack_int4
+
+            w = unpack_int4(bp[name + "_q4"])
+        else:
+            w = bp[name + "_q"]
+        y = jnp.einsum(spec, t, w.astype(dt))
         E = y.shape[1]
         return y * bp[name + "_scale"].astype(dt).reshape(1, E, -1)
 

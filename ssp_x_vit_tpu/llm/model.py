@@ -431,8 +431,9 @@ def _moe_mlp(x, bp, cfg: LlamaConfig, compute_dtype):
     for k in ("gate_kernel", "up_kernel", "down_kernel"):
         if k in bp:
             p[k] = bp[k]
-        else:  # int8-quantized expert kernels (llm/quant.py)
-            p[k + "_q"] = bp[k + "_q"]
+        else:  # int8/int4-quantized expert kernels (llm/quant.py)
+            qk = k + "_q" if k + "_q" in bp else k + "_q4"
+            p[qk] = bp[qk]
             p[k + "_scale"] = bp[k + "_scale"]
     y, aux = moe_ffn_dropless(p, x.astype(compute_dtype), mcfg)
     return y.astype(compute_dtype), aux["aux_loss"]

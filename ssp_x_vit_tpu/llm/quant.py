@@ -128,14 +128,14 @@ def quantize_deepseek_params_int4(params: Params, cfg) -> Params:
     (pallas quant4 kernel) and _kv_b_matrix (host-free unpack, the absorbed
     decode folds the dequantized matrix through per-head einsums).
 
-    Routed expert stacks ([L, E, K, N], ndim==4) stay INT8 per-(expert,
-    out-channel) — the expert einsum path has no nibble layout (same
-    limitation as quantize_llm_params_int4's MoE refusal); the mixed
-    int4-projections/int8-experts pytree is the supported MoE artifact.
-    lm_head stays int8 (same accuracy/size tradeoff as the llama family);
-    router/e_bias/norms stay float."""
-    import jax as _jax
-
+    Routed expert stacks ([L, E, K, N], ndim==4) pack int4 per-(layer,
+    expert, out-channel): _deepseek_moe's expert einsum unpacks the nibble
+    stack in-graph (ops/pallas/quant_matmul.unpack_int4 over axis -2) and
+    folds the [E, N] scales into the per-expert epilogue — the routed
+    experts are ~90% of a V3-geometry MoE's weights, so they carry the
+    int4 footprint win (VERDICT r3 #7; previously they silently stayed
+    int8). lm_head stays int8 (same accuracy/size tradeoff as the llama
+    family); router/e_bias/norms stay float."""
     from ssp_x_vit_tpu.ops.pallas.quant_matmul import quantize_weight_int4
 
     out = {k: v for k, v in params.items()
@@ -147,11 +147,8 @@ def quantize_deepseek_params_int4(params: Params, cfg) -> Params:
         for k, v in params[grp].items():
             if k not in DS_QUANT_KEYS:
                 blocks[k] = v
-            elif v.ndim == 4:  # routed expert stacks -> int8
-                w_q, scale = quantize_weight_int8(v)
-                blocks[k + "_q"], blocks[k + "_scale"] = w_q, scale
-            else:              # stacked 2-D projections -> packed int4
-                w_p, scale = _jax.vmap(quantize_weight_int4)(v)
+            else:              # stacked projections + expert stacks -> int4
+                w_p, scale = quantize_weight_int4(v)
                 blocks[k + "_q4"], blocks[k + "_scale"] = w_p, scale
         out[grp] = blocks
     if "lm_head" in out:  # untied head only; tied embed.T stays float
@@ -164,28 +161,20 @@ def quantize_llm_params_int4(params: Params, cfg: LlamaConfig) -> Params:
     """int4 variant: projection kernels become ``k + "_q4"`` (packed
     [K/2, N] int8 nibbles, ops/pallas/quant_matmul.pack_int4 layout) +
     ``k + "_scale"``. Serving dispatches to the pallas quant4 kernel
-    (serve._mm) — XLA cannot fuse through the nibble packing. lm_head stays
-    int8: the 15-level absmax grid is coarse, and keeping the head at int8
-    is the standard accuracy/size tradeoff (head bytes are a small fraction
-    of the stream)."""
-    if getattr(cfg, "num_experts", 0):
-        raise ValueError(
-            "int4 quantized MoE expert weights are unsupported: the nibble "
-            "packing + pallas quant4 kernel are 2-D weight layouts "
-            "(use int8 for MoE — quantize_llm_params_int8)")
-
+    (serve._mm) — XLA cannot fuse through the nibble packing. MoE expert
+    stacks ([L, E, K, N], ndim==4) pack int4 per-(layer, expert,
+    out-channel); moe_ffn_dropless unpacks the nibble stack in-graph for
+    its expert einsum (parallel/moe.py). lm_head stays int8: the 15-level
+    absmax grid is coarse, and keeping the head at int8 is the standard
+    accuracy/size tradeoff (head bytes are a small fraction of the
+    stream)."""
     from ssp_x_vit_tpu.ops.pallas.quant_matmul import quantize_weight_int4
 
     out = {k: v for k, v in params.items() if k != "blocks"}
     blocks = {}
     for k, v in params["blocks"].items():
         if k in QUANT_KEYS:
-            if v.ndim == 3:  # stacked [L, K, N]
-                import jax as _jax
-
-                w_p, scale = _jax.vmap(quantize_weight_int4)(v)
-            else:
-                w_p, scale = quantize_weight_int4(v)
+            w_p, scale = quantize_weight_int4(v)
             blocks[k + "_q4"] = w_p
             blocks[k + "_scale"] = scale
         else:

@@ -135,31 +135,35 @@ def quant_matmul(x, w_q, scale, *, interpret: bool = False):
 
 
 def pack_int4(w_q4):
-    """[K, N] int8 values in [-8, 7] -> [K//2, N] packed int8: low nibble =
-    row k BIASED by +8 (in [0,15]), high nibble = row k + K/2 two's
-    complement (split-half). K must be even. Byte value == 16*hi + (lo+8)."""
-    k, n = w_q4.shape
+    """[..., K, N] int8 values in [-8, 7] -> [..., K//2, N] packed int8: low
+    nibble = row k BIASED by +8 (in [0,15]), high nibble = row k + K/2 two's
+    complement (split-half). K must be even. Byte value == 16*hi + (lo+8).
+    Leading dims are batch (stacked-layer [L, K, N] / expert [L, E, K, N]
+    pytrees pack without vmap)."""
+    k = w_q4.shape[-2]
     assert k % 2 == 0, "int4 packing needs even K"
-    lo = (w_q4[: k // 2].astype(jnp.int32) + 8) & 0xF
-    hi = w_q4[k // 2:].astype(jnp.int32) & 0xF
+    lo = (w_q4[..., : k // 2, :].astype(jnp.int32) + 8) & 0xF
+    hi = w_q4[..., k // 2:, :].astype(jnp.int32) & 0xF
     return ((hi << 4) | lo).astype(jnp.int8)
 
 
 def unpack_int4(w_p):
-    """Inverse of pack_int4 -> [K, N] int8 in [-8, 7]."""
+    """Inverse of pack_int4 -> [..., K, N] int8 in [-8, 7]."""
     p = w_p.astype(jnp.int32)
     lo = (p & 15) - 8
     hi = jnp.right_shift(jnp.left_shift(p, 24), 28)
-    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
 
 
 def quantize_weight_int4(w):
-    """Symmetric per-output-channel int4: returns (packed [K//2, N] int8,
-    scale [N] f32)."""
+    """Symmetric per-output-channel int4: returns (packed [..., K//2, N]
+    int8, scale [..., N] f32). Per-(batch, out-channel) when leading dims
+    are present — e.g. per-(layer, expert, channel) for [L, E, K, N]
+    routed-expert stacks."""
     w = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(w), axis=-2)
     scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
-    q = jnp.clip(jnp.round(w / scale[None, :]), -8, 7).astype(jnp.int8)
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -8, 7).astype(jnp.int8)
     return pack_int4(q), scale
 
 

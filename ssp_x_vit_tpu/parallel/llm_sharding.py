@@ -366,12 +366,19 @@ def moe_llama_param_specs_like(params: Params) -> Dict[str, Any]:
     shard_llama_params, whose ndim-aware megatron specs shard the expert
     kernels' f axis over 'model'.)"""
     moe_keys = {"gate_kernel", "up_kernel", "down_kernel"}
+
+    def base(bk):  # strip quantized-name suffixes (_q int8 / _q4 / _scale)
+        for suf in ("_q4", "_q", "_scale"):
+            if bk.endswith(suf):
+                return bk[: -len(suf)]
+        return bk
+
     specs: Dict[str, Any] = {}
     for k, v in params.items():
         if k == "blocks":
             specs["blocks"] = {
                 bk: (P(None, "expert", *([None] * (bv.ndim - 2)))
-                     if bk in moe_keys and bv.ndim == 4
+                     if base(bk) in moe_keys and bv.ndim >= 3
                      else P(*([None] * bv.ndim)))
                 for bk, bv in v.items()
             }

@@ -178,12 +178,19 @@ def moe_ffn_dropless(params: Params, x: jax.Array, cfg: MoEConfig):
                       * top_p[..., None], axis=1).astype(x.dtype)  # [T, E]
 
     def expert_mm(spec, t, name, scale_shape):
-        """einsum against a bf16/f32 OR int8-quantized expert kernel —
+        """einsum against a bf16/f32, int8, or packed-int4 expert kernel —
         per-(expert, out-channel) scales fold into the epilogue, so the
-        int8 codes stream straight into the MXU contraction."""
+        quantized codes stream straight into the MXU contraction (int4
+        unpacks in-graph: split-half nibble layout, half the HBM bytes)."""
         if name in params:
             return jnp.einsum(spec, t, params[name].astype(x.dtype))
-        y = jnp.einsum(spec, t, params[name + "_q"].astype(x.dtype))
+        if name + "_q4" in params:
+            from ssp_x_vit_tpu.ops.pallas.quant_matmul import unpack_int4
+
+            w = unpack_int4(params[name + "_q4"])
+        else:
+            w = params[name + "_q"]
+        y = jnp.einsum(spec, t, w.astype(x.dtype))
         return y * params[name + "_scale"].astype(x.dtype).reshape(scale_shape)
 
     g = expert_mm("td,edf->tef", xt, "gate_kernel", (1, E, -1))

@@ -58,8 +58,10 @@ def _dequantize(qp):
         out[grp] = {}
         for k, v in qp[grp].items():
             if k.endswith("_q4"):
-                w = jax.vmap(unpack_int4)(v).astype(jnp.float32)
-                out[grp][k[:-3]] = w * qp[grp][k[:-3] + "_scale"][:, None, :]
+                # unpack_int4 handles leading stack dims ([L, K/2, N] and
+                # expert [L, E, K/2, N]) natively (axis=-2 split-half)
+                w = unpack_int4(v).astype(jnp.float32)
+                out[grp][k[:-3]] = w * qp[grp][k[:-3] + "_scale"][..., None, :]
             elif k.endswith("_q"):
                 out[grp][k[:-2]] = dequantize_weight(
                     v, qp[grp][k[:-2] + "_scale"], jnp.float32)
@@ -81,9 +83,15 @@ def test_int4_deepseek_layout():
     assert "o_kernel_q4" in mb and mb["o_kernel_q4"].dtype == jnp.int8
     assert mb["o_kernel_q4"].shape[1] * 2 == params["moe_blocks"]["o_kernel"].shape[1]
     assert "kv_b_kernel_q4" in mb and "shared_gate_q4" in mb
-    # …routed expert stacks stay int8 (no nibble layout for the einsum)
-    assert "gate_kernel_q" in mb and mb["gate_kernel_q"].ndim == 4
-    assert "gate_kernel_q4" not in mb
+    # …and routed expert stacks pack int4 too (VERDICT r3 #7): nibble stack
+    # halves the K axis, scales are per-(layer, expert, out-channel)
+    assert "gate_kernel_q4" in mb and mb["gate_kernel_q4"].ndim == 4
+    assert (mb["gate_kernel_q4"].shape[2] * 2
+            == params["moe_blocks"]["gate_kernel"].shape[2])
+    assert mb["gate_kernel_scale"].shape == \
+        params["moe_blocks"]["gate_kernel"].shape[:2] + \
+        params["moe_blocks"]["gate_kernel"].shape[-1:]
+    assert "gate_kernel_q" not in mb
     # router/norms/lm_head policy
     assert mb["router"].dtype != jnp.int8
     assert "lm_head_q" in qp

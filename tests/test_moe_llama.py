@@ -76,6 +76,30 @@ def test_moe_expert_parallel_matches_single_device():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_moe_expert_parallel_quantized_specs():
+    """Quantized MoE pytrees shard expert-parallel too: the suffix-stripped
+    specs place int8 codes / int4 nibble stacks / scale stacks on the
+    'expert' axis, and the sharded quantized forward matches single-device."""
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int4
+    from ssp_x_vit_tpu.parallel.llm_sharding import shard_moe_llama_params
+
+    params = init_llama_params(jax.random.PRNGKey(21), MOE_CFG)
+    qp = quantize_llm_params_int4(params, MOE_CFG)
+    toks = _tokens(MOE_CFG, seed=22)
+    single, _ = llama_forward(qp, toks, MOE_CFG, compute_dtype=jnp.float32)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "expert"))
+    sp = shard_moe_llama_params(qp, mesh)
+    for bk in ("gate_kernel_q4", "gate_kernel_scale"):
+        spec = sp["blocks"][bk].sharding.spec
+        assert "expert" in jax.tree.leaves(tuple(spec)), (bk, spec)
+    sharded, _ = jax.jit(lambda p, t: llama_forward(
+        p, t, MOE_CFG, compute_dtype=jnp.float32))(sp, toks)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_moe_kv_serving_matches_full_recompute():
     """KV-cached greedy on a MoE model == full-recompute greedy (the MoE
     block MLP has no cache state; only attention is cached)."""
@@ -152,8 +176,6 @@ def test_moe_composition_guards():
     )
 
     params = init_llama_params(jax.random.PRNGKey(8), MOE_CFG)
-    with pytest.raises(ValueError, match="quantized MoE"):
-        quantize_llm_params_int4(params, MOE_CFG)  # int4 packing is 2-D only
     with pytest.raises(ValueError, match="2SSP targets"):
         materialize_llm_depth_pruning(params, MOE_CFG, [1])
     import dataclasses
@@ -292,6 +314,39 @@ def test_moe_int8_weights():
     dense, _ = llama_forward(params, toks, MOE_CFG, compute_dtype=jnp.float32)
     quant, _ = llama_forward(qp, toks, MOE_CFG, compute_dtype=jnp.float32)
     assert float(jnp.max(jnp.abs(dense - quant))) < 0.2
+
+    prompt = np.asarray([3, 5, 7], np.int32)
+    full = greedy_generate(qp, MOE_CFG, prompt, max_length=14,
+                           no_repeat_ngram_size=0, compute_dtype=jnp.float32)
+    kv = generate_kv_scan(qp, MOE_CFG, prompt, max_length=14,
+                          cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(kv), np.asarray(full))
+
+
+def test_moe_int4_weights():
+    """int4 expert weights (VERDICT r3 #7): routed expert stacks pack as
+    split-half nibbles ([E, K/2, N] int8 bytes = half the int8 footprint)
+    with per-(expert, out-channel) scales; moe_ffn_dropless unpacks
+    in-graph. Error vs dense is bounded; int4 KV-cached greedy equals int4
+    full recompute exactly."""
+    from ssp_x_vit_tpu.llm.generate import greedy_generate
+    from ssp_x_vit_tpu.llm.quant import quantize_llm_params_int4
+    from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+    params = init_llama_params(jax.random.PRNGKey(23), MOE_CFG)
+    qp = quantize_llm_params_int4(params, MOE_CFG)
+    gk = params["blocks"]["gate_kernel"]
+    q4 = qp["blocks"]["gate_kernel_q4"]
+    assert q4.dtype == jnp.int8 and q4.shape[-2] * 2 == gk.shape[-2]
+    assert q4.nbytes * 2 == gk.astype(jnp.int8).nbytes  # half of int8
+    assert qp["blocks"]["gate_kernel_scale"].shape == \
+        gk.shape[:-2] + gk.shape[-1:]  # per-(layer, expert, out-channel)
+    assert "router" in qp["blocks"]  # router stays float
+
+    toks = _tokens(MOE_CFG, seed=24)
+    dense, _ = llama_forward(params, toks, MOE_CFG, compute_dtype=jnp.float32)
+    quant, _ = llama_forward(qp, toks, MOE_CFG, compute_dtype=jnp.float32)
+    assert float(jnp.max(jnp.abs(dense - quant))) < 0.4
 
     prompt = np.asarray([3, 5, 7], np.int32)
     full = greedy_generate(qp, MOE_CFG, prompt, max_length=14,
