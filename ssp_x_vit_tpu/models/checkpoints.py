@@ -395,6 +395,14 @@ def load_params_npz(path: str, dtype=jnp.float32) -> Params:
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             arr = npz[key]
-            leaf_dtype = dtype if np.issubdtype(arr.dtype, np.floating) else None
+            if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+                # np.savez stores bfloat16 leaves (ml_dtypes extension
+                # dtype) with a raw '|V2' descr — the bytes are intact,
+                # only the type tag is lost. bf16 is the sole 2-byte
+                # non-numpy dtype we ever save; restore it by view.
+                import ml_dtypes
+
+                arr = arr.view(ml_dtypes.bfloat16)
+            leaf_dtype = dtype if jnp.issubdtype(arr.dtype, jnp.floating) else None
             node[parts[-1]] = jnp.asarray(arr, leaf_dtype)
     return out
