@@ -230,6 +230,86 @@ def test_pipeline_train_step_runs():
     assert float(loss2) < float(loss1)  # adamw on the same batch must descend
 
 
+def test_pipeline_1f1b_train_matches_single_device():
+    """1F1B schedule (manual per-stage vjp + reverse ppermute): one adamw
+    step from identical inits matches the single-device llm/train.py step —
+    the per-stage vjps compose to the same chain GPipe's autodiff builds,
+    with O(P) instead of O(M) saved microbatch activations."""
+    import optax
+
+    from ssp_x_vit_tpu.llm.train import make_llama_train_step
+    from ssp_x_vit_tpu.parallel.pipeline import (
+        make_pipeline_train_step, shard_llama_params_pipeline,
+    )
+
+    cfg, params, mesh, _, _ = _pp_setup()
+    sharded = shard_llama_params_pipeline(params, mesh, cfg)
+    # global batch 8 = M(4) x data(2) x mb(1); M > P exercises the
+    # steady-state 1F/1B interleave, not just fill/drain
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (8, 16), 0,
+                                cfg.vocab_size)
+    # sgd: param delta == -lr * grad, so this compares GRADIENTS directly —
+    # adamw's first step is scale-invariant (m/sqrt(v) ~= sign(g)) and would
+    # mask factor-of-tp/M accumulation errors
+    opt = optax.sgd(1e-1)
+    single = make_llama_train_step(cfg, opt, compute_dtype=jnp.float32)
+    p1, _, loss1 = single(jax.tree.map(jnp.copy, params), opt.init(params),
+                          np.asarray(tokens, np.int32))
+
+    step = make_pipeline_train_step(mesh, cfg, opt, num_microbatches=4,
+                                    schedule="1f1b")
+    p2, _, loss2 = step(sharded, opt.init(sharded), tokens)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(p1)}
+    for k, v in jax.tree_util.tree_leaves_with_path(p2):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat1[jax.tree_util.keystr(k)]),
+            rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_pipeline_1f1b_train_gemma2_tied():
+    """1F1B on gemma-2: tied scaled embeddings (lookup scatter + head grads
+    both fold into d_embed), mixed per-layer windows riding the pipe-sharded
+    band bounds, softcaps through the in-schedule head vjp."""
+    import optax
+
+    from ssp_x_vit_tpu.llm.train import make_llama_train_step
+    from ssp_x_vit_tpu.parallel.pipeline import (
+        make_pipeline_mesh, make_pipeline_train_step,
+        shard_llama_params_pipeline,
+    )
+
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, num_layers=4, num_heads=4,
+                      num_kv_heads=2, intermediate_size=64, model_type="gemma2",
+                      explicit_head_dim=8, hidden_act="gelu_tanh",
+                      scale_embeddings=True, tie_embeddings=True,
+                      sliding_window=6, window_layers=(0, 2),
+                      attn_softcap=50.0, final_softcap=30.0)
+    params = init_llama_params(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (4, 16), 0, cfg.vocab_size)
+
+    opt = optax.sgd(1e-1)  # param delta == -lr * grad (see test above)
+    single = make_llama_train_step(cfg, opt, compute_dtype=jnp.float32)
+    p1, _, loss1 = single(jax.tree.map(jnp.copy, params), opt.init(params),
+                          np.asarray(tokens, np.int32))
+
+    mesh = make_pipeline_mesh(data=2, pipe=2, model=2)
+    sharded = shard_llama_params_pipeline(params, mesh, cfg)
+    step = make_pipeline_train_step(mesh, cfg, opt, num_microbatches=2,
+                                    schedule="1f1b")
+    p2, _, loss2 = step(sharded, opt.init(sharded), tokens)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(p1)}
+    for k, v in jax.tree_util.tree_leaves_with_path(p2):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat1[jax.tree_util.keystr(k)]),
+            rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
 # ---------------- ring attention / sequence parallelism ----------------
 
 def test_ring_attention_matches_sdpa():
