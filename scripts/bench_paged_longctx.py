@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=1536)
     ap.add_argument("--new-tokens", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--page-size", type=int, default=64,
+                    help="pool page size; round-4 micro A/B (bench_paged_gap) "
+                         "measured 256 fastest on-chip (10.5 vs 27.4 ms/step)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -51,15 +54,19 @@ def main():
 
     rng = np.random.default_rng(0)
     P, N, B = args.prompt_len, args.new_tokens, args.batch
+    PS = args.page_size
     res = {"prompt_len": P, "new_tokens": N, "batch": B,
-           "context": P + N, "backend": jax.default_backend()}
+           "context": P + N, "page_size": PS,
+           "backend": jax.default_backend()}
 
     prompts = [rng.integers(0, cfg.vocab_size, P).tolist() for _ in range(B)]
 
     for tag, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
         secs = time_it(lambda dtype=dtype: paged_generate(
-            params, cfg, prompts, max_new_tokens=N, cache_dtype=dtype))
+            params, cfg, prompts, max_new_tokens=N, cache_dtype=dtype,
+            page_size=PS))
         res[f"scan_{tag}_tok_s"] = round(B * N / secs, 1)
+        print(f"[scan_{tag}] {res[f'scan_{tag}_tok_s']} tok/s", flush=True)
     res["scan_int8_speedup"] = round(
         res["scan_int8_tok_s"] / res["scan_bf16_tok_s"], 2)
 
@@ -68,8 +75,10 @@ def main():
     # block = decode steps per host dispatch (PagedServer.step_many); 1 is
     # the historical step-per-dispatch protocol, 8 the engine default.
     def churn(dtype, block=1):
-        server = PagedServer(params, cfg, max_batch=4, num_pages=160,
-                             page_size=64, max_context=P + N,
+        # same total pool tokens (160 pages x 64) regardless of page size
+        server = PagedServer(params, cfg, max_batch=4,
+                             num_pages=max(8, 160 * 64 // PS),
+                             page_size=PS, max_context=P + N,
                              cache_dtype=dtype)
         reqs = [(rng.integers(0, cfg.vocab_size,
                               int(l)).tolist(), int(bud))
@@ -101,14 +110,17 @@ def main():
     for tag, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
         churn(dtype)  # compile
         res[f"churn_{tag}_tok_s"] = round(churn(dtype), 1)
+        print(f"[churn_{tag}] {res[f'churn_{tag}_tok_s']} tok/s", flush=True)
         churn(dtype, block=8)  # compile
         res[f"churn_{tag}_block8_tok_s"] = round(churn(dtype, block=8), 1)
+        print(f"[churn_{tag}_block8] {res[f'churn_{tag}_block8_tok_s']} tok/s",
+              flush=True)
     res["churn_int8_speedup"] = round(
         res["churn_int8_tok_s"] / res["churn_bf16_tok_s"], 2)
 
     # pool footprint at this context (int8 adds f32 per-token-per-head scales)
-    pages = 1 + B * -(-(P + N + 1) // 64)
-    elems = pages * 64 * cfg.num_layers * cfg.num_kv_heads * 2  # (tok, head) k+v
+    pages = 1 + B * -(-(P + N + 1) // PS)
+    elems = pages * PS * cfg.num_layers * cfg.num_kv_heads * 2  # (tok, head) k+v
     res["pool_gib_bf16"] = round(elems * cfg.head_dim * 2 / 2**30, 2)
     res["pool_gib_int8"] = round(elems * (cfg.head_dim * 1 + 4) / 2**30, 2)
     print(json.dumps(res))

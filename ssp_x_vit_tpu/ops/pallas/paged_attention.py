@@ -565,7 +565,7 @@ def _pool_write_pallas_q8(pages, new, phys, off, layer_idx=None):
         i = pl.program_id(0)
         offv = off_ref[i]
         sel = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) == offv
-        out_ref[:, 0, 0] = jnp.where(sel, sc_ref[0][:, None], sin_ref[:, 0, 0])
+        out_ref[:, 0, 0] = jnp.where(sel, sc_ref[i][:, None], sin_ref[:, 0, 0])
 
     s_blk = pl.BlockSpec((None, nkv, 1, 1, ps),
                          lambda i, phys, off, li: (li[0], 0, phys[i], 0, 0),
@@ -574,7 +574,11 @@ def _pool_write_pallas_q8(pages, new, phys, off, layer_idx=None):
         num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, nkv), lambda i, phys, off, li: (i, 0),
+            # the WHOLE [b, nkv] scale matrix rides every program (tiny):
+            # a (1, nkv) row block would put 1 in the sublane dim, which
+            # Mosaic rejects unless it equals the array dim (b) — the
+            # kernel indexes its own row via program_id instead
+            pl.BlockSpec((b, nkv), lambda i, phys, off, li: (0, 0),
                          memory_space=pltpu.VMEM),
             s_blk,
         ],
