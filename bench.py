@@ -48,6 +48,48 @@ def _device_responsive(timeout_s: float) -> bool:
     return bool(done)
 
 
+def _emit(value, detail):
+    """Write full detail to BENCH_DETAIL.json; print ONE compact summary
+    line (<1500 chars) as the FINAL stdout line. The driver captures only
+    the tail of stdout — rounds 2-4 printed the full detail inline and the
+    line outgrew the capture window (BENCH_r0N "parsed": null)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    full = {
+        "metric": "vit_b16_dense_throughput",
+        "value": value,
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / REFERENCE_DENSE_IMG_PER_S, 2),
+        "detail": detail,
+    }
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    loop = detail.get("pruning_loop_b16_224", {})
+    serving = detail.get("llm_serving", {})
+    summary = {
+        "metric": "vit_b16_dense_throughput",
+        "value": value,
+        "unit": "images/sec/chip",
+        "vs_baseline": full["vs_baseline"],
+        "detail": {
+            "fresh_tpu_measurement": not detail.get("tpu_unreachable", False),
+            "latency_b1_ms": detail.get("latency_b1_ms"),
+            "mfu_vs_measured_ceiling": detail.get("mfu_vs_measured_ceiling"),
+            "pruned50_images_per_sec": detail.get("pruned50_images_per_sec"),
+            "pruning_loop_speedup_total_x": loop.get("speedup", {}).get("total"),
+            "pruning_loop_speedup_stage1_x": loop.get("speedup", {}).get("stage1"),
+            "north_star_target_x": 20.0,
+            "serving_best_composite_b1_tok_s": serving.get("best_composite_b1_tok_s"),
+            "serving_best_composite_b8_tok_s": serving.get("best_composite_b8_tok_s"),
+            "serving_dense_bf16_b1_tok_s": serving.get("dense_bf16_b1_tok_s"),
+            "paged_longctx_bf16_tok_s": serving.get("paged_longctx_2048_b8_bf16_tok_s"),
+            "contiguous_longctx_bf16_tok_s": serving.get("long_ctx_2048_b8_bf16_tok_s"),
+            "detail_file": "BENCH_DETAIL.json",
+        },
+    }
+    print(json.dumps(summary))
+
+
 def _report_recorded_fallback():
     """TPU unreachable: quote the last recorded on-chip measurement so the
     round artifact stays meaningful, flagged as not-freshly-measured.
@@ -64,13 +106,8 @@ def _report_recorded_fallback():
                 key = ("pruning_loop_b16_224" if "pruning" in name
                        else "llm_serving")
                 detail[key] = json.load(f)
-    print(json.dumps({
-        "metric": "vit_b16_dense_throughput",
-        "value": rec["images_per_sec"],
-        "unit": "images/sec/chip",
-        "vs_baseline": round(rec["images_per_sec"] / REFERENCE_DENSE_IMG_PER_S, 2),
-        "detail": detail,
-    }))
+    detail["pruned50_images_per_sec"] = rec.get("pruned50_images_per_sec")
+    _emit(rec["images_per_sec"], detail)
 
 
 def main():
@@ -178,13 +215,7 @@ def main():
         detail["pruned50_plan"] = {"K": plan.blocks_to_prune,
                                    "t": plan.per_block_neurons_to_prune}
 
-    print(json.dumps({
-        "metric": "vit_b16_dense_throughput",
-        "value": round(img_per_s, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_s / REFERENCE_DENSE_IMG_PER_S, 2),
-        "detail": detail,
-    }))
+    _emit(round(img_per_s, 2), detail)
 
 
 if __name__ == "__main__":

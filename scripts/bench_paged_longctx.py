@@ -75,9 +75,12 @@ def main():
     # block = decode steps per host dispatch (PagedServer.step_many); 1 is
     # the historical step-per-dispatch protocol, 8 the engine default.
     def churn(dtype, block=1):
-        # same total pool tokens (160 pages x 64) regardless of page size
+        # same total pool tokens (160 pages x 64) regardless of page size,
+        # floored so 4 slots at max_context always fit (large PS under-
+        # provisioned before: at PS=512, 4 seqs need 21 pages vs pool of 20)
+        min_pages = 1 + 4 * -(-(P + N + 1) // PS)
         server = PagedServer(params, cfg, max_batch=4,
-                             num_pages=max(8, 160 * 64 // PS),
+                             num_pages=max(min_pages, 160 * 64 // PS),
                              page_size=PS, max_context=P + N,
                              cache_dtype=dtype)
         reqs = [(rng.integers(0, cfg.vocab_size,

@@ -126,16 +126,18 @@ def main():
 
     if "grads" in arms:
         # params NOT donated (reused across iterations); grads consumed via
-        # global_norm so the backward survives DCE
+        # global_norm so the backward survives DCE. toks is a parameter, not
+        # a closure: closed-over device arrays hang jit lowering on the
+        # tunneled TPU (docs/tpu_notes.md item 3).
         @jax.jit
-        def grad_step(p):
+        def grad_step(p, toks):
             loss, g = jax.value_and_grad(next_token_loss)(p, toks, cfg)
             return loss, optax.global_norm(g)
 
         p_hold = fresh()
 
         def run(state):
-            loss, gn = grad_step(p_hold)
+            loss, gn = grad_step(p_hold, toks)
             _ = float(loss), float(gn)
             return state
 
