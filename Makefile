@@ -1,0 +1,48 @@
+# Pinned-reproducible trained-weights artifacts (VERDICT r4 #5).
+#
+# Every trained-weights number in docs/trained_bench.json /
+# docs/trained_vit_bench.json regenerates from these targets with fixed
+# seeds. The corpus builder is deterministic GIVEN this host's Python
+# installation (seeded shuffle over a sorted file walk); the committed
+# ckpts/code_llm_small/corpus_slice/ holds the exact train/val token slices
+# the committed checkpoint was measured with, so re-measurement needs no
+# corpus rebuild at all.
+
+PY := python
+
+# ---- corpus (≈110M train tokens from host Python sources, ~10 min CPU) ----
+reproduce-corpus:
+	$(PY) scripts/prepare_code_corpus.py --out artifacts/code_corpus
+
+# ---- small committed LM (ckpts/code_llm_small, bf16 npz, ~40 MB) ----------
+# Expected: final train loss ~2.6-2.8; held-out ppl on the committed val
+# slice recorded in ckpts/code_llm_small/train_meta.json (±2% tolerance —
+# bf16 matmul nondeterminism across compiler versions).
+reproduce-trained-llm-small: reproduce-corpus
+	$(PY) -m ssp_x_vit_tpu.cli.train_llm \
+	  --init-json ckpts/code_llm_small/model_config.json \
+	  --data-bin artifacts/code_corpus/train.bin \
+	  --steps 3000 --batch-size 8 --seq-len 1024 --lr 6e-4 --warmup 100 \
+	  --schedule cosine --grad-clip 1.0 --seed 0 \
+	  --save-model ckpts/code_llm_small --save-format native
+	$(PY) scripts/bench_trained.py --ckpt ckpts/code_llm_small \
+	  --corpus ckpts/code_llm_small/corpus_slice
+
+# ---- 197M LLM (docs/trained_bench.json '197m' rows; ~20 min TPU) ----------
+reproduce-trained-llm-197m: reproduce-corpus
+	$(PY) -m ssp_x_vit_tpu.cli.train_llm \
+	  --init-json docs/code_llm_197m_config.json \
+	  --data-bin artifacts/code_corpus/train.bin \
+	  --steps 3000 --batch-size 8 --seq-len 2048 --lr 3e-4 --warmup 100 \
+	  --schedule cosine --grad-clip 1.0 --seed 0 \
+	  --save-model artifacts/code_llm_197m --save-format native
+	$(PY) scripts/bench_trained.py --ckpt artifacts/code_llm_197m \
+	  --corpus artifacts/code_corpus
+
+# ---- trained ViT (ckpts/vit_procgen, committed; corpus is procedural) ------
+reproduce-trained-vit:
+	$(PY) scripts/train_vit_procgen.py --out ckpts/vit_procgen --seed 0
+	$(PY) scripts/bench_trained_vit.py --ckpt ckpts/vit_procgen
+
+.PHONY: reproduce-corpus reproduce-trained-llm-small \
+        reproduce-trained-llm-197m reproduce-trained-vit

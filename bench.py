@@ -83,7 +83,7 @@ def _emit(value, detail):
             "serving_best_composite_b8_tok_s": serving.get("best_composite_b8_tok_s"),
             "serving_dense_bf16_b1_tok_s": serving.get("dense_bf16_b1_tok_s"),
             "paged_longctx_bf16_tok_s": serving.get("paged_longctx_2048_b8_bf16_tok_s"),
-            "contiguous_longctx_bf16_tok_s": serving.get("long_ctx_2048_b8_bf16_tok_s"),
+            "contig_same_protocol_bf16_tok_s": serving.get("contig_same_protocol_bf16_tok_s"),
             "detail_file": "BENCH_DETAIL.json",
         },
     }

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--page-size", type=int, default=64,
                     help="pool page size; round-4 micro A/B (bench_paged_gap) "
                          "measured 256 fastest on-chip (10.5 vs 27.4 ms/step)")
+    ap.add_argument("--contig", action="store_true",
+                    help="also measure contiguous-cache generate_kv_scan on "
+                         "the IDENTICAL protocol (same prompts, 512 new) — "
+                         "the end-to-end paged-vs-contiguous A/B")
+    ap.add_argument("--skip-churn", action="store_true")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -69,6 +74,23 @@ def main():
         print(f"[scan_{tag}] {res[f'scan_{tag}_tok_s']} tok/s", flush=True)
     res["scan_int8_speedup"] = round(
         res["scan_int8_tok_s"] / res["scan_bf16_tok_s"], 2)
+
+    if args.contig:
+        from ssp_x_vit_tpu.llm.serve import generate_kv_scan
+
+        for tag, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
+            secs = time_it(lambda dtype=dtype: generate_kv_scan(
+                params, cfg, prompts, max_length=P + N, cache_dtype=dtype,
+                early_stop=False))
+            res[f"contig_{tag}_tok_s"] = round(B * N / secs, 1)
+            print(f"[contig_{tag}] {res[f'contig_{tag}_tok_s']} tok/s",
+                  flush=True)
+        res["paged_vs_contig_bf16"] = round(
+            res["scan_bf16_tok_s"] / res["contig_bf16_tok_s"], 2)
+
+    if args.skip_churn:
+        print(json.dumps(res))
+        return
 
     # churn: 12 requests through 4 slots, staggered lengths/budgets, so pages
     # free and get reused mid-run (admission control + eviction on finish).

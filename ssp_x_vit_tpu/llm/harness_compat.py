@@ -99,7 +99,15 @@ def ensure_lm_eval(vendored_path: str | None = None):
     path = vendored_path or DEFAULT_VENDORED_PATH
     if not os.path.isdir(os.path.join(path, "lm_eval")):
         raise ImportError(
-            f"lm_eval is not installed and no vendored harness at {path!r}"
+            f"Real lm-eval tasks (winogrande/arc/hellaswag/...) need the "
+            f"EleutherAI harness, which is neither pip-installed nor found "
+            f"at {path!r}. Fix one of: (1) pip install lm-eval; (2) set "
+            f"SSP_X_VIT_LM_HARNESS_PATH to a checkout that contains an "
+            f"lm_eval/ package (the reference vendors one at lm_harness/); "
+            f"or (3) use the self-contained offline path instead: "
+            f"ssp_x_vit_tpu.llm.taskpack / llm.zeroshot "
+            f"(scripts/build_task_pack.py builds task packs with no "
+            f"network or harness dependency)."
         )
     _install_stubs()
     if path not in sys.path:
