@@ -25,6 +25,9 @@ reproduce-trained-llm-small: reproduce-corpus
 	  --steps 3000 --batch-size 8 --seq-len 1024 --lr 6e-4 --warmup 100 \
 	  --schedule cosine --grad-clip 1.0 --seed 0 \
 	  --save-model ckpts/code_llm_small --save-format native
+	$(PY) scripts/finalize_trained_ckpt.py --ckpt ckpts/code_llm_small \
+	  --corpus artifacts/code_corpus \
+	  --meta-extra '{"steps": 3000, "batch": 8, "seq_len": 1024, "lr": 6e-4, "seed": 0}'
 	$(PY) scripts/bench_trained.py --ckpt ckpts/code_llm_small \
 	  --corpus ckpts/code_llm_small/corpus_slice
 

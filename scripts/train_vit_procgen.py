@@ -13,8 +13,9 @@ image traffic.
   python scripts/train_vit_procgen.py --cpu --steps 30  # smoke
 
 Writes ckpts/vit_procgen/ (committed — the pinned artifact other benches
-load) + prints final val top-1. Expected: >= 0.97 val top-1 at the default
-2000 steps (recorded in docs/trained_bench.json vit section).
+load) + prints final val top-1. Measured (TPU, seed 0): 1.0000 val top-1 at
+the default 20000 steps (~11 min; 0.774 at 2000 — the task needs the full
+schedule), recorded in ckpts/vit_procgen/train_meta.json.
 """
 
 import argparse
@@ -36,7 +37,7 @@ def main():
     ap.add_argument("--inter", type=int, default=1024)
     ap.add_argument("--img", type=int, default=64)
     ap.add_argument("--patch", type=int, default=8)
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--warmup", type=int, default=100)
@@ -78,7 +79,11 @@ def main():
         # Normalize exactly as DataPipeline.preprocess_batch: [0,1] -> [-1,1]
         pixels, labels = sample_batch(key, args.batch, image_size=args.img)
         px = (pixels * 2.0 - 1.0).astype(jnp.bfloat16)
-        logits, _ = vit_forward(p, px, cfg, compute_dtype=jnp.bfloat16)
+        # allow_fused_attn=False: the pallas fused-attn block has no JVP
+        # rule — training takes the XLA path (differentiable, and at this
+        # size the fused kernel would not win anyway).
+        logits, _ = vit_forward(p, px, cfg, compute_dtype=jnp.bfloat16,
+                                allow_fused_attn=False)
         return cross_entropy_loss(logits, labels)
 
     import functools

@@ -155,7 +155,11 @@ def main(argv=None):
 
         from ssp_x_vit_tpu.llm.model import LlamaConfig, init_llama_params
 
-        cfg = LlamaConfig(**json.loads(args.init_json))
+        if os.path.exists(args.init_json):
+            with open(args.init_json) as f:
+                cfg = LlamaConfig(**json.load(f))
+        else:
+            cfg = LlamaConfig(**json.loads(args.init_json))
         params = init_llama_params(jax.random.PRNGKey(args.seed), cfg,
                                    dtype=jnp.bfloat16)
     else:

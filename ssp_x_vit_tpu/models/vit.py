@@ -400,6 +400,7 @@ def vit_forward_materialized(
     cfg: ViTConfig,
     *,
     compute_dtype=jnp.float32,
+    allow_fused_attn: bool = True,
 ) -> jax.Array:
     """Forward for a materialized-pruned model: unrolled, statically skips
     the attention of depth-pruned blocks and runs FFNs at the padded kept
@@ -437,6 +438,7 @@ def vit_forward_materialized(
             attn_gate=None, mlp_gate=None, neuron_mask=None,
             collect_ffn_stats=False,
             skip_attention_statically=(j is None),
+            allow_fused_attn=allow_fused_attn,
         )
 
     x = layer_norm(x, params["ln_final_scale"], params["ln_final_bias"], cfg.layernorm_eps)

@@ -55,9 +55,13 @@ def make_train_step(cfg: ViTConfig, optimizer: optax.GradientTransformation,
 
     def loss_fn(params, pixel_values, labels):
         if materialized:
-            logits = vit_forward_materialized(params, pixel_values, cfg, compute_dtype=compute_dtype)
+            logits = vit_forward_materialized(params, pixel_values, cfg, compute_dtype=compute_dtype,
+                                              allow_fused_attn=False)
         else:
-            logits, _ = vit_forward(params, pixel_values, cfg, compute_dtype=compute_dtype)
+            # allow_fused_attn=False: the pallas fused-attn/ffn blocks have
+            # no JVP rule — grad'd forwards must take the XLA path.
+            logits, _ = vit_forward(params, pixel_values, cfg, compute_dtype=compute_dtype,
+                                    allow_fused_attn=False)
         return cross_entropy_loss(logits, labels)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -125,11 +129,16 @@ def make_distill_train_step(teacher_params: Params, teacher_cfg: ViTConfig,
     than the one-hot target, which matters most right after pruning."""
 
     def fwd(params, cfg, pixel_values):
+        # XLA path: the pallas fused blocks have no JVP rule (student side
+        # is grad'd; keeping both sides on one path also keeps the logit
+        # numerics comparable).
         if cfg.pruned_attention_blocks:
             return vit_forward_materialized(params, pixel_values, cfg,
-                                            compute_dtype=compute_dtype)
+                                            compute_dtype=compute_dtype,
+                                            allow_fused_attn=False)
         logits, _ = vit_forward(params, pixel_values, cfg,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                allow_fused_attn=False)
         return logits
 
     def loss_fn(student, pixel_values, labels):
@@ -171,10 +180,12 @@ def make_lora_train_step(cfg: ViTConfig,
         p = apply_lora(base, lora, alpha=alpha)
         if materialized:
             logits = vit_forward_materialized(p, pixel_values, cfg,
-                                              compute_dtype=compute_dtype)
+                                              compute_dtype=compute_dtype,
+                                              allow_fused_attn=False)
         else:
             logits, _ = vit_forward(p, pixel_values, cfg,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    allow_fused_attn=False)
         return cross_entropy_loss(logits, labels)
 
     @jax.jit
