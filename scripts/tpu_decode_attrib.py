@@ -79,7 +79,12 @@ def main():
            "backend": None, "groups": {}}
 
     def probe(name, fn, *arrs, bytes_per_iter):
-        ms = measure_latency_scan(fn, *arrs, iters=args.iters)
+        # perturb only arg 0 (the [1, D] activation): perturbing the stacked
+        # weights would add a full read+write pass over them per iteration,
+        # inflating weight-bound probes ~3x (measured) — one carry-dependent
+        # input already defeats hoisting.
+        ms = measure_latency_scan(fn, *arrs, iters=args.iters,
+                                  perturb_argnums=(0,))
         gbs = bytes_per_iter / (ms / 1e3) / 1e9
         res["groups"][name] = {"ms": round(ms, 4), "gb": round(
             bytes_per_iter / 1e9, 3), "gb_s": round(gbs, 1)}

@@ -34,13 +34,23 @@ def measure_latency_fn(
     return mean_s * 1e3, 1.0 / mean_s
 
 
-def measure_latency_scan(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
+def measure_latency_scan(fn: Callable, *args, iters: int = 20, warmup: int = 1,
+                         perturb_argnums=None) -> float:
     """Per-iteration latency (ms) with the loop INSIDE one jitted lax.scan.
 
     The carry consumes each iteration's output, forcing truly sequential
     device execution in a single dispatch. This is robust where host-side
     timing is not (remote/tunneled devices with unreliable readiness
     semantics). ``fn(*args)`` may return any pytree.
+
+    ``perturb_argnums``: positional args whose float leaves get the
+    anti-hoist carry perturbation (default: all). The perturbation is a
+    full elementwise read+write pass over the array, so for probes with
+    LARGE loop-invariant float operands (stacked weights) perturb only a
+    small carry-dependent operand — one perturbed input already makes the
+    body loop-variant, and the big operands are still re-streamed by the
+    ops that consume them. Perturbing everything inflates weight-heavy
+    probes ~3x (measured: the round-5 decode attribution).
     """
     import jax.numpy as _jnp
 
@@ -50,14 +60,18 @@ def measure_latency_scan(fn: Callable, *args, iters: int = 20, warmup: int = 1) 
     @jax.jit
     def run(*a):
         def step(carry, _):
-            # Perturb every floating-point array argument by the
+            # Perturb selected floating-point array arguments by the
             # (runtime-unknown) carry so the body is NOT loop-invariant and
             # cannot be hoisted out of the scan. Integer args pass through.
             def perturb(leaf):
                 if hasattr(leaf, "dtype") and _jnp.issubdtype(leaf.dtype, _jnp.floating):
                     return leaf + (carry * 1e-20).astype(leaf.dtype)
                 return leaf
-            out = fn(*jax.tree.map(perturb, a))
+            sel = (range(len(a)) if perturb_argnums is None
+                   else perturb_argnums)
+            pa = [jax.tree.map(perturb, x) if i in set(sel) else x
+                  for i, x in enumerate(a)]
+            out = fn(*pa)
             acc = sum(_jnp.sum(leaf.astype(_jnp.float32)) for leaf in jax.tree.leaves(out))
             return _jnp.tanh(acc), ()  # tanh keeps the carry bounded
 
