@@ -29,7 +29,8 @@ reproduce-trained-llm-small: reproduce-corpus
 	  --corpus artifacts/code_corpus \
 	  --meta-extra '{"steps": 3000, "batch": 8, "seq_len": 1024, "lr": 6e-4, "seed": 0}'
 	$(PY) scripts/bench_trained.py --ckpt ckpts/code_llm_small \
-	  --corpus ckpts/code_llm_small/corpus_slice
+	  --corpus ckpts/code_llm_small/corpus_slice \
+	  --out docs/trained_bench_small.json
 
 # ---- 197M LLM (docs/trained_bench.json '197m' rows; ~20 min TPU) ----------
 reproduce-trained-llm-197m: reproduce-corpus

@@ -46,6 +46,10 @@ def main():
     os.makedirs(sl, exist_ok=True)
     val = np.memmap(os.path.join(args.corpus, "val.bin"), np.uint16, "r")
     np.asarray(val[: args.val_tokens]).tofile(os.path.join(sl, "val.bin"))
+    # small train slice too: scripts/bench_trained.py calibrates 2SSP from
+    # train.bin — the committed slice must be self-sufficient for it
+    train = np.memmap(os.path.join(args.corpus, "train.bin"), np.uint16, "r")
+    np.asarray(train[: args.val_tokens]).tofile(os.path.join(sl, "train.bin"))
     tok_json = os.path.join(args.corpus, "tokenizer.json")
     if os.path.exists(tok_json):
         shutil.copy(tok_json, os.path.join(args.ckpt, "tokenizer.json"))
