@@ -84,6 +84,13 @@ def _emit(value, detail):
             "serving_dense_bf16_b1_tok_s": serving.get("dense_bf16_b1_tok_s"),
             "paged_longctx_bf16_tok_s": serving.get("paged_longctx_2048_b8_bf16_tok_s"),
             "contig_same_protocol_bf16_tok_s": serving.get("contig_same_protocol_bf16_tok_s"),
+            "trained_vit_top1_dense": detail.get("trained_vit", {}).get("top1_dense_bf16"),
+            "trained_vit_top1_2ssp30": detail.get("trained_vit", {})
+                .get("2ssp_curve", {}).get("0.3", {}).get("top1"),
+            "trained_llm_int8_ppl_delta_pct": (
+                round((detail["trained_llm_small"]["ppl_int8w"] /
+                       detail["trained_llm_small"]["ppl_dense_bf16"] - 1) * 100, 3)
+                if "trained_llm_small" in detail else None),
             "detail_file": "BENCH_DETAIL.json",
         },
     }
@@ -183,6 +190,16 @@ def main():
     if os.path.exists(serve_json):
         with open(serve_json) as f:
             detail["llm_serving"] = json.load(f)
+
+    # Trained-checkpoint accuracy records (measured on the committed ckpts;
+    # scripts/bench_trained_vit.py / bench_trained.py re-measure them).
+    for name, key in (("trained_vit_bench.json", "trained_vit"),
+                      ("trained_bench_small.json", "trained_llm_small")):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", name)
+        if os.path.exists(path):
+            with open(path) as f:
+                detail[key] = json.load(f)
 
     if with_pruned:
         # 50%-global-sparsity 2SSP-materialized model (plan K/t, weight-L1
