@@ -97,6 +97,20 @@ def _emit(value, detail):
     print(json.dumps(summary))
 
 
+def _load_recorded_blocks(detail):
+    """Attach the committed measurement records (shared by the fresh path
+    and the unreachable-TPU fallback)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name, key in (("bench_pruning_loop_b16.json", "pruning_loop_b16_224"),
+                      ("serving_bench.json", "llm_serving"),
+                      ("trained_vit_bench.json", "trained_vit"),
+                      ("trained_bench_small.json", "trained_llm_small")):
+        path = os.path.join(here, "docs", name)
+        if os.path.exists(path):
+            with open(path) as f:
+                detail[key] = json.load(f)
+
+
 def _report_recorded_fallback():
     """TPU unreachable: quote the last recorded on-chip measurement so the
     round artifact stays meaningful, flagged as not-freshly-measured.
@@ -106,13 +120,7 @@ def _report_recorded_fallback():
         rec = json.load(f)
     detail = {k: rec[k] for k in rec if k != "images_per_sec"}
     detail["tpu_unreachable"] = True
-    for name in ("bench_pruning_loop_b16.json", "serving_bench.json"):
-        path = os.path.join(here, "docs", name)
-        if os.path.exists(path):
-            with open(path) as f:
-                key = ("pruning_loop_b16_224" if "pruning" in name
-                       else "llm_serving")
-                detail[key] = json.load(f)
+    _load_recorded_blocks(detail)
     detail["pruned50_images_per_sec"] = rec.get("pruned50_images_per_sec")
     _emit(rec["images_per_sec"], detail)
 
@@ -172,34 +180,12 @@ def main():
         "baseline": "reference dense ViT-B/16 b=1 MPS 43.6ms (22.9 img/s)",
     }
 
-    # North-star pruning-loop speedup: quote the committed flagship-scale
-    # head-to-head (scripts/bench_pruning_loop.py writes it; re-running the
-    # torch reference takes ~20 min on this 1-core host, so bench.py reports
-    # the recorded measurement rather than re-measuring).
-    loop_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "docs", "bench_pruning_loop_b16.json")
-    if os.path.exists(loop_json):
-        with open(loop_json) as f:
-            detail["pruning_loop_b16_224"] = json.load(f)
-
-    # LLM serving headlines (recorded measurements; scripts/bench_serve.py
-    # and friends re-measure them — each takes 10-30 min of TPU compiles, so
-    # bench.py quotes the committed JSON rather than re-running).
-    serve_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "docs", "serving_bench.json")
-    if os.path.exists(serve_json):
-        with open(serve_json) as f:
-            detail["llm_serving"] = json.load(f)
-
-    # Trained-checkpoint accuracy records (measured on the committed ckpts;
-    # scripts/bench_trained_vit.py / bench_trained.py re-measure them).
-    for name, key in (("trained_vit_bench.json", "trained_vit"),
-                      ("trained_bench_small.json", "trained_llm_small")):
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "docs", name)
-        if os.path.exists(path):
-            with open(path) as f:
-                detail[key] = json.load(f)
+    # Committed measurement records: north-star pruning-loop head-to-head
+    # (re-running the torch reference takes ~20 min on this 1-core host),
+    # LLM serving headlines (each bench is 10-30 min of TPU compiles), and
+    # trained-checkpoint accuracy tables (scripts/bench_trained*.py
+    # re-measure them) — bench.py quotes the committed JSONs.
+    _load_recorded_blocks(detail)
 
     if with_pruned:
         # 50%-global-sparsity 2SSP-materialized model (plan K/t, weight-L1
